@@ -1,0 +1,39 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source operators (SURVEY.md §2.1).
+  *
+  * Reference: /root/reference/airflow/dags/tasks/{bronze,silver,gold}.py.
+  *  - S1/S2 sheet scan + fixed-schema fallback → [[readWithSchema]]: an
+  *    explicit `StructType` given to the reader replaces the reference's
+  *    hard-coded `expected_headers` (bronze.py:33-35).
+  *  - S4 object-existence check (silver.py:26-30, gold.py:26-30) →
+  *    [[exists]] via the Hadoop FileSystem API (works for file://, s3a://,
+  *    hdfs:// alike).
+  *  - S5 parquet scan (silver.py:33-34) → `spark.read.parquet`: vectorized,
+  *    column-pruned, predicate-pushdown — never a whole-object buffer.
+  */
+object Sources {
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S1/S2 — schema-enforced read (CSV shown; parquet carries its own). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  /** S4 — existence check against any Hadoop-compatible filesystem. */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** S4 strict form: raise (like the reference's NoSuchKey) if absent. */
+  def requireExists(spark: SparkSession, path: String): Unit =
+    if (!exists(spark, path))
+      throw new java.io.FileNotFoundException(s"key not found: $path")
+}
