@@ -21,9 +21,13 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RefParity.queries ++
-      graft.queries.TpchCore.queries
+      graft.queries.TpchCore.queries ++
+      graft.queries.EventsQueries.queries ++
+      graft.queries.Extensions.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RefParity.oracleSql ++
-      graft.queries.TpchCore.oracleSql
+      graft.queries.TpchCore.oracleSql ++
+      graft.queries.EventsQueries.oracleSql ++
+      graft.queries.Extensions.oracleSql
 }

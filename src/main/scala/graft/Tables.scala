@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver's TPC-H-ish testdata (see /root/repo/TESTDATA.md).
   *
@@ -20,7 +21,16 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "events")
+  /** `events.ts` is nanosecond-precision parquet, which Spark 4 refuses by
+    * default (PARQUET_TYPE_ILLEGAL). Read it as raw nanos (legacy long) and
+    * convert to a microsecond TIMESTAMP — truncation, matching how any
+    * ns-producing upstream lands in Spark.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

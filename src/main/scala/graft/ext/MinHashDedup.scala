@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection, the scale path for fuzzy dedup
+  * (SURVEY.md §7.3 M3; standard shingle→minhash→band→bucket-join design).
+  *
+  * Pipeline (all narrow columnar ops until the single band-bucket shuffle):
+  *  1. shingles: lowercase word k-grams per document (k=3);
+  *  2. signature: H minhash values via the double-hashing trick
+  *     h_i(s) = h1(s) + i*h2(s) (h1 = xxhash64, h2 = murmur3) — avoids H
+  *     separate hash passes over the shingle array;
+  *  3. banding: split the H-vector into b bands of r rows (H = b*r); two docs
+  *     collide in a band iff that band's sub-signature matches exactly;
+  *  4. ONE shuffle: explode bands → groupBy (band, key) → candidate pairs;
+  *  5. verify: join candidates back to exact shingle sets, compute true
+  *     Jaccard, keep pairs ≥ threshold.
+  *
+  * At 100 TB the only wide ops are the band groupBy (keys are ~uniform 64-bit
+  * hashes — no skew) and the verify join (candidates ≪ corpus). Everything
+  * per-document is fused into the scan. P(candidate | jaccard=j) =
+  * 1-(1-j^r)^b; defaults (b=32, r=4) give ~0.97 at j=0.7, ~0.007 at j=0.2.
+  */
+object MinHashDedup {
+
+  /** Word k-shingles as a distinct array column. */
+  def shingles(text: String, k: Int = 3): org.apache.spark.sql.Column =
+    expr(s"""array_distinct(transform(
+      sequence(0, greatest(size(split(lower($text), ' ')) - $k, 0)),
+      i -> concat_ws(' ', slice(split(lower($text), ' '), i + 1, $k))))""")
+
+  /** H-value minhash signature over a shingle array column. */
+  def signature(shinglesCol: String, h: Int = 128): org.apache.spark.sql.Column =
+    expr(s"""transform(sequence(0, ${h - 1}), i ->
+      array_min(transform($shinglesCol,
+        s -> xxhash64(s) + CAST(i AS BIGINT) * CAST(hash(s) AS BIGINT))))""")
+
+  /** doc_id + signature (+ shingles kept for verification). */
+  def signatures(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", h: Int = 128): DataFrame =
+    docs.select(col(idCol), col(textCol))
+      .withColumn("shingles", shingles(textCol))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", signature("shingles", h))
+
+  /** Candidate pairs via LSH banding, then exact-Jaccard verification.
+    * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ minJaccard.
+    */
+  def nearDuplicates(docs: DataFrame, minJaccard: Double = 0.7,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     h: Int = 128, bands: Int = 32): DataFrame = {
+    val r = h / bands
+    val sigs = signatures(docs, idCol, textCol, h)
+    // shingle sets are needed twice (LSH banding + verification join) —
+    // persist so the signature computation runs once
+    sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // band key: hash of the band's sub-signature (+ band index so buckets
+    // of different bands never collide). CRITICAL scale property: only
+    // (band_key, doc_id) pairs flow through the LSH shuffle — never the
+    // shingle arrays (shipping payloads through the explode+join is what
+    // turns LSH into a data explosion at scale).
+    val banded = sigs
+      .select(col(idCol),
+        expr(s"""transform(sequence(0, ${bands - 1}),
+          b -> hash(b, slice(sig, b * $r + 1, $r)))""").as("band_keys"))
+      .select(col(idCol), explode(col("band_keys")).as("band_key"))
+
+    val candidates = banded.toDF("doc_a", "band_key")
+      .join(banded.toDF("doc_b", "band_key"), Seq("band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+
+    // verification: join the (small) candidate set back to shingle sets
+    val withSets = candidates
+      .join(sigs.select(col(idCol).as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sigs.select(col(idCol).as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+
+    withSets
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}

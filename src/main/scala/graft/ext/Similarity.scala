@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an `array<float>` column.
+  *
+  * Two paths (SURVEY.md §7.3 M3):
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+  *    set against the corpus; one narrow pass + a per-query top-k window.
+  *    This is the correct plan whenever |queries| is small: at 100 TB the
+  *    corpus streams through executors once, nothing shuffles but the
+  *    k·|queries| survivors (AQE prunes the rest).
+  *  - [[lshTopK]]: random-hyperplane LSH bucketing — sign-bit sketch over
+  *    pseudo-random hyperplanes (hash-derived ±1 components, fully
+  *    deterministic, no driver-side randomness), candidates restricted to
+  *    same-bucket vectors, exact re-rank inside the bucket. Trades recall
+  *    for replacing the cross join with ONE shuffle on bucket ids.
+  */
+object Similarity {
+
+  /** Cosine similarity between two array<double> columns, rounded at 1e-6
+    * (absorbs engine-level accumulation-order ulps; see queries.Util).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    round(dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b)), 6)
+  }
+
+  /** Exact top-k neighbours for each query vector (queries × corpus). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).cast("array<double>").as("n_vec"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("q_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rk"))
+  }
+
+  /** Deterministic pseudo-random hyperplane sign sketch: bit j is the sign
+    * of Σ_d vec[d] · s(j,d), with s(j,d) = ±1 derived from hash(j, d).
+    */
+  def hyperplaneSketch(vecCol: String, nPlanes: Int = 16): Column =
+    expr(s"""aggregate(sequence(0, ${nPlanes - 1}), CAST(0 AS BIGINT),
+      (acc, j) -> acc | IF(
+        aggregate(sequence(0, size($vecCol) - 1), CAST(0.0 AS DOUBLE),
+          (s, d) -> s + element_at($vecCol, d + 1) *
+                    IF((hash(j, d) & 1) = 1, 1.0, -1.0)) >= 0.0,
+        shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""")
+
+  /** LSH-bucketed approximate top-k: bucket by sketch, exact cosine within
+    * the bucket. Recall measured against [[bruteForceTopK]] in SimilaritySpec.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10, nPlanes: Int = 12,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus
+      .select(col(idCol).as("n_id"), col(vecCol).cast("array<double>").as("n_vec"))
+      .withColumn("bucket", hyperplaneSketch("n_vec", nPlanes))
+    val q = queries
+      .select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("bucket", hyperplaneSketch("q_vec", nPlanes))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rk"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language-ID heuristics, and document
+  * fingerprinting. All pure columnar expressions (whole-stage codegen, no
+  * UDFs, no shuffles) — at 100 TB these run as a single map pass fused with
+  * the parquet scan.
+  *
+  * Cross-engine determinism notes (oracle = DuckDB):
+  *  - counts/lengths are integers — exact.
+  *  - ratios are a single IEEE division of two exact integers — bit-identical
+  *    in any engine, NO rounding applied (rounding rationals is what's risky).
+  *  - the fingerprint is a modular polynomial fold, integer-only.
+  */
+object TextOps {
+
+  /** Whitespace tokens (reference text is single-space separated). */
+  def words(text: Column): Column = split(text, " ")
+
+  def nWords(text: Column): Column = size(words(text))
+
+  /** BPE-ish lexer token count: letter runs, digit runs, other symbols. */
+  def nTokensRegex(text: Column): Column =
+    regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+
+  def nDistinctWords(text: Column): Column = size(array_distinct(words(text)))
+
+  /** Average word length as an exact-input IEEE division (no rounding). */
+  def avgWordLen(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") / nWords(text)
+
+  /** Lambda-based helpers take the column NAME (SQL `expr` needs a
+    * spliceable identifier; the Column DSL can't express lambdas).
+    */
+  def stopwordCount(textCol: String, stops: Seq[String]): Column = {
+    val list = stops.map(s => s"'$s'").mkString(", ")
+    expr(s"size(filter(split($textCol, ' '), w -> w in ($list)))")
+  }
+
+  /** Quality score features (length / stopword / diversity ratios). */
+  val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "to", "in", "and")
+
+  /** Language-ID heuristic: CJK-codepoint check, then per-language stopword
+    * scores with a fixed argmax order (en > de > fr > es). The score lists
+    * and the CASE order ARE the spec — the oracle mirrors them exactly.
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "la", "et"),
+    "es" -> Seq("el", "los", "y"))
+
+  def langScore(textCol: String, lang: String): Column =
+    stopwordCount(textCol, LangMarkers(lang))
+
+  def predictedLang(textCol: String): Column = {
+    val en = langScore(textCol, "en"); val de = langScore(textCol, "de")
+    val fr = langScore(textCol, "fr"); val es = langScore(textCol, "es")
+    when(col(textCol).rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh"))
+      .when(en >= de && en >= fr && en >= es, lit("en"))
+      .when(de >= fr && de >= es, lit("de"))
+      .when(fr >= es, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Polynomial rolling-hash fingerprint over words, mod 2^31-1. Word is
+    * reduced to (31*len + ascii(first char)); the fold is
+    * acc -> (acc*131 + f(w)) mod p — identical in Spark `aggregate` and
+    * DuckDB `list_reduce` (verified: both give 52145 on [3,5,7]).
+    */
+  def fingerprint(textCol: String): Column =
+    expr(s"""aggregate(
+      transform(split($textCol, ' '),
+                w -> CAST(length(w)*31 + ascii(w) AS BIGINT)),
+      CAST(0 AS BIGINT),
+      (acc, x) -> (acc * 131 + x) % 2147483647)""")
+}

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.AsofJoin
+import graft.queries.Util._
+
+/** Event-stream analytics in batch form: time-bucketed aggregation,
+  * sessionization (gap-based), top-k, and the as-of (point-in-time) join.
+  * The Structured Streaming versions of the same computations live in
+  * `graft.streaming` (watermarked windows / mapGroupsWithState), tested with
+  * MemoryStream; the driver's oracle only sees batch, so these entries are
+  * the batch-equivalent plans.
+  *
+  * Timestamp determinism: `events.ts` is nanosecond-precision parquet;
+  * Spark truncates to microseconds, DuckDB keeps ns. All bucketing /
+  * gap logic therefore runs on whole seconds (`unix_timestamp` vs
+  * `floor(epoch(ts))` — identical), and bucket outputs are formatted
+  * strings, never raw timestamps.
+  */
+object EventsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // tumbling-window aggregation (hourly), bucket as string
+    "e1_hourly_counts" -> ((s: SparkSession, dir: String) => {
+      Tables.events(s, dir)
+        .groupBy(
+          date_format(col("ts"), "yyyy-MM-dd HH:00:00").as("bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+    }),
+
+    // per-user top-k with full deterministic ordering
+    "e2_top_users" -> ((s: SparkSession, dir: String) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("n").desc, col("user_id"))
+        .limit(20)
+    }),
+
+    // gap-based sessionization (30-min inactivity), second granularity
+    "e3_sessions_per_user" -> ((s: SparkSession, dir: String) => {
+      val sec = unix_timestamp(col("ts").cast("timestamp")).as("s")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), sec)
+        .withColumn("prev", lag(col("s"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev").isNull || col("s") - col("prev") > 1800, 1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    // as-of join: latest order (by date, orderkey tiebreak) at event time
+    "e4_asof_last_order" -> ((s: SparkSession, dir: String) => {
+      val events = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"))
+      val orders = Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderdate").cast("timestamp").as("o_ts"),
+        col("o_orderkey"))
+      AsofJoin.asofBackward(
+        left = events.withColumnRenamed("user_id", "o_custkey"),
+        right = orders,
+        key = "o_custkey", leftTime = col("ts"), rightTime = col("o_ts"),
+        payload = Seq("o_orderkey"), rightTiebreak = col("o_orderkey"))
+        .select(col("event_id"), col("o_orderkey"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "e1_hourly_counts" ->
+      s"""SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS bucket, event_type,
+         |  ${sqlCount()} AS n, ${sqlDsum("value")} AS total_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "e2_top_users" ->
+      s"""SELECT user_id, ${sqlCount()} AS n, ${sqlDsum("value")} AS total_value
+         |FROM events GROUP BY user_id
+         |ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
+
+    "e3_sessions_per_user" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id) IS NULL
+        |           OR s - lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id) > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM t)
+        |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id""".stripMargin,
+
+    "e4_asof_last_order" ->
+      """SELECT e.event_id,
+        |  (SELECT max(o.o_orderkey) FROM orders o
+        |   WHERE o.o_custkey = e.user_id
+        |     AND o.o_orderdate = (SELECT max(o2.o_orderdate) FROM orders o2
+        |                          WHERE o2.o_custkey = e.user_id
+        |                            AND o2.o_orderdate <= e.ts)) AS o_orderkey
+        |FROM events e""".stripMargin
+  )
+}

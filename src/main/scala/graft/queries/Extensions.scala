@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.{MinHashDedup, Multimodal, SimHash, Similarity, TextOps}
+
+/** Training-data pipeline extensions (SURVEY.md §7.3 M3): dedup family,
+  * similarity search, text analysis, multimodal plumbing — exercised on the
+  * `documents` / `embeddings` tables. Approximate operators (MinHash LSH,
+  * SimHash, hyperplane ANN) have no SQL oracle by nature; they expose
+  * deterministic signature dumps here (rows-only check) and get exactness /
+  * recall assertions in the scalatest suites instead.
+  */
+object Extensions {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- text analysis -------------------------------------------------
+    "x_text_stats" -> ((s: SparkSession, dir: String) => {
+      val t = col("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("n_chars"),
+        TextOps.nWords(t).as("n_words"),
+        TextOps.nTokensRegex(t).as("n_tokens"),
+        TextOps.nDistinctWords(t).as("n_distinct"),
+        TextOps.avgWordLen(t).as("avg_word_len"),
+        (TextOps.stopwordCount("text", TextOps.DefaultStopwords).cast("double") /
+          TextOps.nWords(t)).as("stop_ratio"))
+    }),
+
+    "x_text_langid" -> ((s: SparkSession, dir: String) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextOps.predictedLang("text").as("predicted"))
+    }),
+
+    "x_text_fingerprint" -> ((s: SparkSession, dir: String) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextOps.fingerprint("text").as("fp"))
+    }),
+
+    // ---- deduplication -------------------------------------------------
+    "x_dedup_exact" -> ((s: SparkSession, dir: String) => {
+      Tables.documents(s, dir)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .select(col("canonical_id"), col("n_copies"))
+    }),
+
+    "x_dedup_jaccard" -> ((s: SparkSession, dir: String) => {
+      val t = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"),
+        array_distinct(split(col("text"), " ")).as("ws"))
+      val a = t.select(col("doc_id").as("doc_a"), col("source"), col("ws").as("wa"))
+      val b = t.select(col("doc_id").as("doc_b"), col("source"), col("ws").as("wb"))
+      a.join(b, Seq("source")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("wa"), col("wb"))).cast("double") /
+            size(array_union(col("wa"), col("wb")))).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    }),
+
+    // MinHash signatures (deterministic; the LSH pair search is asserted in
+    // MinHashDedupSpec with planted near-duplicates — approximate by nature)
+    "x_dedup_minhash_sigs" -> ((s: SparkSession, dir: String) => {
+      MinHashDedup.signatures(Tables.documents(s, dir))
+        .select(col("doc_id"), size(col("shingles")).as("n_shingles"),
+          element_at(col("sig"), 1).as("h0"), element_at(col("sig"), 128).as("h127"))
+    }),
+
+    "x_dedup_minhash_pairs" -> ((s: SparkSession, dir: String) => {
+      MinHashDedup.nearDuplicates(Tables.documents(s, dir), minJaccard = 0.2)
+    }),
+
+    "x_dedup_simhash_sigs" -> ((s: SparkSession, dir: String) => {
+      SimHash.signatures(Tables.documents(s, dir))
+    }),
+
+    // ---- similarity search --------------------------------------------
+    "x_sim_topk_brute" -> ((s: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+    }),
+
+    "x_sim_ann_lsh" -> ((s: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10, nPlanes = 8)
+    }),
+
+    // ---- multimodal plumbing ------------------------------------------
+    "x_mm_bytes" -> ((s: SparkSession, dir: String) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        octet_length(col("text")).as("n_bytes"))
+    }),
+
+    "x_mm_features" -> ((s: SparkSession, dir: String) => {
+      val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir))
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("n_bytes"), col("width"), col("height"),
+          element_at(col("feature"), 1).as("f0"))
+    })
+  )
+
+  import Util._
+
+  private val sqlWords = "string_split(text, ' ')"
+  private def sqlStopCount(words: Seq[String]) =
+    s"len(list_filter($sqlWords, w -> w in (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  val oracleSql: Map[String, String] = Map(
+    "x_text_stats" ->
+      s"""SELECT doc_id, n_chars,
+         |  CAST(len($sqlWords) AS INT) AS n_words,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_tokens,
+         |  CAST(len(list_distinct($sqlWords)) AS INT) AS n_distinct,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len($sqlWords) AS avg_word_len,
+         |  CAST(${sqlStopCount(graft.ext.TextOps.DefaultStopwords)} AS DOUBLE) / len($sqlWords) AS stop_ratio
+         |FROM documents""".stripMargin,
+
+    "x_text_langid" ->
+      s"""WITH sc AS (SELECT doc_id, lang, text,
+         |  ${sqlStopCount(Seq("the", "a", "of"))} AS s_en,
+         |  ${sqlStopCount(Seq("der", "die", "und"))} AS s_de,
+         |  ${sqlStopCount(Seq("le", "la", "et"))} AS s_fr,
+         |  ${sqlStopCount(Seq("el", "los", "y"))} AS s_es
+         |FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS predicted
+         |FROM sc""".stripMargin,
+
+    "x_text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform($sqlWords, w -> CAST(length(w)*31 + ascii(w) AS BIGINT))),
+         |    (acc, x) -> (acc * 131 + x) % 2147483647) AS fp
+         |FROM documents""".stripMargin,
+
+    "x_dedup_exact" ->
+      s"""SELECT min(doc_id) AS canonical_id, ${sqlCount()} AS n_copies
+         |FROM documents GROUP BY text""".stripMargin,
+
+    "x_dedup_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, source, list_distinct($sqlWords) AS ws FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
+         |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5""".stripMargin,
+
+    "x_sim_topk_brute" ->
+      """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |q AS (SELECT * FROM c WHERE vec_id < 5)
+        |SELECT q_id, n_id, cos, rk FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    round(list_cosine_similarity(q.v, c.v), 6) AS cos,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS INT) AS rk
+        |  FROM q JOIN c ON c.vec_id <> q.vec_id)
+        |WHERE rk <= 10""".stripMargin,
+
+    "x_mm_bytes" ->
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes FROM documents"
+  )
+}
