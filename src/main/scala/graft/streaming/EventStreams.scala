@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming counterparts of the batch event analytics in
+  * `graft.queries.EventsQueries` (the reference is batch-only — SURVEY.md
+  * §2.8 — so this is the engine's streaming extension surface).
+  *
+  * Design: streams are the same declarative plans as batch — `readStream` →
+  * transform → `writeStream` — so one definition serves both. Watermarks
+  * bound state; sessionization keeps per-key state in
+  * `flatMapGroupsWithState` with a processing-time timeout as the eviction
+  * path. Tested with MemoryStream in EventStreamsSpec (no kafka in this
+  * container; the source is pluggable by construction).
+  */
+object EventStreams {
+
+  final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
+                            user_id: Long, event_type: String, value: Double)
+
+  final case class SessionState(lastSec: Long, openSessions: Long, nEvents: Long)
+
+  final case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Tumbling 1-hour windowed counts with a 2-hour watermark (bounds the
+    * aggregation state; late events beyond it are dropped).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Gap-based sessionization (30-min inactivity) as explicit streaming
+    * state: per user, count sessions opened so far. Works identically on a
+    * batch Dataset (state starts empty, whole group in one call) — the
+    * batch query `e3_sessions_per_user` is the oracle-checked twin.
+    */
+  /** @param evictAfter optional processing-time state TTL. When set, the
+    *                    query runs with ProcessingTimeTimeout and evicts idle
+    *                    users' state (production posture: state size is
+    *                    O(active users)). NOTE a timeout makes the engine
+    *                    schedule timeout-evaluation micro-batches continually
+    *                    even with no data — correct for a long-running job,
+    *                    but a busy loop under `processAllAvailable` in tests,
+    *                    so the default is NoTimeout. Deployments using
+    *                    evictAfter MUST also set a processing-time trigger
+    *                    (e.g. `.trigger(Trigger.ProcessingTime("1 minute"))`)
+    *                    or the empty timeout-evaluation batches spin hot.
+    */
+  def sessionize(events: Dataset[EventRow], gapSec: Long = 1800,
+                 evictAfter: Option[String] = None): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (evictAfter.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Update, timeoutConf) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime / 1000, e.event_id))
+            var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+            sorted.foreach { e =>
+              val sec = e.ts.getTime / 1000
+              val isNew = st.lastSec == Long.MinValue || sec - st.lastSec > gapSec
+              st = SessionState(sec, st.openSessions + (if (isNew) 1 else 0),
+                st.nEvents + 1)
+            }
+            state.update(st)
+            evictAfter.foreach(state.setTimeoutDuration)
+            Iterator.single(SessionUpdate(userId, st.openSessions, st.nEvents))
+          }
+      }
+  }
+}

@@ -1,0 +1,135 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MinHashDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = (1 to 60).map(i => s"w$i").mkString(" ")
+  private val nearDup = ((1 to 58).map(i => s"w$i") ++ Seq("zz1", "zz2")).mkString(" ")
+  private val other = (100 to 160).map(i => s"v$i").mkString(" ")
+
+  test("LSH finds planted near-duplicates, skips unrelated docs") {
+    val docs = Seq((0L, base), (1L, nearDup), (2L, other)).toDF("doc_id", "text")
+    val pairs = MinHashDedup.nearDuplicates(docs, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((0L, 1L)))
+  }
+
+  test("identical docs have jaccard 1.0") {
+    val docs = Seq((0L, base), (1L, base)).toDF("doc_id", "text")
+    val r = MinHashDedup.nearDuplicates(docs, minJaccard = 0.99).head()
+    assert(r.getDouble(2) === 1.0)
+  }
+}
+
+class SimHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = (1 to 80).map(i => s"w$i").mkString(" ")
+
+  test("identical texts collide at hamming 0; signature is deterministic") {
+    val docs = Seq((0L, base), (1L, base), (2L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val pairs = SimHash.nearDuplicates(docs, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    assert(pairs.toSeq === Seq((0L, 1L, 0L)))
+    val sigs = SimHash.signatures(docs).orderBy("doc_id").as[(Long, Long)].collect()
+    assert(sigs(0)._2 === sigs(1)._2)
+    assert(SimHash.signatures(docs).orderBy("doc_id").as[(Long, Long)].collect()
+      .toSeq === sigs.toSeq) // rerun -> same hashes (no RNG anywhere)
+  }
+
+  test("one changed word flips few bits") {
+    val changed = base.replace("w40", "qqq")
+    val docs = Seq((0L, base), (1L, changed)).toDF("doc_id", "text")
+    val Array(a, b) = SimHash.signatures(docs).orderBy("doc_id")
+      .select("simhash").as[Long].collect()
+    assert(java.lang.Long.bitCount(a ^ b) <= 16) // small perturbation
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, Array(1f, 0f)), (1L, Array(1f, 0.01f)), (2L, Array(0f, 1f)),
+    (3L, Array(-1f, 0f)), (4L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by exact cosine, deterministic tiebreak") {
+    val got = Similarity.bruteForceTopK(corpus, corpus.filter($"vec_id" === 0), k = 3)
+      .orderBy("rk").collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq === Seq((1L, 1), (4L, 2), (2L, 3)))
+  }
+
+  test("LSH bucketing keeps identical-direction vectors together") {
+    val got = Similarity.lshTopK(corpus, corpus.filter($"vec_id" === 0), k = 3, nPlanes = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(got.contains(1L)) // same-direction vector must share every sketch bit
+    // recall vs brute force is measured, not assumed
+    val brute = Similarity.bruteForceTopK(corpus, corpus.filter($"vec_id" === 0), k = 3)
+      .collect().map(_.getLong(1)).toSet
+    assert((got intersect brute).nonEmpty)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binary pipeline: deterministic stub decode, schema, batch shape") {
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "hello".getBytes("UTF-8"), "text/plain"),
+      Multimodal.MediaRecord(2L, Array[Byte](), "empty")).toDS()
+    val out = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(out(0).n_bytes === 5L && out(1).n_bytes === 0L)
+    assert(out(0).feature.length === 4)
+    // determinism: same payload -> same features
+    val again = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(again(0).feature.toSeq === out(0).feature.toSeq)
+    assert(out(0).width < 640 && out(0).height < 480)
+  }
+}
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fingerprint matches the hand-computed polynomial fold") {
+    // f("ab") = 2*31 + 97 = 159 ; f("cd") = 2*31 + 99 = 161
+    // fold: (0*131+159)*131 + 161 = 20990
+    val got = Seq("ab cd").toDF("text")
+      .select(TextOps.fingerprint("text")).as[Long].head()
+    assert(got === 159L * 131 + 161)
+  }
+
+  test("stats columns") {
+    val r = Seq("the cat sat on the mat").toDF("text").select(
+      TextOps.nWords($"text"), TextOps.nDistinctWords($"text"),
+      TextOps.stopwordCount("text", TextOps.DefaultStopwords)).head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) === ((6, 5, 2))) // "the" ×2
+  }
+
+  test("langid prefers the language with most marker hits; CJK short-circuits") {
+    val r = Seq("der hund und die katze", "汉字 text", "le chat et la souris")
+      .toDF("text").select(TextOps.predictedLang("text")).as[String].collect()
+    assert(r.toSeq === Seq("de", "zh", "fr"))
+  }
+}
+
+class SinksSpec extends SparkSpec {
+  import graft.io.Sinks
+  import org.apache.spark.sql.types._
+
+  test("K2 dynamic DDL type rules (bronze.py:94-98 semantics)") {
+    val schema = StructType(Seq(
+      StructField("título", StringType), StructField("parceiro", StringType),
+      StructField("data_de_celebração", DateType), StructField("ano", IntegerType)))
+    assert(Sinks.columnTypeDdl(schema) ===
+      "título TEXT, parceiro VARCHAR(255), data_de_celebração DATE, ano INT")
+  }
+
+  test("K4 upsert statement shape") {
+    assert(Sinks.upsertSql("t", Seq("a", "b")) ===
+      "INSERT INTO t (a, b) VALUES (?, ?) ON DUPLICATE KEY UPDATE a = VALUES(a), b = VALUES(b)")
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the §2 operator set, pinning the reference-parity gotchas
+  * called out in SURVEY.md §5: pandas title vs initcap (F4), coerce-to-null
+  * date parse (F7), null-propagating concat (F5), fill/replace order.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("P1 normalizeColumnNames lowercases and underscores (accents kept)") {
+    val df = Seq((1, "x")).toDF("Data de Celebração", "Região")
+    assert(Normalize.normalizeColumnNames(df).columns.toSeq ===
+      Seq("data_de_celebração", "região"))
+    // idempotent
+    assert(Normalize.normalizeName(Normalize.normalizeName("A B")) === "a_b")
+  }
+
+  test("F4 pandas_title capitalizes after ANY non-letter, unlike initcap") {
+    val df = Seq("d'água do MAR", "x-ray tests", "", "abc").toDF("s")
+    val got = df.select(
+      GraftFunctions.pandas_title($"s").as("pt"),
+      initcap($"s").as("ic")).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got(0) === ("D'Água Do Mar", "D'água Do Mar")) // the divergence
+    assert(got(1) === ("X-Ray Tests", "X-ray Tests"))
+    assert(got(2) === ("", ""))
+    assert(got(3) === ("Abc", "Abc"))
+  }
+
+  test("F4 pandas_title propagates null and registers as SQL function") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT pandas_title(NULL), pandas_title('a.b c')").head()
+    assert(r.isNullAt(0) && r.getString(1) === "A.B C")
+  }
+
+  test("F7 parseDate coerces malformed to NULL (pandas errors='coerce')") {
+    val df = Seq("31/12/2020", "bogus", "32/01/2020", null).toDF("d")
+    val got = df.select(Dates.parseDate($"d").as("p")).collect()
+    assert(got(0).getDate(0).toString === "2020-12-31")
+    assert(got(1).isNullAt(0) && got(2).isNullAt(0) && got(3).isNullAt(0))
+  }
+
+  test("F9+F6 fillAndReplace: NULL and '-' both become 'não informado'") {
+    val df = Seq(Some("ok"), None, Some("-")).toDF("c")
+    val got = Nulls.fillAndReplace(df, Seq("c")).as[String].collect().toSeq
+    assert(got.sorted === Seq("não informado", "não informado", "ok"))
+  }
+
+  test("F5/D1 hierarchy concat is null-propagating (pandas + with NaN)") {
+    val df = Seq(("a", "b", "c"), ("a", null, "c")).toDF("x", "y", "z")
+    val got = df.select(Derive.hierarchy(Seq($"x", $"y", $"z")).as("h")).collect()
+    assert(got(0).getString(0) === "a > b > c")
+    assert(got(1).isNullAt(0)) // concat_ws would have yielded "a > c"
+  }
+
+  test("F3 truncate + F2 trim") {
+    val long = "x" * 300
+    val df = Seq(s"  $long  ").toDF("s")
+    val got = Normalize.truncateCols(Normalize.trimCols(df, Seq("s")), Seq("s"))
+      .as[String].head()
+    assert(got.length === 255 && got.forall(_ == 'x'))
+  }
+
+  test("P5 dropDuplicates on all columns is exact and idempotent") {
+    val df = Seq(("a", 1), ("a", 1), ("b", 2)).toDF("k", "v")
+    val once = Dedup.distinctAll(df)
+    assert(once.count() === 2 && Dedup.distinctAll(once).count() === 2)
+  }
+
+  test("as-of join: latest right row at/before left time, per key") {
+    val left = Seq((1L, 100L, "e1"), (1L, 205L, "e2"), (2L, 50L, "e3"))
+      .toDF("k", "t", "ev")
+    val right = Seq((1L, 100L, 10L), (1L, 100L, 11L), (1L, 200L, 12L), (3L, 1L, 13L))
+      .toDF("k", "t", "payload")
+    val got = AsofJoin.asofBackward(
+      left, right.withColumnRenamed("t", "rt"),
+      key = "k", leftTime = $"t", rightTime = $"rt",
+      payload = Seq("payload"), rightTiebreak = $"payload")
+      .select("ev", "payload").collect().map(r =>
+        r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got("e1") === 11L) // equal-time match allowed; max tiebreak wins
+    assert(got("e2") === 12L) // latest earlier right row
+    assert(got("e3") === -1L) // key 2 has no right rows -> null
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.EventStreams._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked hourly counts over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val q = hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        EventRow(1, ts("2024-01-01 10:05:00"), 7, "click", 1.0),
+        EventRow(2, ts("2024-01-01 10:55:00"), 7, "click", 2.0),
+        EventRow(3, ts("2024-01-01 11:01:00"), 8, "view", 5.0))
+      q.processAllAvailable()
+      val got = spark.table("hourly_test")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      assert(got.toSet === Set(
+        ("2024-01-01 10:00:00.0", "click", 2L),
+        ("2024-01-01 11:00:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization carries state across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val q = sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // trigger 1: two events 10s apart -> 1 session
+      input.addData(
+        EventRow(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        EventRow(2, ts("2024-01-01 10:00:10"), 7, "click", 1.0))
+      q.processAllAvailable()
+      // trigger 2: event 2h later -> state remembered, second session opens
+      input.addData(EventRow(3, ts("2024-01-01 12:30:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      val updates = spark.table("sessions_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(updates.contains((7L, 1L, 2L))) // after trigger 1
+      assert(updates.contains((7L, 2L, 3L))) // after trigger 2: new session, 3 events
+    } finally q.stop()
+  }
+
+  test("sessionize agrees with the batch oracle query on batch data") {
+    import spark.implicits._
+    // batch mode: state starts empty, whole group in one call
+    val events = Seq(
+      EventRow(1, ts("2024-01-01 10:00:00"), 1, "c", 0),
+      EventRow(2, ts("2024-01-01 10:10:00"), 1, "c", 0),
+      EventRow(3, ts("2024-01-01 11:00:00"), 1, "c", 0), // 50min gap -> new session
+      EventRow(4, ts("2024-01-01 10:00:00"), 2, "c", 0)).toDS()
+    val got = sessionize(events).collect().map(u => u.user_id -> u.n_sessions).toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L))
+  }
+}
