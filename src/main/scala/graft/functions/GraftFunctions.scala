@@ -13,6 +13,18 @@ object GraftFunctions {
   def pandas_title(c: Column): Column =
     GraftColumnBridge.column(PandasTitle(GraftColumnBridge.expression(c)))
 
+  /** Sorted distinct word-k-shingle hashes of a token array — [[ShingleHashes]]. */
+  def shingle_hashes(tokens: Column, k: Int): Column =
+    GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(tokens), k))
+
+  /** MinHash signature over shingle hashes — [[MinHashSignature]]. */
+  def minhash_signature(shingleHashes: Column, numHashes: Int): Column =
+    GraftColumnBridge.column(MinHashSignature(GraftColumnBridge.expression(shingleHashes), numHashes))
+
+  /** 64-bit SimHash of a token array — [[SimHash64]]. */
+  def simhash64(tokens: Column): Column =
+    GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokens)))
+
   private val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("pandas_title", "str - pandas-exact title case", (es: Seq[Expression]) => PandasTitle(es.head))
   )

@@ -49,13 +49,20 @@ object Extensions {
         .select(col("canonical_id"), col("n_copies"))
     }),
 
+    // n-gram (unigram-set) Jaccard similarity join. Length-ratio prefilter
+    // (|Δchars|·5 ≤ sum ⟺ ratio ≤ 1.5) prunes pairs BEFORE the expensive
+    // set intersection — part of the operator's spec, mirrored in the oracle.
     "x_dedup_jaccard" -> ((s: SparkSession, dir: String) => {
       val t = Tables.documents(s, dir).select(
-        col("doc_id"), col("source"),
+        col("doc_id"), col("source"), col("n_chars"),
         array_distinct(split(col("text"), " ")).as("ws"))
-      val a = t.select(col("doc_id").as("doc_a"), col("source"), col("ws").as("wa"))
-      val b = t.select(col("doc_id").as("doc_b"), col("source"), col("ws").as("wb"))
-      a.join(b, Seq("source")).filter(col("doc_a") < col("doc_b"))
+      val a = t.select(col("doc_id").as("doc_a"), col("source"),
+        col("n_chars").as("ca"), col("ws").as("wa"))
+      val b = t.select(col("doc_id").as("doc_b"), col("source"),
+        col("n_chars").as("cb"), col("ws").as("wb"))
+      a.join(b, Seq("source"))
+        .filter(col("doc_a") < col("doc_b") &&
+          abs(col("ca") - col("cb")) * 5 <= col("ca") + col("cb"))
         .select(col("doc_a"), col("doc_b"),
           (size(array_intersect(col("wa"), col("wb"))).cast("double") /
             size(array_union(col("wa"), col("wb")))).as("jaccard"))
@@ -148,11 +155,13 @@ object Extensions {
          |FROM documents GROUP BY text""".stripMargin,
 
     "x_dedup_jaccard" ->
-      s"""WITH t AS (SELECT doc_id, source, list_distinct($sqlWords) AS ws FROM documents)
+      s"""WITH t AS (SELECT doc_id, source, n_chars, list_distinct($sqlWords) AS ws
+         |           FROM documents)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
          |    len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
          |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  AND abs(a.n_chars - b.n_chars) * 5 <= a.n_chars + b.n_chars
          |WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
          |    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5""".stripMargin,
 
