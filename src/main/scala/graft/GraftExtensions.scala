@@ -5,15 +5,15 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.PandasTitle
 
-/** SparkSessionExtensions hook: registers graft's native expressions at
-  * session build time. Enable with
+/** SparkSessionExtensions hook: registers graft's native expressions and
+  * optimizer rules at session build time. Enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
   *
-  * Kept deliberately small: SURVEY.md §4 concludes Catalyst's built-in rules
-  * (column pruning, predicate pushdown, CollapseProject, constant folding)
-  * already cover every optimization the reference pipeline needs, so no
-  * custom `Rule[LogicalPlan]`/`SparkStrategy` is injected — only scalar
-  * function registration.
+  * SURVEY.md §4 concludes Catalyst's built-in rules already cover every
+  * optimization the *reference pipeline* needs; the one custom rule here
+  * ([[graft.functions.RewriteSetSizes]]) optimizes the engine's own hot
+  * similarity-join pattern — `size(array_intersect/union(a,b))` — into
+  * direct cardinality counting without materializing the set arrays.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -23,5 +23,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "pandas_title(str) - pandas-exact title case", ""),
       (es: Seq[Expression]) => PandasTitle(es.head)
     ))
+    ext.injectOptimizerRule(_ => graft.functions.RewriteSetSizes)
   }
 }

@@ -23,11 +23,13 @@ object SparkEntry {
     graft.queries.RefParity.queries ++
       graft.queries.TpchCore.queries ++
       graft.queries.EventsQueries.queries ++
+      graft.queries.Breadth.queries ++
       graft.queries.Extensions.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RefParity.oracleSql ++
       graft.queries.TpchCore.oracleSql ++
       graft.queries.EventsQueries.oracleSql ++
+      graft.queries.Breadth.oracleSql ++
       graft.queries.Extensions.oracleSql
 }

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.Util._
+
+/** Function-surface breadth: JSON extraction, the window-function family,
+  * grouping sets, exact percentiles, string & math scalar functions — the
+  * long tail of "a user of the reference could run every query they run
+  * today" (plus what any real pipeline on this data would reach for next).
+  *
+  * Oracle-determinism notes: transcendentals (ln/exp/pow) are deliberately
+  * absent — libm implementations differ across engines in the last ulp;
+  * sqrt IS IEEE-correctly-rounded and therefore safe. Percentiles use exact
+  * interpolation rounded at 1e-4 (the two engines' interpolation formulas
+  * differ in FP association).
+  */
+object Breadth {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // JSON extraction from the events.props column
+    "b1_json_extract" -> ((s: SparkSession, dir: String) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"), count(col("k")).as("n"))
+    }),
+
+    // window-function family with fully deterministic ordering
+    "b2_window_family" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        dense_rank().over(w).as("drank"),
+        ntile(4).over(w).as("quartile"),
+        first(col("o_orderkey")).over(w).as("first_key"))
+    }),
+
+    // grouping sets through the SQL surface
+    "b3_grouping_sets" -> ((s: SparkSession, dir: String) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+      s.sql(s"""SELECT o_orderstatus, o_orderpriority,
+        count(1) AS n,
+        CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+    }),
+
+    // exact percentiles (interpolated), rounded at 1e-4
+    "b4_percentiles" -> ((s: SparkSession, dir: String) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("round(percentile(o_totalprice, 0.25), 4)").as("p25"),
+          expr("round(percentile(o_totalprice, 0.5), 4)").as("p50"),
+          expr("round(percentile(o_totalprice, 0.75), 4)").as("p75"))
+    }),
+
+    // string scalar breadth
+    "b5_string_funcs" -> ((s: SparkSession, dir: String) => {
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        upper(col("c_name")).as("u"),
+        lpad(col("c_name"), 25, "*").as("padded"),
+        reverse(col("c_name")).as("rev"),
+        substring(col("c_name"), 3, 5).as("sub"),
+        concat_ws("-", col("c_mktsegment"), col("c_name")).as("joined"),
+        translate(col("c_name"), "abc", "xyz").as("trans"),
+        length(col("c_name")).as("len"),
+        ascii(col("c_name")).as("a0"))
+    }),
+
+    // math scalar breadth (IEEE-deterministic ops only)
+    "b6_math_funcs" -> ((s: SparkSession, dir: String) => {
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        abs(col("o_totalprice") - 200000).as("centered"),
+        ceil(col("o_totalprice")).as("c"),
+        floor(col("o_totalprice")).as("f"),
+        round(col("o_totalprice"), -3).as("k_round"),
+        sqrt(col("o_totalprice")).as("sq"),
+        (col("o_orderkey") % 7).as("m7"),
+        expr("o_orderkey div 2").as("half"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "b1_json_extract" ->
+      s"""SELECT event_type,
+         |  CAST(sum(CAST(props->>'$$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+         |  CAST(min(CAST(props->>'$$.k' AS BIGINT)) AS BIGINT) AS min_k,
+         |  CAST(max(CAST(props->>'$$.k' AS BIGINT)) AS BIGINT) AS max_k,
+         |  CAST(count(CAST(props->>'$$.k' AS BIGINT)) AS BIGINT) AS n
+         |FROM events GROUP BY event_type""".stripMargin,
+
+    "b2_window_family" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(dense_rank() OVER w AS INT) AS drank,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  first_value(o_orderkey) OVER w AS first_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "b3_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority, ${sqlCount("1")} AS n,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+
+    "b4_percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "b5_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS u, lpad(c_name, 25, '*') AS padded,
+        |  reverse(c_name) AS rev, substring(c_name, 3, 5) AS sub,
+        |  concat_ws('-', c_mktsegment, c_name) AS joined,
+        |  translate(c_name, 'abc', 'xyz') AS trans,
+        |  CAST(length(c_name) AS INT) AS len, ascii(c_name) AS a0
+        |FROM customer""".stripMargin,
+
+    "b6_math_funcs" ->
+      """SELECT o_orderkey, abs(o_totalprice - 200000) AS centered,
+        |  CAST(ceil(o_totalprice) AS BIGINT) AS c,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS f,
+        |  round(o_totalprice, -3) AS k_round,
+        |  sqrt(o_totalprice) AS sq,
+        |  o_orderkey % 7 AS m7,
+        |  o_orderkey // 2 AS half
+        |FROM orders""".stripMargin
+  )
+}

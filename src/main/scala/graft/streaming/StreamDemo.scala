@@ -14,6 +14,7 @@ object StreamDemo {
   def main(args: Array[String]): Unit = {
     val spark: SparkSession = SparkSession.builder()
       .master("local[4]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
