@@ -138,6 +138,35 @@ object TpchCore {
           .select(col("o_custkey").as("k")))
     }),
 
+    // multiset set ops (bag semantics — duplicates preserved)
+    "q17_except_all" -> ((s: SparkSession, dir: String) => {
+      Tables.orders(s, dir).select(col("o_custkey").as("k"))
+        .exceptAll(Tables.customer(s, dir).select(col("c_custkey").as("k")))
+    }),
+    "q18_intersect_all" -> ((s: SparkSession, dir: String) => {
+      Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("k"))
+        .intersectAll(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("k")))
+    }),
+
+    // collect aggregation made deterministic: sorted set, joined to a string
+    "q19_collect_sorted" -> ((s: SparkSession, dir: String) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+             count(lit(1)).as("n"))
+    }),
+
+    // arg-max with an explicit struct tiebreak (unique maximizer)
+    "q20_argmax" -> ((s: SparkSession, dir: String) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(max_by(col("o_orderkey"),
+               struct(col("o_totalprice"), col("o_orderkey"))).as("top_order"),
+             max(col("o_totalprice")).as("top_price"))
+    }),
+
     // multi-dimensional aggregates
     "q13_rollup_status" -> ((s: SparkSession, dir: String) => {
       Tables.orders(s, dir)
@@ -254,6 +283,25 @@ object TpchCore {
       """SELECT c_custkey AS k FROM customer EXCEPT
         |SELECT o_custkey AS k FROM orders
         |WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'""".stripMargin,
+
+    "q17_except_all" ->
+      "SELECT o_custkey AS k FROM orders EXCEPT ALL SELECT c_custkey AS k FROM customer",
+    "q18_intersect_all" ->
+      """SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT ALL
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "q19_collect_sorted" ->
+      s"""SELECT o_custkey,
+         |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+         |  ${sqlCount()} AS n
+         |FROM orders GROUP BY o_custkey""".stripMargin,
+    "q20_argmax" ->
+      """SELECT o_orderstatus, o_orderkey AS top_order, top_price FROM (
+        |  SELECT o_orderstatus, o_orderkey,
+        |    max(o_totalprice) OVER (PARTITION BY o_orderstatus) AS top_price,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
 
     "q13_rollup_status" ->
       s"""SELECT o_orderstatus, o_orderpriority, ${sqlCount()} AS n,

@@ -1,0 +1,69 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+class SourcesSpec extends SparkSpec {
+
+  test("S1/S2 CSV read with enforced schema (bad cells -> null, not crash)") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    Files.writeString(Paths.get(s"$dir/in.csv"),
+      "parceiro,ano\nFrança,2010\nONU,not-a-year\n")
+    val schema = StructType(Seq(
+      StructField("parceiro", StringType), StructField("ano", IntegerType)))
+    val df = Sources.readCsv(spark, s"$dir/in.csv", schema)
+    val rows = df.orderBy("parceiro").collect()
+    assert(df.schema === schema)
+    assert(rows(0).getString(0) === "França" && rows(0).getInt(1) === 2010)
+    assert(rows(1).getString(0) === "ONU" && rows(1).isNullAt(1)) // coerced
+  }
+
+  test("S4 existence check + strict raise") {
+    assert(Sources.exists(spark, "/root/testdata/sf0.001/orders.parquet"))
+    assert(!Sources.exists(spark, "/root/testdata/sf0.001/nope.parquet"))
+    intercept[java.io.FileNotFoundException] {
+      Sources.requireExists(spark, "/no/such/key")
+    }
+  }
+}
+
+class SinksSpec2 extends SparkSpec {
+  import spark.implicits._
+
+  test("K1 partitioned write: layout exists and partition pruning kicks in") {
+    val out = Files.createTempDirectory("graft-part").toString + "/t"
+    val df = Seq(("a", 2010, 1.0), ("b", 2011, 2.0), ("c", 2011, 3.0)).toDF("k", "ano", "v")
+    Sinks.writeParquet(df, out, partitionBy = Seq("ano"))
+    assert(Files.exists(Paths.get(s"$out/ano=2010")) &&
+           Files.exists(Paths.get(s"$out/ano=2011")))
+    val pruned = spark.read.parquet(out).filter($"ano" === 2011)
+    assert(pruned.count() === 2)
+    // the partition filter must appear as PartitionFilters (pruned scan),
+    // not a post-scan Filter over all files
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(ano"), plan)
+  }
+
+  test("bucketed tables join without a shuffle (the co-located-join layout)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+      graft.Tables.orders(spark, "/root/testdata/sf0.001")
+        .write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("b_orders")
+      graft.Tables.customer(spark, "/root/testdata/sf0.001")
+        .write.bucketBy(4, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable("b_customer")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"), col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
