@@ -13,6 +13,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up: pay JVM/codegen/parquet-footer startup once, outside any
+    // query's timing (first-query numbers were otherwise ~4s heavier)
+    try {
+      spark.range(1000000).selectExpr("sum(id)").write.mode("overwrite").format("noop").save()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count()
+        .write.mode("overwrite").format("noop").save()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces FULL evaluation of every output column (a bare

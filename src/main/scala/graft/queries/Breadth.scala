@@ -79,6 +79,38 @@ object Breadth {
         ascii(col("c_name")).as("a0"))
     }),
 
+    // generator / lateral surface: explode words, global top-20 frequencies
+    "b7_explode_wordcount" -> ((s: SparkSession, dir: String) => {
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)
+    }),
+
+    // pivot with an explicit value list (deterministic column set)
+    "b8_pivot_events" -> ((s: SparkSession, dir: String) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+    }),
+
+    // RANGE window frame: 7-day trailing spend per customer (epoch seconds
+    // so both engines share an integer range dimension)
+    "b9_range_window" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("sec"))
+        .rangeBetween(-604800L, 0L)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          unix_timestamp(col("o_orderdate").cast("timestamp")).as("sec"),
+          col("o_totalprice"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(dec(col("o_totalprice"))).over(w), 2).cast("double").as("trailing_7d"))
+    }),
+
     // math scalar breadth (IEEE-deterministic ops only)
     "b6_math_funcs" -> ((s: SparkSession, dir: String) => {
       Tables.orders(s, dir).select(
@@ -132,6 +164,27 @@ object Breadth {
         |  translate(c_name, 'abc', 'xyz') AS trans,
         |  CAST(length(c_name) AS INT) AS len, ascii(c_name) AS a0
         |FROM customer""".stripMargin,
+
+    "b7_explode_wordcount" ->
+      s"""SELECT word, ${sqlCount()} AS n FROM (
+         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+
+    "b8_pivot_events" ->
+      s"""SELECT user_id,
+         |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+         |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+         |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+         |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+         |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+         |FROM events GROUP BY user_id""".stripMargin,
+
+    "b9_range_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,10))) OVER (
+        |    PARTITION BY o_custkey ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+        |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS trailing_7d
+        |FROM orders""".stripMargin,
 
     "b6_math_funcs" ->
       """SELECT o_orderkey, abs(o_totalprice - 200000) AS centered,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{MinHashDedup, Multimodal, SimHash, Similarity, TextOps}
+import graft.ext.{MinHashDedup, MinHashMergeAgg, Multimodal, SimHash, Similarity, TextOps}
 
 /** Training-data pipeline extensions (SURVEY.md §7.3 M3): dedup family,
   * similarity search, text analysis, multimodal plumbing — exercised on the
@@ -83,6 +83,25 @@ object Extensions {
 
     "x_dedup_simhash_sigs" -> ((s: SparkSession, dir: String) => {
       SimHash.signatures(Tables.documents(s, dir))
+    }),
+
+    // typed Aggregator (UDAF surface): per-source corpus MinHash sketch via
+    // element-wise-min merge — signatures are mergeable, so shard sketches
+    // combine without re-reading documents (rows-only; exactness of the
+    // merge is asserted in MinHashMergeAggSpec)
+    "x_dedup_minhash_merge" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val sigs = MinHashDedup.signatures(docs)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      val merged = sigs.select(col("source"), col("sig"))
+        .as[(String, Array[Long])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new MinHashMergeAgg(128).toColumn.name("sig"))
+      merged.toDF("source", "sig").select(
+        col("source"),
+        element_at(col("sig"), 1).as("h0"),
+        element_at(col("sig"), 128).as("h127"))
     }),
 
     // ---- similarity search --------------------------------------------
