@@ -53,6 +53,73 @@ object Similarity {
                     IF((hash(j, d) & 1) = 1, 1.0, -1.0)) >= 0.0,
         shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""")
 
+  /** IVF (inverted-file) approximate top-k — the other standard ANN scale
+    * path alongside LSH:
+    *
+    *   1. TRAIN: Lloyd iterations over the corpus for `nlist` centroids.
+    *     Deterministic init (lowest-id vectors); each step is a broadcast
+    *     join corpus×centroids + argmin + per-dimension mean via posexplode
+    *     — centroids (nlist×dim doubles) are the ONLY driver-side state.
+    *   2. ASSIGN: one narrow pass tags each vector with its nearest list.
+    *   3. PROBE: each query searches its `nprobe` nearest lists only —
+    *     the join is on list id, so the corpus never broadcasts and the
+    *     probe cost is nprobe/nlist of brute force.
+    *
+    * At 100 TB the assignment is written once as a partitioned/bucketed
+    * layout keyed by list id; probes then touch only matching files.
+    * Recall vs [[bruteForceTopK]] is measured in SimilaritySpec.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).cast("array<double>").as("n_vec"))
+
+    def centroidDf(cents: Array[(Int, Seq[Double])]) =
+      broadcast(cents.toSeq.toDF("cid", "c_vec"))
+
+    // deterministic seed: the nlist lowest-id vectors
+    var centroids: Array[(Int, Seq[Double])] = c.orderBy("n_id").limit(nlist)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }
+
+    (1 to iters).foreach { _ =>
+      val assigned = c.crossJoin(centroidDf(centroids))
+        .select(col("n_id"), col("n_vec"), col("cid"),
+          cosine(col("n_vec"), col("c_vec")).as("sim"))
+      val w = Window.partitionBy(col("n_id")).orderBy(col("sim").desc, col("cid"))
+      val best = assigned.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      centroids = best
+        .select(col("cid"), posexplode(col("n_vec")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg(col("v")).as("m"))
+        .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
+        .select(col("cid"), expr("transform(dims, d -> d.m)").as("c_vec"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    }
+
+    val cents = centroidDf(centroids)
+    val assignW = Window.partitionBy(col("n_id")).orderBy(col("sim").desc, col("cid"))
+    val assignedCorpus = c.crossJoin(cents)
+      .select(col("n_id"), col("n_vec"), col("cid"), cosine(col("n_vec"), col("c_vec")).as("sim"))
+      .withColumn("rk", row_number().over(assignW)).filter(col("rk") === 1)
+      .select(col("cid"), col("n_id"), col("n_vec"))
+
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("q_vec"))
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cid"))
+    val probes = q.crossJoin(cents)
+      .select(col("q_id"), col("q_vec"), col("cid"), cosine(col("q_vec"), col("c_vec")).as("sim"))
+      .withColumn("rk", row_number().over(probeW)).filter(col("rk") <= nprobe)
+      .select(col("cid"), col("q_id"), col("q_vec"))
+
+    val scored = assignedCorpus.join(broadcast(probes), Seq("cid"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rk"))
+  }
+
   /** LSH-bucketed approximate top-k: bucket by sketch, exact cosine within
     * the bucket. Recall measured against [[bruteForceTopK]] in SimilaritySpec.
     */

@@ -115,6 +115,24 @@ object Extensions {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10, nPlanes = 8)
     }),
 
+    "x_sim_ann_ivf" -> ((s: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+        nlist = 16, nprobe = 4, iters = 2)
+    }),
+
+    // composed training-data-prep pipeline: quality filter -> language
+    // prediction -> per-language corpus stats (fully oracle-mirrored)
+    "x_pipeline_dataprep" -> ((s: SparkSession, dir: String) => {
+      val nw = TextOps.nWords(col("text"))
+      Tables.documents(s, dir)
+        .filter(nw.between(20, 120))
+        .select(TextOps.predictedLang("text").as("predicted"), col("n_chars"))
+        .groupBy(col("predicted"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // ---- multimodal plumbing ------------------------------------------
     "x_mm_bytes" -> ((s: SparkSession, dir: String) => {
       Tables.documents(s, dir).select(
@@ -197,6 +215,23 @@ object Extensions {
         |WHERE rk <= 10""".stripMargin,
 
     "x_mm_bytes" ->
-      "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes FROM documents"
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes FROM documents",
+
+    "x_pipeline_dataprep" ->
+      s"""WITH sc AS (SELECT n_chars, text,
+         |  ${sqlStopCount(Seq("the", "a", "of"))} AS s_en,
+         |  ${sqlStopCount(Seq("der", "die", "und"))} AS s_de,
+         |  ${sqlStopCount(Seq("le", "la", "et"))} AS s_fr,
+         |  ${sqlStopCount(Seq("el", "los", "y"))} AS s_es
+         |FROM documents
+         |WHERE len($sqlWords) BETWEEN 20 AND 120)
+         |SELECT CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |            WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |            WHEN s_fr >= s_es THEN 'fr'
+         |            ELSE 'es' END AS predicted,
+         |  ${sqlCount()} AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM sc GROUP BY 1""".stripMargin
   )
 }

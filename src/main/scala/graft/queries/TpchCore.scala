@@ -167,6 +167,16 @@ object TpchCore {
              max(col("o_totalprice")).as("top_price"))
     }),
 
+    // skew-safe two-phase (salted) aggregation — must equal the direct
+    // groupBy exactly (the technique's correctness property, oracle-pinned)
+    "q21_salted_sum" -> ((s: SparkSession, dir: String) => {
+      import graft.ops.Salting
+      Salting.saltedSum(Tables.orders(s, dir), "o_orderstatus",
+          dec(col("o_totalprice")), as = "total_dec")
+        .select(col("o_orderstatus"),
+          round(col("total_dec"), 2).cast("double").as("total"))
+    }),
+
     // multi-dimensional aggregates
     "q13_rollup_status" -> ((s: SparkSession, dir: String) => {
       Tables.orders(s, dir)
@@ -283,6 +293,10 @@ object TpchCore {
       """SELECT c_custkey AS k FROM customer EXCEPT
         |SELECT o_custkey AS k FROM orders
         |WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'""".stripMargin,
+
+    "q21_salted_sum" ->
+      s"""SELECT o_orderstatus, ${sqlDsum("o_totalprice")} AS total
+         |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "q17_except_all" ->
       "SELECT o_custkey AS k FROM orders EXCEPT ALL SELECT c_custkey AS k FROM customer",

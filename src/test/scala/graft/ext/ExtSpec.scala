@@ -63,6 +63,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 1), (4L, 2), (2L, 3)))
   }
 
+  test("IVF probes recover same-cluster neighbours (top-1 agrees with brute)") {
+    // 4 well-separated clusters on orthogonal axes in 4-D; seed vectors
+    // (ids 0-3) are one per cluster, so Lloyd converges immediately
+    val vecs = (0 until 48).map { i =>
+      val base = Array.fill(4)(0f)
+      base(i % 4) = 1f
+      base((i % 4 + 1) % 4) = 0.05f * (i / 4) // small deterministic jitter
+      (i.toLong, base)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 8)
+    val ivf = Similarity.ivfTopK(corpus, queries, k = 3, nlist = 4, nprobe = 1, iters = 2)
+      .filter($"rk" === 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = Similarity.bruteForceTopK(corpus, queries, k = 3)
+      .filter($"rk" === 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivf === brute)
+  }
+
   test("LSH bucketing keeps identical-direction vectors together") {
     val got = Similarity.lshTopK(corpus, corpus.filter($"vec_id" === 0), k = 3, nPlanes = 4)
       .collect().map(_.getLong(1)).toSet
