@@ -54,6 +54,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental batch: Trigger.AvailableNow file stream == batch result") {
+    // the SURVEY §7.5 upgrade path: same declarative plan, incremental runs
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions._
+    // the file stream source wants a directory: stage the parquet in one
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-in")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("part-0.parquet"))
+    val batch = spark.read.parquet(dir.toString)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir.toString).schema)
+      .parquet(dir.toString)
+      .groupBy(col("lang")).count()
+    val q = stream.writeStream.format("memory").queryName("avail_now")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(60000)
+      val got = spark.table("avail_now").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("sessionize agrees with the batch oracle query on batch data") {
     import spark.implicits._
     // batch mode: state starts empty, whole group in one call
