@@ -1,0 +1,86 @@
+package graft.props
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.{PandasTitle, Sketches}
+import graft.ops.Normalize
+
+/** Property-based invariants (SURVEY.md §5.3) for the pure operator kernels.
+  * Spark-level properties (dedup idempotence etc.) live in DedupProps below
+  * with a shared session and tiny generated frames.
+  */
+object NormalizeProps extends Properties("Normalize") {
+
+  property("normalizeName is idempotent") = forAll { (s: String) =>
+    val once = Normalize.normalizeName(s)
+    Normalize.normalizeName(once) == once
+  }
+
+  property("normalizeName output has no spaces or uppercase") = forAll { (s: String) =>
+    val n = Normalize.normalizeName(s)
+    !n.contains(' ') && n == n.toLowerCase
+  }
+
+  property("pandas_title is idempotent") = forAll { (s: String) =>
+    val once = PandasTitle.title(UTF8String.fromString(s)).toString
+    PandasTitle.title(UTF8String.fromString(once)).toString == once
+  }
+
+  property("pandas_title preserves length and non-letters") = forAll { (s: String) =>
+    val t = PandasTitle.title(UTF8String.fromString(s)).toString
+    // codepoint count preserved; every non-letter codepoint unchanged
+    val a = s.codePoints.toArray; val b = t.codePoints.toArray
+    a.length == b.length && a.indices.forall { i =>
+      Character.isLetter(a(i)) || a(i) == b(i)
+    }
+  }
+
+  private val tokenGen = Gen.listOf(Gen.alphaLowerStr.suchThat(_.nonEmpty))
+
+  property("minhash merge == signature lower bound (element-wise)") =
+    forAll(tokenGen, tokenGen) { (ta, tb) =>
+      def sig(tokens: List[String]): Array[Long] = {
+        val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          tokens.map(t => UTF8String.fromString(t)).toArray[Any])
+        val sh = Sketches.shingleHashes(arr, 1)
+        Sketches.minHashSignature(sh, 16).toLongArray()
+      }
+      val merged = sig(ta).zip(sig(tb)).map { case (x, y) => math.min(x, y) }
+      val union = sig(ta ++ tb)
+      // k=1 shingles: shingle set of concat == union of shingle sets
+      Prop(merged.sameElements(union)) :| "merge must equal union signature"
+    }
+
+  property("simhash of identical token lists is equal; empty is 0") =
+    forAll(tokenGen) { ts =>
+      def arr(l: List[String]) = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        l.map(t => UTF8String.fromString(t)).toArray[Any])
+      Sketches.simhash64(arr(ts)) == Sketches.simhash64(arr(ts)) &&
+        Sketches.simhash64(arr(Nil)) == 0L
+    }
+}
+
+/** Spark-level properties on tiny generated frames (bounded case count —
+  * each case is a real local job).
+  */
+class DedupProps extends graft.SparkSpec {
+  import org.scalacheck.Prop
+  import graft.ops.Dedup
+
+  test("dropDuplicates: |out| <= |in|, idempotent, set-equal to distinct (sampled)") {
+    import spark.implicits._
+    val gen = Gen.listOfN(30, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 3)))
+    val prop = forAll(gen) { rows =>
+      val df = rows.toDF("a", "b")
+      val d1 = Dedup.distinctAll(df)
+      val n1 = d1.count()
+      Prop(n1 <= rows.size &&
+        Dedup.distinctAll(d1).count() == n1 &&
+        n1 == rows.distinct.size)
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(result.passed, result.status.toString)
+  }
+}
