@@ -21,11 +21,35 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query watchdog: one pathological query must not wedge the whole
+    // correctness run (the driver flags a stall after 1h). On timeout the
+    // query's job group is cancelled and the loop moves on.
+    val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "600").toLong * 1000
     SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val worker = new Thread(() => {
+        try {
+          spark.sparkContext.setJobGroup(s"verify-$name", name, interruptOnCancel = true)
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+      }, s"verify-$name")
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(timeoutMs)
+      if (worker.isAlive) {
+        System.err.println(s"[verify] $name TIMED OUT after ${timeoutMs / 1000}s; cancelling")
+        spark.sparkContext.cancelJobGroup(s"verify-$name")
+        worker.join(30000)
+        // a cancelled write may leave a partial parquet dir — remove it so
+        // the driver records "missing" (honest) instead of reading garbage
+        val dir = new java.io.File(s"$outDir/$name")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        if (dir.exists()) rm(dir)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

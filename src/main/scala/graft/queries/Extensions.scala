@@ -133,6 +133,23 @@ object Extensions {
           sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // approximate aggregates — the sketches any 100 TB pipeline leans on.
+    // Engine-specific sketch internals (HLL++, GK) can't hash-match another
+    // engine → rows-only here; tolerance vs exact is asserted in
+    // ApproxSpec.
+    "x_approx_stats" -> ((s: SparkSession, dir: String) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("price_p50_p95"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("approx_orders"),
+          element_at(col("price_p50_p95"), 1).as("p50"),
+          element_at(col("price_p50_p95"), 2).as("p95"),
+          col("n"))
+    }),
+
     // ---- multimodal plumbing ------------------------------------------
     "x_mm_bytes" -> ((s: SparkSession, dir: String) => {
       Tables.documents(s, dir).select(
