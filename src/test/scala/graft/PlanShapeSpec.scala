@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape invariants: the physical choices SCALE.md argues for, pinned
+  * so a refactor can't silently regress them. These read the EXECUTED plan
+  * of the real registry queries on sf0.001.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q5: dimension joins are broadcast (fact side never shuffles for dims)") {
+    val p = plan("q5_local_supplier")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q4/q7: semi and anti joins stay semi/anti at the physical layer") {
+    assert(plan("q4_order_priority").contains("LeftSemi"))
+    assert(plan("q7_customers_without_orders").contains("LeftAnti"))
+  }
+
+  test("q6: filters reach the parquet scan (PushedFilters)") {
+    val p = plan("q6_revenue_forecast")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
+  }
+
+  test("q3: global top-k is TakeOrderedAndProject, not a full sort") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q1: aggregation is two-phase (partial before the exchange)") {
+    val p = plan("q1_pricing_summary")
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0, p.take(2000))
+    // formatted tree prints final agg, exchange, then partial agg (leaf-ward)
+    assert(p.lastIndexOf("HashAggregate") > exchange, "no partial aggregate below the exchange")
+  }
+
+  test("silver scan prunes columns (ReadSchema is a subset)") {
+    val df = SparkEntry.queries("ref_silver_clean")(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+    // orders has 6 columns; the query needs only 3
+    assert(scan.contains("ReadSchema"), scan.take(2000))
+    assert(!scan.contains("o_totalprice"), "unused column read from parquet")
+  }
+}
