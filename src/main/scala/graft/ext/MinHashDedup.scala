@@ -50,9 +50,11 @@ object MinHashDedup {
                      idCol: String = "doc_id", textCol: String = "text",
                      h: Int = 128, bands: Int = 32): DataFrame = {
     val r = h / bands
+    // shingle sets are used three times (banding + both sides of the
+    // verification join) — persist beats recomputation even with the cheap
+    // native sketch expressions (measured: 1.2s warm cached vs 7.5s
+    // recomputed at sf0.1)
     val sigs = signatures(docs, idCol, textCol, h)
-    // shingle sets are needed twice (LSH banding + verification join) —
-    // persist so the signature computation runs once
     sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // band key: hash of the band's sub-signature (+ band index so buckets

@@ -79,18 +79,25 @@ object Similarity {
     def centroidDf(cents: Array[(Int, Seq[Double])]) =
       broadcast(cents.toSeq.toDF("cid", "c_vec"))
 
+    // nearest-centroid assignment as max(struct(sim, -cid)) — a partial-agg
+    // groupBy (argmax), cheaper than a per-vector window sort; -cid keeps
+    // the smallest-cid-wins tie rule a row_number ordering would give
+    def assignNearest(cents: DataFrame): DataFrame =
+      c.crossJoin(cents)
+        .select(col("n_id"), col("n_vec"),
+          struct(cosine(col("n_vec"), col("c_vec")).as("sim"),
+            (-col("cid")).as("negcid")).as("sc"))
+        .groupBy("n_id")
+        .agg(max(col("sc")).as("m"), first(col("n_vec")).as("n_vec"))
+        .select(col("n_id"), col("n_vec"), (-col("m.negcid")).cast("int").as("cid"))
+
     // deterministic seed: the nlist lowest-id vectors
     var centroids: Array[(Int, Seq[Double])] = c.orderBy("n_id").limit(nlist)
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }
 
     (1 to iters).foreach { _ =>
-      val assigned = c.crossJoin(centroidDf(centroids))
-        .select(col("n_id"), col("n_vec"), col("cid"),
-          cosine(col("n_vec"), col("c_vec")).as("sim"))
-      val w = Window.partitionBy(col("n_id")).orderBy(col("sim").desc, col("cid"))
-      val best = assigned.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      centroids = best
+      centroids = assignNearest(centroidDf(centroids))
         .select(col("cid"), posexplode(col("n_vec")).as(Seq("pos", "v")))
         .groupBy("cid", "pos").agg(avg(col("v")).as("m"))
         .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
@@ -99,10 +106,7 @@ object Similarity {
     }
 
     val cents = centroidDf(centroids)
-    val assignW = Window.partitionBy(col("n_id")).orderBy(col("sim").desc, col("cid"))
-    val assignedCorpus = c.crossJoin(cents)
-      .select(col("n_id"), col("n_vec"), col("cid"), cosine(col("n_vec"), col("c_vec")).as("sim"))
-      .withColumn("rk", row_number().over(assignW)).filter(col("rk") === 1)
+    val assignedCorpus = assignNearest(cents)
       .select(col("cid"), col("n_id"), col("n_vec"))
 
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("q_vec"))
