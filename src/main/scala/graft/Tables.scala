@@ -22,15 +22,15 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   /** `events.ts` is nanosecond-precision parquet, which Spark 4 refuses by
-    * default (PARQUET_TYPE_ILLEGAL). Read it as raw nanos (legacy long) and
-    * convert to a microsecond TIMESTAMP — truncation, matching how any
-    * ns-producing upstream lands in Spark.
+    * default (PARQUET_TYPE_ILLEGAL). Sessions built via [[GraftSession]] set
+    * `spark.sql.legacy.parquet.nanosAsLong` so it scans as a raw long; this
+    * loader converts to a microsecond TIMESTAMP — truncation, matching how
+    * any ns-producing upstream lands in Spark. (The conf lives in session
+    * construction, not here: loaders must not mutate session state.)
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     apply(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

@@ -1,0 +1,50 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact content deduplication, hash-first (the SCALE.md production form).
+  *
+  * A naive `groupBy(text)` ships every document body through the wide
+  * shuffle — at 100 TB the shuffle IS the corpus. Here the wide shuffle
+  * carries `(xxhash64(text), doc_id)` — 16 bytes per row — and document
+  * bytes move only for rows that are actual duplicate candidates:
+  *
+  *   1. hash pass: group by the 64-bit content hash; `min(id)` + count per
+  *      hash group. A group of size 1 is a unique text by construction
+  *      (equal texts always share a hash), so it needs no verification.
+  *   2. verify pass: rows whose hash group has >1 member (the duplicates
+  *      themselves, plus astronomically rare 64-bit collisions) are
+  *      re-selected with a semi join on the 8-byte key and re-grouped by
+  *      `(hash, text)` — which partitions exactly like `text`, so the
+  *      output is identical to the naive form.
+  *
+  * Two corpus scans instead of one, but scans are cheap (columnar, pushed
+  * projection) and the full-payload shuffle is gone.
+  */
+object ExactDedup {
+
+  /** (canonical_id, n_copies) per distinct text — same output contract as
+    * `groupBy(text).agg(min(id), count)`.
+    */
+  def byContent(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val ids = docs.select(col(idCol).as("id"), xxhash64(col(textCol)).as("h"))
+    val groups = ids.groupBy(col("h"))
+      .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+    val singles = groups.filter(col("n_copies") === 1)
+      .select(col("canonical_id"), col("n_copies"))
+
+    val dupKeys = groups.filter(col("n_copies") > 1).select(col("h"))
+    val verified = docs
+      .select(col(idCol).as("id"), col(textCol).as("t"),
+        xxhash64(col(textCol)).as("h"))
+      .join(dupKeys, Seq("h"), "left_semi")
+      .groupBy(col("h"), col("t"))
+      .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select(col("canonical_id"), col("n_copies"))
+
+    singles.union(verified)
+  }
+}

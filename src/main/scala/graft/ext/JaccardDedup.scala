@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Unigram-set Jaccard similarity self-join with LOSSLESS prefix filtering
+  * (the ppjoin/AllPairs candidate rule).
+  *
+  * The round-1 form joined all pairs within a `source` group — O(n²) pairs
+  * per group, a scale-killer on a single-source corpus. This form generates
+  * candidates from a token-bucket join instead, with an output-preserving
+  * guarantee:
+  *
+  *   Order every document's token set by one global canonical order
+  *   (ascending document frequency, ties by token — rarest first). If
+  *   J(A,B) ≥ t, then |A∩B| ≥ t·|A∪B| ≥ t·|A|; were the first
+  *   p(A) = |A| − ⌈t·|A|⌉ + 1 tokens of A all absent from B, the overlap
+  *   could be at most |A| − p(A) = ⌈t·|A|⌉ − 1 < t·|A| — contradiction.
+  *   Symmetrically for B, and for the FIRST common token under the global
+  *   order both positions are bounded, so the two PREFIXES must share a
+  *   token. Candidates = prefix-token bucket join; everything the filter
+  *   drops is provably below threshold.
+  *
+  * Rarest-first ordering makes prefix buckets small (a common token lands
+  * in a prefix only for documents with no rarer token — i.e. tiny ones).
+  * Every shuffle is keyed (token, source, or doc id) — no cross join
+  * anywhere; PlanShapeSpec pins that.
+  */
+object JaccardDedup {
+
+  /** Pairs (doc_a < doc_b, same source) with Jaccard(token sets) ≥
+    * `threshold`, restricted to |Δn_chars|·5 ≤ n_chars sum (the ≤1.5×
+    * length-ratio prefilter that is part of this operator's round-1 spec,
+    * mirrored in the oracle).
+    */
+  def similarPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val t = docs.select(col("doc_id"), col("source"), col("n_chars"),
+      array_distinct(split(col("text"), " ")).as("ws"))
+
+    val toks = t.select(col("doc_id"), col("source"), col("n_chars"),
+      size(col("ws")).as("sz"), explode(col("ws")).as("tok"))
+
+    // global canonical token order: ascending document frequency, tie by
+    // token string — a total order every document sorts by
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val prefix = toks.join(freq, "tok")
+      .withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") <= floor((lit(1.0) - lit(threshold)) * col("sz")) + lit(1))
+      .select(col("tok"), col("source"), col("doc_id"), col("n_chars"))
+
+    val cand = prefix
+      .select(col("tok"), col("source"),
+        col("doc_id").as("doc_a"), col("n_chars").as("ca"))
+      .join(prefix.select(col("tok"), col("source"),
+        col("doc_id").as("doc_b"), col("n_chars").as("cb")), Seq("source", "tok"))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(col("ca") - col("cb")) * 5 <= col("ca") + col("cb"))
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+
+    // exact verification: fetch the two token sets by id (candidate set ≪
+    // corpus) and compute true Jaccard
+    val sets = t.select(col("doc_id"), col("ws"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("wa")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("wb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("wa"), col("wb"))).cast("double") /
+          size(array_union(col("wa"), col("wb")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

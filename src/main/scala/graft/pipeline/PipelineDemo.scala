@@ -16,14 +16,7 @@ object PipelineDemo {
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0)
               else java.nio.file.Files.createTempDirectory("graft-gold").toString
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.builder("4").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val raw = spark.createDataFrame(

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{MinHashDedup, MinHashMergeAgg, Multimodal, SimHash, Similarity, TextOps}
+import graft.ext.{ExactDedup, JaccardDedup, MinHashDedup, MinHashMergeAgg, Multimodal, SimHash, Similarity, TextOps}
 
 /** Training-data pipeline extensions (SURVEY.md §7.3 M3): dedup family,
   * similarity search, text analysis, multimodal plumbing — exercised on the
@@ -42,31 +42,19 @@ object Extensions {
     }),
 
     // ---- deduplication -------------------------------------------------
+    // hash-first exact dedup: the wide shuffle carries (xxhash64, id), not
+    // document bodies — same output as groupBy(text) (see ExactDedup)
     "x_dedup_exact" -> ((s: SparkSession, dir: String) => {
-      Tables.documents(s, dir)
-        .groupBy(col("text"))
-        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
-        .select(col("canonical_id"), col("n_copies"))
+      ExactDedup.byContent(Tables.documents(s, dir))
     }),
 
-    // n-gram (unigram-set) Jaccard similarity join. Length-ratio prefilter
-    // (|Δchars|·5 ≤ sum ⟺ ratio ≤ 1.5) prunes pairs BEFORE the expensive
-    // set intersection — part of the operator's spec, mirrored in the oracle.
+    // unigram-set Jaccard join via lossless prefix filtering — candidates
+    // come from a token-bucket join, not all-pairs-per-source (see
+    // JaccardDedup; output identical to the naive form, oracle unchanged).
+    // Length-ratio prefilter (|Δchars|·5 ≤ sum ⟺ ratio ≤ 1.5) is part of
+    // the operator's spec, mirrored in the oracle.
     "x_dedup_jaccard" -> ((s: SparkSession, dir: String) => {
-      val t = Tables.documents(s, dir).select(
-        col("doc_id"), col("source"), col("n_chars"),
-        array_distinct(split(col("text"), " ")).as("ws"))
-      val a = t.select(col("doc_id").as("doc_a"), col("source"),
-        col("n_chars").as("ca"), col("ws").as("wa"))
-      val b = t.select(col("doc_id").as("doc_b"), col("source"),
-        col("n_chars").as("cb"), col("ws").as("wb"))
-      a.join(b, Seq("source"))
-        .filter(col("doc_a") < col("doc_b") &&
-          abs(col("ca") - col("cb")) * 5 <= col("ca") + col("cb"))
-        .select(col("doc_a"), col("doc_b"),
-          (size(array_intersect(col("wa"), col("wb"))).cast("double") /
-            size(array_union(col("wa"), col("wb")))).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
+      JaccardDedup.similarPairs(Tables.documents(s, dir), threshold = 0.5)
     }),
 
     // MinHash signatures (deterministic; the LSH pair search is asserted in
@@ -83,6 +71,14 @@ object Extensions {
 
     "x_dedup_simhash_sigs" -> ((s: SparkSession, dir: String) => {
       SimHash.signatures(Tables.documents(s, dir))
+    }),
+
+    // SimHash pair search (chunk-pigeonhole banding, exact for hamming ≤ 3)
+    // — deterministic output, but hamming distance over engine-specific
+    // 64-bit hashes is not SQL-oracle-expressible → rows-only; exactness
+    // vs a direct all-pairs hamming scan is pinned in SimHashSpec.
+    "x_dedup_simhash_pairs" -> ((s: SparkSession, dir: String) => {
+      SimHash.nearDuplicates(Tables.documents(s, dir), maxDist = 3)
     }),
 
     // typed Aggregator (UDAF surface): per-source corpus MinHash sketch via

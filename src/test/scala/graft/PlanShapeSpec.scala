@@ -44,6 +44,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.lastIndexOf("HashAggregate") > exchange, "no partial aggregate below the exchange")
   }
 
+  test("jaccard dedup: candidate generation is bucketed, never a cross join") {
+    val p = plan("x_dedup_jaccard")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("exact dedup: the wide shuffle partitions on the 64-bit hash, not text") {
+    val p = plan("x_dedup_exact")
+    assert(p.contains("xxhash64"), p.take(3000))
+    // the naive form would shuffle on the raw text column alone
+    assert(!p.contains("hashpartitioning(text#"), p.take(3000))
+  }
+
   test("silver scan prunes columns (ReadSchema is a subset)") {
     val df = SparkEntry.queries("ref_silver_clean")(spark, sf)
     val scan = df.queryExecution.executedPlan.toString

@@ -41,12 +41,105 @@ class SimHashSpec extends SparkSpec {
       .toSeq === sigs.toSeq) // rerun -> same hashes (no RNG anywhere)
   }
 
+  test("banding pair search == direct all-pairs hamming (pigeonhole exact at ≤3)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val texts = (0L until 30L).map { id =>
+      val words = Seq.fill(20 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+      (id, words.mkString(" "))
+    }
+    // plant near-dups: copies and one-word edits of doc 0
+    val docs = (texts ++ Seq((100L, texts(0)._2), (101L, texts(0)._2 + " extra")))
+      .toDF("doc_id", "text")
+    val sigs = SimHash.signatures(docs)
+    val a = sigs.select($"doc_id".as("doc_a"), $"simhash".as("sa"))
+    val b = sigs.select($"doc_id".as("doc_b"), $"simhash".as("sb"))
+    val direct = a.crossJoin(b).filter($"doc_a" < $"doc_b")
+      .withColumn("hamming", bit_count($"sa".bitwiseXOR($"sb")))
+      .filter($"hamming" <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).sorted
+    val banded = SimHash.nearDuplicates(docs, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).sorted
+    assert(direct.nonEmpty) // the planted copies must collide
+    assert(banded.toSeq === direct.toSeq)
+  }
+
   test("one changed word flips few bits") {
     val changed = base.replace("w40", "qqq")
     val docs = Seq((0L, base), (1L, changed)).toDF("doc_id", "text")
     val Array(a, b) = SimHash.signatures(docs).orderBy("doc_id")
       .select("simhash").as[Long].collect()
     assert(java.lang.Long.bitCount(a ^ b) <= 16) // small perturbation
+  }
+}
+
+class ExactDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash-first dedup == naive groupBy(text), incl. null and empty text") {
+    val docs = Seq(
+      (0L, "same text"), (1L, "same text"), (2L, "same text"),
+      (3L, "unique one"), (4L, ""), (5L, ""), (6L, null), (7L, "unique two"))
+      .toDF("doc_id", "text")
+    val naive = docs.groupBy($"text")
+      .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select("canonical_id", "n_copies")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val got = ExactDedup.byContent(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq === naive.toSeq)
+  }
+}
+
+class JaccardDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The round-1 naive all-pairs form, kept here as the test reference. */
+  private def naivePairs(docs: org.apache.spark.sql.DataFrame, t: Double) = {
+    val d = docs.select($"doc_id", $"source", $"n_chars",
+      array_distinct(split($"text", " ")).as("ws"))
+    val a = d.select($"doc_id".as("doc_a"), $"source", $"n_chars".as("ca"), $"ws".as("wa"))
+    val b = d.select($"doc_id".as("doc_b"), $"source", $"n_chars".as("cb"), $"ws".as("wb"))
+    a.join(b, Seq("source"))
+      .filter($"doc_a" < $"doc_b" && abs($"ca" - $"cb") * 5 <= $"ca" + $"cb")
+      .select($"doc_a", $"doc_b",
+        (size(array_intersect($"wa", $"wb")).cast("double") /
+          size(array_union($"wa", $"wb"))).as("jaccard"))
+      .filter($"jaccard" >= t)
+  }
+
+  private def asTriples(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+
+  test("prefix-filter join output == naive all-pairs (planted fixture)") {
+    val raw = Seq(
+      (0L, "s1", "a b c d e f g h"),
+      (1L, "s1", "a b c d e f g x"), // near-dup of 0
+      (2L, "s1", "p q r s t u v w"), // unrelated
+      (3L, "s2", "a b c d e f g h"), // same text, other source -> excluded
+      (4L, "s2", "a b c d e f h g"), // dup of 3 within s2
+      (5L, "s1", "a b"),             // tiny; ratio-excluded vs the rest
+      (6L, "s1", "a b c"))
+    val docs = raw.map { case (id, src, t) => (id, src, t.length, t) }
+      .toDF("doc_id", "source", "n_chars", "text")
+    assert(asTriples(JaccardDedup.similarPairs(docs, 0.5)) ===
+      asTriples(naivePairs(docs, 0.5)))
+  }
+
+  test("prefix-filter join output == naive all-pairs (seeded random corpus)") {
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 50).map(i => s"t$i")
+    val docs = (0L until 60L).map { id =>
+      val n = 4 + rnd.nextInt(12)
+      val words = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      val text = words.mkString(" ")
+      (id, s"s${rnd.nextInt(2)}", text.length, text)
+    }.toDF("doc_id", "source", "n_chars", "text")
+    docs.cache().count()
+    assert(asTriples(JaccardDedup.similarPairs(docs, 0.5)) ===
+      asTriples(naivePairs(docs, 0.5)))
+    docs.unpersist()
   }
 }
 
