@@ -9,11 +9,16 @@ import org.apache.spark.sql.functions._
   * The Spark-side shape is real and tested: schema, partition-preserving
   * batch iteration (the Scala analog of `mapInPandas` — a typed
   * `mapPartitions` over an iterator of records, so decode libraries amortize
-  * per-batch setup), and deterministic output schema. The actual media
-  * decode is STUBBED ([[fakeDecode]]) — no image/audio libraries exist in
-  * this container — with a clearly-marked deterministic fake so the
-  * pipeline stays testable end-to-end. Swapping in a real decoder changes
-  * only the body of [[fakeDecode]].
+  * per-batch setup), and deterministic output schema.
+  *
+  * Decoding dispatches on media type ([[decode]]):
+  *  - image types → [[imageDecode]], a REAL decoder (pure-JVM `javax.imageio`,
+  *    no extra dependency): true pixel dimensions + a mean-RGB feature.
+  *    The oracle-checked query `x_mm_image_decode` proves the round trip —
+  *    PNGs encoded from the documents table decode back to dimensions an
+  *    independent engine computes arithmetically.
+  *  - anything else → [[fakeDecode]], a clearly-marked deterministic stub
+  *    (audio/video codecs don't exist in this container).
   */
 object Multimodal {
 
@@ -41,6 +46,35 @@ object Multimodal {
       feature = feat)
   }
 
+  /** REAL image decode via pure-JVM ImageIO: actual pixel dimensions, and a
+    * 4-float feature (mean R, G, B in [0,1] + aspect ratio) as the stand-in
+    * feature extractor. Runs on executors inside [[extractFeatures]]'s
+    * per-partition batches.
+    */
+  def imageDecode(r: MediaRecord): MediaFeatures = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+    require(img != null, s"media ${r.media_id}: payload is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >>> 16) & 0xff; sg += (rgb >>> 8) & 0xff; sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toFloat
+    MediaFeatures(r.media_id, r.payload.length.toLong, r.media_type, w, h,
+      Array(sr / n / 255f, sg / n / 255f, sb / n / 255f, w.toFloat / h))
+  }
+
+  /** Type-dispatching decoder: real for images, stub otherwise. */
+  def decode(r: MediaRecord): MediaFeatures =
+    if (r.media_type.startsWith("image/")) imageDecode(r) else fakeDecode(r)
+
   /** The mapInPandas-shaped batch transform: per-partition iterator in,
     * iterator out; decoder state initialized once per partition (where a
     * real codec context would be allocated), rows never collected.
@@ -49,7 +83,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition decoder init would go here
-      it.map(fakeDecode)
+      it.map(decode)
     }
   }
 
@@ -63,5 +97,38 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"),
       concat(lit("text/plain;len="), length(col("text"))).as("media_type"))
       .as[MediaRecord]
+  }
+
+  /** Real PNG payloads derived from the documents table (the container
+    * ships no media fixtures, so the pixels are synthesized — but the
+    * ENCODE → bytes → DECODE path is the real codec both ways). Dimensions
+    * are arithmetic in (doc_id, n_chars), which is what lets an independent
+    * SQL engine oracle-check the decode: width = n_chars % 64 + 1,
+    * height = doc_id % 48 + 1. Encoding runs per-partition on executors.
+    */
+  def pngMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)].mapPartitions { it =>
+      it.map { case (id, nChars) =>
+        val w = (nChars % 64).toInt + 1
+        val h = (id % 48).toInt + 1
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            // deterministic pseudo-pixels; PNG is lossless so decode
+            // recovers them exactly
+            img.setRGB(x, y, ((id * 2654435761L + x * 131 + y * 31) & 0xffffff).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRecord(id, bos.toByteArray, "image/png")
+      }
+    }
   }
 }

@@ -1,6 +1,6 @@
 package graft.io
 
-import java.sql.Connection
+import java.sql.{Connection, PreparedStatement}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
 
@@ -37,17 +37,27 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
-  /** K2 — the reference's dynamic DDL type rules (bronze.py:94-98). */
+  /** K2 — the reference's dynamic DDL type rules (bronze.py:94-98).
+    *
+    * `createTableColumnTypes` must be SPARK-parseable DDL (the writer parses
+    * it with the Catalyst parser before the dialect renders it) — so the
+    * reference's MySQL `TEXT` is expressed as Spark `STRING`, which every
+    * dialect maps to its unbounded text type (MySQL LONGTEXT, Derby CLOB).
+    * Round 1 emitted literal `TEXT` and unquoted names, both of which pass
+    * statement-level tests but fail the first real write (the reference's
+    * accented Portuguese column names aren't valid unquoted Spark
+    * identifiers) — found by SinksLiveSpec's live round-trip.
+    */
   def columnTypeDdl(schema: StructType): String =
     schema.fields.map { f =>
       val t = f.dataType match {
-        case StringType if f.name == "título" || f.name == "objetivo" => "TEXT"
+        case StringType if f.name == "título" || f.name == "objetivo" => "STRING"
         case DateType                                                 => "DATE"
         case IntegerType | LongType                                   => "INT"
         case DoubleType                                               => "DOUBLE"
         case _                                                        => "VARCHAR(255)"
       }
-      s"${f.name} $t"
+      s"`${f.name}` $t"
     }.mkString(", ")
 
   /** K2/K3/K4(effective) — append via Spark's batched JDBC writer. */
@@ -66,20 +76,54 @@ object Sinks {
       s"ON DUPLICATE KEY UPDATE $updates"
   }
 
+  /** K4 (corrected), ANSI dialect — single-row MERGE against the one-row
+    * system table (the standard upsert idiom for engines without MySQL's
+    * `ON DUPLICATE KEY UPDATE`; Derby restricts the USING source to a base
+    * table or table function, so a VALUES source is out). Bind order:
+    * key columns (ON), non-key columns (UPDATE SET), then all columns
+    * (INSERT VALUES) — [[bindMerge]] matches it.
+    */
+  def upsertSqlMerge(table: String, cols: Seq[String], keyCols: Seq[String],
+                     dummyTable: String = "SYSIBM.SYSDUMMY1"): String = {
+    val on = keyCols.map(k => s"t.$k = ?").mkString(" AND ")
+    val nonKey = cols.filterNot(keyCols.contains)
+    val updates = nonKey.map(c => s"t.$c = ?").mkString(", ")
+    s"MERGE INTO $table AS t USING $dummyTable ON ($on) " +
+      s"WHEN MATCHED THEN UPDATE SET $updates " +
+      s"WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+  }
+
+  /** Positional binder for [[upsertSql]] (MySQL shape: every column once). */
+  def bindCols(cols: Seq[String]): (PreparedStatement, Row) => Unit =
+    (stmt, r) => cols.zipWithIndex.foreach { case (c, i) =>
+      stmt.setObject(i + 1, r.getAs[Any](c))
+    }
+
+  /** Positional binder for [[upsertSqlMerge]]. */
+  def bindMerge(cols: Seq[String], keyCols: Seq[String]): (PreparedStatement, Row) => Unit = {
+    val order = keyCols ++ cols.filterNot(keyCols.contains) ++ cols
+    (stmt, r) => order.zipWithIndex.foreach { case (c, i) =>
+      stmt.setObject(i + 1, r.getAs[Any](c))
+    }
+  }
+
   /** K4 (corrected) — batched upsert over one partition's rows. Called from
     * `df.foreachPartition` with a connection factory; executors each hold one
     * connection and flush every `batchSize` rows — the scalable replacement
-    * for the reference's per-row commit.
+    * for the reference's per-row commit. Dialect enters via (sql, bind):
+    * `upsertSql`+`bindCols` for MySQL, `upsertSqlMerge`+`bindMerge` for
+    * ANSI-MERGE engines (exercised live against embedded Derby in
+    * SinksLiveSpec).
     */
-  def upsertPartition(rows: Iterator[Row], conn: Connection, table: String,
-                      cols: Seq[String], batchSize: Int = 1000): Unit = {
-    val stmt = conn.prepareStatement(upsertSql(table, cols))
+  def upsertPartition(rows: Iterator[Row], conn: Connection, sql: String,
+                      bind: (PreparedStatement, Row) => Unit,
+                      batchSize: Int = 1000): Unit = {
+    val stmt = conn.prepareStatement(sql)
     try {
       var n = 0
       rows.foreach { r =>
-        cols.zipWithIndex.foreach { case (c, i) =>
-          stmt.setObject(i + 1, r.getAs[Any](c))
-        }
+        bind(stmt, r)
         stmt.addBatch()
         n += 1
         if (n % batchSize == 0) stmt.executeBatch()
@@ -87,4 +131,9 @@ object Sinks {
       stmt.executeBatch()
     } finally stmt.close()
   }
+
+  /** Convenience: MySQL-dialect batched upsert (round-1 signature). */
+  def upsertPartition(rows: Iterator[Row], conn: Connection, table: String,
+                      cols: Seq[String], batchSize: Int): Unit =
+    upsertPartition(rows, conn, upsertSql(table, cols), bindCols(cols), batchSize)
 }

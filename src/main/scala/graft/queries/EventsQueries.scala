@@ -56,6 +56,16 @@ object EventsQueries {
         .agg(sum(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    // batch twin of EventStreams.dedupStream (dropDuplicatesWithinWatermark):
+    // distinct event count per type after id-dedup. event_id is unique in
+    // the generated data, so the surviving row per id is deterministic.
+    "x_stream_dedup_twin" -> ((s: SparkSession, dir: String) => {
+      Tables.events(s, dir)
+        .dropDuplicates("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_unique_events"))
+    }),
+
     // as-of join: latest order (by date, orderkey tiebreak) at event time
     "e4_asof_last_order" -> ((s: SparkSession, dir: String) => {
       val events = Tables.events(s, dir).select(
@@ -96,6 +106,10 @@ object EventsQueries {
         |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM g GROUP BY user_id""".stripMargin,
+
+    "x_stream_dedup_twin" ->
+      """SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique_events
+        |FROM events GROUP BY 1""".stripMargin,
 
     "e4_asof_last_order" ->
       """SELECT e.event_id,

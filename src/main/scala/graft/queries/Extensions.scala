@@ -194,6 +194,16 @@ object Extensions {
       Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), col("n_bytes"), col("width"), col("height"),
           element_at(col("feature"), 1).as("f0"))
+    }),
+
+    // REAL codec round trip: PNGs are encoded from (doc_id, n_chars) with
+    // arithmetic dimensions, shipped as binary, and decoded with ImageIO —
+    // the oracle recomputes the dimensions arithmetically, so a hash match
+    // proves the decode recovered true pixel geometry
+    "x_mm_image_decode" -> ((s: SparkSession, dir: String) => {
+      val media = Multimodal.pngMediaFromDocuments(s, Tables.documents(s, dir))
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("width"), col("height"))
     })
   )
 
@@ -265,6 +275,12 @@ object Extensions {
 
     "x_mm_bytes" ->
       "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes FROM documents",
+
+    "x_mm_image_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(n_chars % 64 + 1 AS INT) AS width,
+        |  CAST(doc_id % 48 + 1 AS INT) AS height
+        |FROM documents""".stripMargin,
 
     "x_pipeline_dataprep" ->
       s"""WITH sc AS (SELECT n_chars, text,

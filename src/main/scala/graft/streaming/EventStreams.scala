@@ -35,6 +35,20 @@ object EventStreams {
       .select(col("window.start").as("bucket_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact dedup — the incremental-ingest half of the dedup
+    * family (ExactDedup is the batch half): duplicates of a key arriving
+    * within the watermark horizon are dropped, and each key's state is
+    * evicted once the watermark passes it, so state is O(keys per horizon),
+    * not O(stream). First occurrence is emitted immediately (append mode).
+    * Batch twin: `dropDuplicates(keys)` — oracle-checked as
+    * `x_stream_dedup_twin`.
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String] = Seq("event_id"),
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Gap-based sessionization (30-min inactivity) as explicit streaming
     * state: per user, count sessions opened so far. Works identically on a
     * batch Dataset (state starts empty, whole group in one call) — the

@@ -233,6 +233,33 @@ class MultimodalSpec extends SparkSpec {
     assert(again(0).feature.toSeq === out(0).feature.toSeq)
     assert(out(0).width < 640 && out(0).height < 480)
   }
+
+  test("real ImageIO decode: hand-built PNG round-trips dimensions and mean RGB") {
+    val img = new java.awt.image.BufferedImage(3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // six known pixels: pure red, green, blue on row 0; black ×3 on row 1
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00); img.setRGB(2, 0, 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(Multimodal.MediaRecord(7L, bos.toByteArray, "image/png")).toDS()
+    val out = Multimodal.extractFeatures(media).head()
+    assert(out.width === 3 && out.height === 2)
+    assert(out.n_bytes === bos.toByteArray.length.toLong)
+    // mean of each channel = 255/6 -> 1/6 after normalization
+    val expected = 255f / 6 / 255f
+    assert(out.feature.take(3).forall(f => math.abs(f - expected) < 1e-6))
+    assert(out.feature(3) === 1.5f) // aspect = 3/2
+  }
+
+  test("pngMediaFromDocuments: encode on executors, decode recovers formula dims") {
+    val docs = Seq((5L, "hello world"), (100L, "x" * 200))
+      .map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    val media = Multimodal.pngMediaFromDocuments(spark, docs)
+    val out = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(out(0).width === 11 % 64 + 1 && out(0).height === (5 % 48) + 1)
+    assert(out(1).width === 200 % 64 + 1 && out(1).height === (100 % 48) + 1)
+    assert(out(0).media_type === "image/png")
+  }
 }
 
 class TextOpsSpec extends SparkSpec {
@@ -268,12 +295,17 @@ class SinksSpec extends SparkSpec {
     val schema = StructType(Seq(
       StructField("título", StringType), StructField("parceiro", StringType),
       StructField("data_de_celebração", DateType), StructField("ano", IntegerType)))
+    // Spark-parseable DDL: STRING (→ dialect TEXT/CLOB) and backquoted names
     assert(Sinks.columnTypeDdl(schema) ===
-      "título TEXT, parceiro VARCHAR(255), data_de_celebração DATE, ano INT")
+      "`título` STRING, `parceiro` VARCHAR(255), `data_de_celebração` DATE, `ano` INT")
   }
 
-  test("K4 upsert statement shape") {
+  test("K4 upsert statement shapes (MySQL + ANSI MERGE)") {
     assert(Sinks.upsertSql("t", Seq("a", "b")) ===
       "INSERT INTO t (a, b) VALUES (?, ?) ON DUPLICATE KEY UPDATE a = VALUES(a), b = VALUES(b)")
+    assert(Sinks.upsertSqlMerge("t", Seq("k", "v"), Seq("k")) ===
+      "MERGE INTO t AS t USING SYSIBM.SYSDUMMY1 ON (t.k = ?) " +
+        "WHEN MATCHED THEN UPDATE SET t.v = ? " +
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (?, ?)")
   }
 }

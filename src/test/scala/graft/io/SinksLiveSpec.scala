@@ -1,0 +1,70 @@
+package graft.io
+
+import java.sql.DriverManager
+import java.util.Properties
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** LIVE JDBC sink tests against embedded Derby (ships with Spark's jars —
+  * no new dependency). Round 1 verified the reference's MariaDB write path
+  * (silver.py:93-139, gold.py:72-193) only at the statement-building level;
+  * these exercise the real wire: Spark's JDBC writer with the dynamic DDL
+  * rules, a read-back round trip, and the batched upsert executor incl. the
+  * duplicate-key-update case.
+  *
+  * Derby runs in-process and in-memory; in local mode executors share the
+  * JVM, so `foreachPartition` connections resolve the same database.
+  */
+class SinksLiveSpec extends SparkSpec {
+  import spark.implicits._
+
+  System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+
+  private val url = "jdbc:derby:memory:graftlive;create=true"
+  private val props = {
+    val p = new Properties()
+    p.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    p
+  }
+
+  test("K2/K4: jdbcAppend round-trips through a real database, incl. the TEXT-rule column") {
+    val df = Seq(
+      ("Acordo de Cooperação Técnica — ê çã", "BR", 2021, 1.5),
+      ("x" * 4000, "AR", 2022, 2.0), // exceeds VARCHAR(255): must land in the unbounded type
+      ("c", "CL", 2023, 3.25))
+      .toDF("título", "parceiro", "ano", "valor")
+    Sinks.jdbcAppend(df, url, "acordos", props)
+
+    val back = spark.read.jdbc(url, "acordos", props)
+      .select("título", "parceiro", "ano", "valor")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    assert(back.sortBy(_._2).toSeq === df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3))).sortBy(_._2).toSeq)
+  }
+
+  test("K4: batched MERGE upsert updates on key collision and inserts new keys") {
+    val conn0 = DriverManager.getConnection(url)
+    try {
+      conn0.createStatement().execute(
+        "CREATE TABLE up (k INT NOT NULL PRIMARY KEY, v VARCHAR(64), n INT)")
+      conn0.createStatement().execute(
+        "INSERT INTO up VALUES (1, 'old-1', 10), (2, 'old-2', 20)")
+    } finally conn0.close()
+
+    val cols = Seq("k", "v", "n")
+    val sql = Sinks.upsertSqlMerge("up", cols, keyCols = Seq("k"))
+    val incoming = Seq((2, "new-2", 21), (3, "new-3", 30), (4, "new-4", 40))
+      .toDF("k", "v", "n")
+    // the real executor path: one connection per partition, batched flushes
+    incoming.repartition(2).foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val conn = DriverManager.getConnection("jdbc:derby:memory:graftlive")
+        try Sinks.upsertPartition(rows, conn, sql, Sinks.bindMerge(cols, Seq("k")), batchSize = 2)
+        finally conn.close()
+    }
+
+    val got = spark.read.jdbc(url, "up", props)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).sorted.toSeq
+    assert(got === Seq((1, "old-1", 10), (2, "new-2", 21), (3, "new-3", 30), (4, "new-4", 40)))
+  }
+}

@@ -54,6 +54,30 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops within-watermark duplicates across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val q = dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // trigger 1: ids 1,2 plus an in-batch duplicate of 1
+      input.addData(
+        EventRow(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        EventRow(1, ts("2024-01-01 10:00:05"), 7, "click", 1.0),
+        EventRow(2, ts("2024-01-01 10:01:00"), 8, "view", 2.0))
+      q.processAllAvailable()
+      // trigger 2: id 1 again (cross-trigger dup, within watermark) + new id 3
+      input.addData(
+        EventRow(1, ts("2024-01-01 10:30:00"), 7, "click", 1.0),
+        EventRow(3, ts("2024-01-01 10:31:00"), 9, "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L)) // each id exactly once
+    } finally q.stop()
+  }
+
   test("incremental batch: Trigger.AvailableNow file stream == batch result") {
     // the SURVEY §7.5 upgrade path: same declarative plan, incremental runs
     import org.apache.spark.sql.streaming.Trigger
