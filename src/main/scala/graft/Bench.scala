@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val warmRuns = sys.env.getOrElse("SPARK_GRAFT_WARM_RUNS", "3").toInt
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: pay JVM/codegen/parquet-footer startup once, outside any
@@ -14,18 +15,32 @@ object Bench {
         .groupBy("l_returnflag").count()
         .write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // noop sink: forces FULL evaluation of every output column (a bare
+    // count() lets Spark prune projections and under-reports the work)
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      // noop sink: forces FULL evaluation of every output column (a bare
-      // count() lets Spark prune projections and under-reports the work)
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // per query: one cold run (includes this query's planning/codegen) plus
+    // the median of `warmRuns` repeats — host noise on a shared box is ~2×
+    // run-to-run (BENCH.md), so round-over-round regressions are only
+    // detectable in warm medians, while cold totals stay comparable with
+    // earlier rounds' single-run numbers
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val cold = once(name, fn)
+      val warms = Seq.fill(warmRuns)(once(name, fn)).sorted
+      val median = if (warms.isEmpty) cold else warms(warms.size / 2)
+      name -> ((cold, median))
+    }
+    def obj(f: ((Double, Double)) => Double) = results
+      .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val total = results.values.map(_._1).sum
+    val warmTotal = results.values.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._1)},"warm_total":$warmTotal,"warm_queries":${obj(_._2)},"warm_runs":$warmRuns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
