@@ -151,6 +151,58 @@ object Similarity {
     ivfProbe(ivfAssign(corpus, model, idCol, vecCol), model, queries, k, nprobe, idCol, vecCol)
   }
 
+  /** Exact embedding-cosine similarity pair join (vec_a < vec_b, cosine ≥
+    * threshold) — the embedding-space member of the dedup family, and the
+    * ORACLE for [[embedPairsLsh]]. The self-join is inherently quadratic
+    * (every pair must be scored to be exact), so this is for dimension-table
+    * scale and verification; the corpus-scale path is the banded-LSH
+    * variant.
+    */
+  def embedPairsExact(corpus: DataFrame, threshold: Double = 0.9,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(idCol).as("vec_a"), col(vecCol).cast("array<double>").as("va"))
+    val b = corpus.select(col(idCol).as("vec_b"), col(vecCol).cast("array<double>").as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Hyperplane sketch seeded per band: s(band, j, d) = ±1 from
+    * hash(band, j, d) — bands are independent hash families.
+    */
+  def bandedSketch(vecCol: String, bandCol: String, nPlanes: Int): Column =
+    expr(s"""aggregate(sequence(0, ${nPlanes - 1}), CAST(0 AS BIGINT),
+      (acc, j) -> acc | IF(
+        aggregate(sequence(0, size($vecCol) - 1), CAST(0.0 AS DOUBLE),
+          (s, d) -> s + element_at($vecCol, d + 1) *
+                    IF((hash($bandCol, j, d) & 1) = 1, 1.0, -1.0)) >= 0.0,
+        shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""")
+
+  /** Banded-LSH near-dup pair search over embeddings: `nBands` independent
+    * `nPlanes`-bit sketches; candidates share a full sketch in ≥1 band
+    * (catch probability 1 − (1 − p^nPlanes)^nBands, p = 1 − θ/π — high for
+    * true near-duplicates, tiny for unrelated vectors), then candidates are
+    * verified with EXACT cosine, so output ⊆ [[embedPairsExact]] always,
+    * with recall < 1 only across bucket boundaries. One shuffle keyed by
+    * (band, bucket) — the corpus never cross-joins. Same banding shape as
+    * [[MinHashDedup]]/[[SimHash]].
+    */
+  def embedPairsLsh(corpus: DataFrame, threshold: Double = 0.9,
+                    nPlanes: Int = 8, nBands: Int = 4,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("band", explode(expr(s"sequence(0, ${nBands - 1})")))
+      .withColumn("bucket", bandedSketch("v", "band", nPlanes))
+    val a = c.select(col("band"), col("bucket"), col("id").as("vec_a"), col("v").as("va"))
+    val b = c.select(col("band"), col("bucket"), col("id").as("vec_b"), col("v").as("vb"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+      .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** LSH-bucketed approximate top-k: bucket by sketch, exact cosine within
     * the bucket. Recall measured against [[bruteForceTopK]] in SimilaritySpec.
     */

@@ -43,6 +43,27 @@ object TextOps {
   /** Quality score features (length / stopword / diversity ratios). */
   val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "to", "in", "and")
 
+  /** Gopher/C4-style document quality rules as exact 0/1 predicates —
+    * integer counts and single IEEE divisions only, so every rule (and the
+    * summed score) is bit-identical cross-engine. Rule set: length band,
+    * mean-word-length band, stopword floor (natural-language signal),
+    * lexical-diversity floor (repetition filter).
+    */
+  def qualityRules(textCol: String): Seq[(String, Column)] = {
+    val t = col(textCol)
+    val w = nWords(t)
+    Seq(
+      "r_len" -> w.between(20, 1000),
+      "r_wordlen" -> avgWordLen(t).between(3.0, 10.0),
+      "r_stop" -> (stopwordCount(textCol, DefaultStopwords).cast("double") / w >= 0.05),
+      "r_diverse" -> (nDistinctWords(t).cast("double") / w >= 0.3)
+    ).map { case (n, c) => n -> c.cast("int") }
+  }
+
+  /** Number of quality rules passed (0..4). */
+  def qualityScore(textCol: String): Column =
+    qualityRules(textCol).map(_._2).reduce(_ + _)
+
   /** Language-ID heuristic: CJK-codepoint check, then per-language stopword
     * scores with a fixed argmax order (en > de > fr > es). The score lists
     * and the CASE order ARE the spec — the oracle mirrors them exactly.

@@ -59,6 +59,16 @@ object Extensions {
         col("doc_id"), TextOps.fingerprint("text").as("fp"))
     }),
 
+    // document quality scoring (Gopher/C4-style rule battery) — pure
+    // columnar, fused with the scan; every rule is an exact predicate so
+    // the whole battery is oracle-checked
+    "x_text_quality" -> ((s: SparkSession, dir: String) => {
+      val rules = TextOps.qualityRules("text")
+      Tables.documents(s, dir).select(
+        (col("doc_id") +: rules.map { case (n, c) => c.as(n) }) :+
+          TextOps.qualityScore("text").as("score"): _*)
+    }),
+
     // ---- deduplication -------------------------------------------------
     // hash-first exact dedup: the wide shuffle carries (xxhash64, id), not
     // document bodies — same output as groupBy(text) (see ExactDedup)
@@ -151,6 +161,21 @@ object Extensions {
       brute.join(ivf.withColumn("hit", lit(1)), Seq("q_id", "n_id"), "left")
         .groupBy(col("q_id"))
         .agg((sum(coalesce(col("hit"), lit(0))) / 10.0).as("recall_at_10"))
+    }),
+
+    // embedding-cosine near-dup pairs, exact form — quadratic by nature
+    // (dimension-table scale / the oracle for the LSH form below)
+    "x_dedup_embed_exact" -> ((s: SparkSession, dir: String) => {
+      Similarity.embedPairsExact(Tables.embeddings(s, dir), threshold = 0.4)
+    }),
+
+    // banded-LSH near-dup pairs: one shuffle on (band, bucket), exact
+    // verify inside buckets — output ⊆ exact by construction (subset +
+    // planted-dup recall pinned in SimilaritySpec); rows-only because
+    // recall is probabilistic in the sketch family
+    "x_dedup_embed_lsh" -> ((s: SparkSession, dir: String) => {
+      Similarity.embedPairsLsh(Tables.embeddings(s, dir), threshold = 0.4,
+        nPlanes = 8, nBands = 4)
     }),
 
     // composed training-data-prep pipeline: quality filter -> language
@@ -249,6 +274,32 @@ object Extensions {
     "x_dedup_exact" ->
       s"""SELECT min(doc_id) AS canonical_id, ${sqlCount()} AS n_copies
          |FROM documents GROUP BY text""".stripMargin,
+
+    "x_text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(len($sqlWords) BETWEEN 20 AND 1000 AS INT) AS r_len,
+         |  CAST(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len($sqlWords)
+         |       BETWEEN 3.0 AND 10.0 AS INT) AS r_wordlen,
+         |  CAST(CAST(${sqlStopCount(graft.ext.TextOps.DefaultStopwords)} AS DOUBLE)
+         |       / len($sqlWords) >= 0.05 AS INT) AS r_stop,
+         |  CAST(CAST(len(list_distinct($sqlWords)) AS DOUBLE)
+         |       / len($sqlWords) >= 0.3 AS INT) AS r_diverse,
+         |  CAST(len($sqlWords) BETWEEN 20 AND 1000 AS INT)
+         |  + CAST(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len($sqlWords)
+         |         BETWEEN 3.0 AND 10.0 AS INT)
+         |  + CAST(CAST(${sqlStopCount(graft.ext.TextOps.DefaultStopwords)} AS DOUBLE)
+         |         / len($sqlWords) >= 0.05 AS INT)
+         |  + CAST(CAST(len(list_distinct($sqlWords)) AS DOUBLE)
+         |         / len($sqlWords) >= 0.3 AS INT) AS score
+         |FROM documents""".stripMargin,
+
+    "x_dedup_embed_exact" ->
+      """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM c a JOIN c b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""".stripMargin,
 
     "x_dedup_jaccard" ->
       s"""WITH t AS (SELECT doc_id, source, n_chars, list_distinct($sqlWords) AS ws

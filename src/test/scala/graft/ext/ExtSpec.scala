@@ -207,6 +207,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@10 = $recall")
   }
 
+  test("banded-LSH pair search: subset of exact; full recall on planted near-dups") {
+    val rnd = new scala.util.Random(11)
+    // 6 tight clusters (true near-dups, cos > 0.99) + 20 random vectors
+    val planted = (0 until 6).flatMap { c =>
+      val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+      (0 until 2).map { j =>
+        val v = base.clone(); v(0) += 0.01f * j
+        ((c * 2 + j).toLong, v)
+      }
+    }
+    val noise = (100 until 120).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val corpus = (planted ++ noise).toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.embedPairsExact(corpus, threshold = 0.99))
+    val lsh = pairs(Similarity.embedPairsLsh(corpus, threshold = 0.99, nPlanes = 8, nBands = 6))
+    assert(exact.size >= 6) // each planted cluster yields its pair
+    assert(lsh.subsetOf(exact)) // exact verify => no false positives, ever
+    // near-identical vectors agree on every sketch bit with overwhelming
+    // probability; 6 independent bands drive the miss rate to ~0
+    assert(lsh === exact, s"missed ${exact -- lsh}")
+  }
+
   test("LSH bucketing keeps identical-direction vectors together") {
     val got = Similarity.lshTopK(corpus, corpus.filter($"vec_id" === 0), k = 3, nPlanes = 4)
       .collect().map(_.getLong(1)).toSet
@@ -278,6 +301,21 @@ class TextOpsSpec extends SparkSpec {
       TextOps.nWords($"text"), TextOps.nDistinctWords($"text"),
       TextOps.stopwordCount("text", TextOps.DefaultStopwords)).head()
     assert((r.getInt(0), r.getInt(1), r.getInt(2)) === ((6, 5, 2))) // "the" ×2
+  }
+
+  test("quality rules: each rule trips on its designed failure mode") {
+    val good = ((1 to 30).map(i => s"word$i") ++ Seq("the", "of", "and")).mkString(" ")
+    val tooShort = "just five words right here"
+    val repetitive = Seq.fill(40)("spam").mkString(" ") // diversity 1/40
+    val noStops = (1 to 40).map(i => s"w$i").mkString(" ")
+    val cols = TextOps.qualityScore("text").as("s") +:
+      TextOps.qualityRules("text").map { case (n, c) => c.as(n) }
+    val got = Seq(good, tooShort, repetitive, noStops).toDF("text")
+      .select(cols: _*).collect()
+    assert(got(0).getInt(0) === 4) // good doc passes everything
+    assert(got(1).getAs[Int]("r_len") === 0)
+    assert(got(2).getAs[Int]("r_diverse") === 0)
+    assert(got(3).getAs[Int]("r_stop") === 0)
   }
 
   test("langid prefers the language with most marker hits; CJK short-circuits") {
