@@ -99,6 +99,113 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** One decoded video/animation frame's geometry. */
+  final case class FrameFeatures(media_id: Long, frame_idx: Int,
+                                 width: Int, height: Int)
+
+  /** Real image RESIZE (Graphics2D, bilinear): downscale so max(w,h) ≤
+    * maxDim, preserving aspect via integer arithmetic
+    * (target = dim·maxDim / max(w,h), floor, min 1) — integer so an
+    * independent engine can verify the geometry arithmetically. Re-encodes
+    * PNG; images already within bounds pass through untouched.
+    */
+  def resizeImage(r: MediaRecord, maxDim: Int): MediaRecord = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+    require(img != null, s"media ${r.media_id}: payload is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val m = math.max(w, h)
+    if (m <= maxDim) r
+    else {
+      val (tw, th) = (math.max(1, w * maxDim / m), math.max(1, h * maxDim / m))
+      val out = new java.awt.image.BufferedImage(tw, th,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, tw, th, null)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      MediaRecord(r.media_id, bos.toByteArray, r.media_type)
+    }
+  }
+
+  /** Batch resize over a media table — per-partition batches, same shape as
+    * [[extractFeatures]].
+    */
+  def resizeImages(media: Dataset[MediaRecord], maxDim: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(resizeImage(_, maxDim)))
+  }
+
+  /** Multi-frame container codec: [4-byte frame count][per frame: 4-byte
+    * length + PNG bytes]. A stand-in for a video container (no video codec
+    * ships in this JVM) — the container parsing, stride sampling, and
+    * per-frame image decode below are all real.
+    */
+  def packFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(frames.size)
+    frames.foreach { f => out.writeInt(f.length); out.write(f) }
+    out.flush(); bos.toByteArray
+  }
+
+  def unpackFrames(payload: Array[Byte]): Seq[(Int, Array[Byte])] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(payload))
+    val n = in.readInt()
+    (0 until n).map { i =>
+      val len = in.readInt()
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      (i, buf)
+    }
+  }
+
+  /** FRAME SAMPLING: keep every `stride`-th frame (indices 0, stride, …),
+    * decode each kept frame with ImageIO, emit its geometry. Parse + decode
+    * run per-partition on executors; unsampled frames are skipped without
+    * decoding (the point of sampling).
+    */
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int): Dataset[FrameFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      unpackFrames(r.payload).iterator
+        .filter { case (i, _) => i % stride == 0 }
+        .map { case (i, png) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          FrameFeatures(r.media_id, i, img.getWidth, img.getHeight)
+        }
+    })
+  }
+
+  /** Multi-frame containers from the documents table: doc_id%5+1 frames,
+    * frame i an (i+1)×2 PNG — arithmetic geometry so the sampled-frame
+    * output is oracle-checkable.
+    */
+  def frameMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = (id % 5).toInt + 1
+        val frames = (0 until n).map { i =>
+          val img = new java.awt.image.BufferedImage(
+            i + 1, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var x = 0
+          while (x <= i) {
+            img.setRGB(x, 0, ((id * 31 + x) & 0xffffff).toInt)
+            img.setRGB(x, 1, ((id * 131 + x) & 0xffffff).toInt)
+            x += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        }
+        MediaRecord(id, packFrames(frames), "video/x-frames")
+      }
+    }
+  }
+
   /** Real PNG payloads derived from the documents table (the container
     * ships no media fixtures, so the pixels are synthesized — but the
     * ENCODE → bytes → DECODE path is the real codec both ways). Dimensions

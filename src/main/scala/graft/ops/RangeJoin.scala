@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join: points matched to the intervals containing them,
+  * with NO equi key.
+  *
+  * The naive plan for `p.sec BETWEEN i.start AND i.end` is a
+  * broadcast-nested-loop join — O(|points| × |intervals|) comparisons,
+  * a scale-killer once the interval side outgrows a dimension table. The
+  * scale-safe shape bucketizes the time axis: every interval explodes into
+  * the coarse buckets it covers, every point maps to exactly ONE bucket,
+  * and the join becomes an EQUI-join on bucket id refined by the exact
+  * range predicate. A point meets an interval in at most one bucket (its
+  * own), so no pair-dedup is needed and output equals the naive join
+  * row-for-row (RangeJoinSpec pins the equivalence, boundaries included).
+  *
+  * `bucketSec` trades interval duplication (a length-L interval lands in
+  * ~L/bucketSec buckets) against bucket-join selectivity — set it near the
+  * median interval length. Interval skew (one bucket covered by everything)
+  * is the same shape as any hot-key join and composes with salting.
+  */
+object RangeJoin {
+
+  /** Half-open semantics: startSec ≤ point < endSec, epoch seconds. */
+  def pointInInterval(points: DataFrame, pointSec: String,
+                      intervals: DataFrame, startSec: String, endSec: String,
+                      bucketSec: Long = 86400L): DataFrame = {
+    val pb = points.withColumn("__bucket", floor(col(pointSec) / bucketSec))
+    val ib = intervals.withColumn("__bucket",
+      explode(sequence(floor(col(startSec) / bucketSec),
+        floor((col(endSec) - 1) / bucketSec))))
+    pb.join(ib, "__bucket")
+      .filter(col(pointSec) >= col(startSec) && col(pointSec) < col(endSec))
+      .drop("__bucket")
+  }
+}

@@ -56,6 +56,21 @@ object EventsQueries {
         .agg(sum(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    // range (interval) join with NO equi key — bucketized to an equi-join
+    // on day buckets + exact refinement (ops.RangeJoin). The 20 overlapping
+    // campaign windows (50h every 32h) are arithmetic, so the oracle can
+    // mirror them; events matching multiple windows count in each.
+    "x_range_join_windows" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables.events(s, dir)
+        .select(unix_timestamp(col("ts")).as("sec"), col("value"))
+      val iv = s.range(20).select(col("id").as("window_id"),
+        (lit(1704067200L) + col("id") * 32 * 3600).as("start_sec"))
+        .withColumn("end_sec", col("start_sec") + 50 * 3600)
+      graft.ops.RangeJoin.pointInInterval(ev, "sec", iv, "start_sec", "end_sec")
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+    }),
+
     // batch twin of EventStreams.dedupStream (dropDuplicatesWithinWatermark):
     // distinct event count per type after id-dedup. event_id is unique in
     // the generated data, so the surviving row per id is deterministic.
@@ -110,6 +125,17 @@ object EventsQueries {
     "x_stream_dedup_twin" ->
       """SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique_events
         |FROM events GROUP BY 1""".stripMargin,
+
+    "x_range_join_windows" ->
+      s"""WITH iv AS (
+         |  SELECT k AS window_id,
+         |    1704067200 + k * 32 * 3600 AS start_sec,
+         |    1704067200 + k * 32 * 3600 + 50 * 3600 AS end_sec
+         |  FROM generate_series(0, 19) t(k)),
+         |ev AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events)
+         |SELECT window_id, ${sqlCount()} AS n_events, ${sqlDsum("value")} AS total_value
+         |FROM ev JOIN iv ON ev.sec >= iv.start_sec AND ev.sec < iv.end_sec
+         |GROUP BY window_id""".stripMargin,
 
     "e4_asof_last_order" ->
       """SELECT e.event_id,

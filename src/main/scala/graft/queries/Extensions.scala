@@ -229,6 +229,21 @@ object Extensions {
       val media = Multimodal.pngMediaFromDocuments(s, Tables.documents(s, dir))
       Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), col("width"), col("height"))
+    }),
+
+    // real resize (Graphics2D bilinear, re-encoded PNG) then real decode;
+    // target geometry is integer arithmetic -> oracle-checked
+    "x_mm_resize" -> ((s: SparkSession, dir: String) => {
+      val media = Multimodal.pngMediaFromDocuments(s, Tables.documents(s, dir))
+      Multimodal.extractFeatures(Multimodal.resizeImages(media, maxDim = 16)).toDF()
+        .select(col("media_id"), col("width"), col("height"))
+    }),
+
+    // frame sampling from a multi-frame container: every 2nd frame decoded
+    // (others skipped), geometry oracle-checked per sampled frame
+    "x_mm_frame_sample" -> ((s: SparkSession, dir: String) => {
+      val media = Multimodal.frameMediaFromDocuments(s, Tables.documents(s, dir))
+      Multimodal.sampleFrames(media, stride = 2).toDF()
     })
   )
 
@@ -332,6 +347,25 @@ object Extensions {
         |  CAST(n_chars % 64 + 1 AS INT) AS width,
         |  CAST(doc_id % 48 + 1 AS INT) AS height
         |FROM documents""".stripMargin,
+
+    // mirrors resizeImage's integer geometry: downscale so max(w,h) <= 16,
+    // target = dim*16 // max, floor, min 1; in-bounds images untouched
+    "x_mm_resize" ->
+      """WITH g AS (SELECT doc_id AS media_id,
+        |    CAST(n_chars % 64 + 1 AS INT) AS w, CAST(doc_id % 48 + 1 AS INT) AS h
+        |  FROM documents)
+        |SELECT media_id,
+        |  CAST(CASE WHEN greatest(w, h) <= 16 THEN w
+        |       ELSE greatest(1, w * 16 // greatest(w, h)) END AS INT) AS width,
+        |  CAST(CASE WHEN greatest(w, h) <= 16 THEN h
+        |       ELSE greatest(1, h * 16 // greatest(w, h)) END AS INT) AS height
+        |FROM g""".stripMargin,
+
+    "x_mm_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(i + 1 AS INT) AS width, CAST(2 AS INT) AS height
+        |FROM documents, generate_series(0, 4) t(i)
+        |WHERE i % 2 = 0 AND i <= doc_id % 5""".stripMargin,
 
     "x_pipeline_dataprep" ->
       s"""WITH sc AS (SELECT n_chars, text,

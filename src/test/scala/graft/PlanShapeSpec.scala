@@ -57,6 +57,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning(text#"), p.take(3000))
   }
 
+  test("embedding LSH pair join and range join stay equi-joins (no nested loop)") {
+    for (q <- Seq("x_dedup_embed_lsh", "x_range_join_windows")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(2000)}")
+    }
+  }
+
   test("silver scan prunes columns (ReadSchema is a subset)") {
     val df = SparkEntry.queries("ref_silver_clean")(spark, sf)
     val scan = df.queryExecution.executedPlan.toString

@@ -273,6 +273,34 @@ class MultimodalSpec extends SparkSpec {
     assert(out.feature(3) === 1.5f) // aspect = 3/2
   }
 
+  test("resize: downscales with exact integer geometry, keeps small images") {
+    val big = new java.awt.image.BufferedImage(40, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val small = new java.awt.image.BufferedImage(8, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def png(i: java.awt.image.BufferedImage) = {
+      val b = new java.io.ByteArrayOutputStream(); javax.imageio.ImageIO.write(i, "png", b); b.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(1L, png(big), "image/png"),
+      Multimodal.MediaRecord(2L, png(small), "image/png")).toDS()
+    val out = Multimodal.extractFeatures(Multimodal.resizeImages(media, maxDim = 16))
+      .collect().sortBy(_.media_id)
+    assert((out(0).width, out(0).height) === ((16, 4))) // 40x10 -> 16 x (10*16/40)
+    assert((out(1).width, out(1).height) === ((8, 5)))  // already in bounds: untouched
+  }
+
+  test("frame sampling: container round-trips; only strided frames decode") {
+    def png(w: Int, h: Int) = {
+      val i = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val b = new java.io.ByteArrayOutputStream(); javax.imageio.ImageIO.write(i, "png", b); b.toByteArray
+    }
+    val payload = Multimodal.packFrames(Seq(png(3, 2), png(5, 4), png(7, 6)))
+    assert(Multimodal.unpackFrames(payload).map(_._1) === Seq(0, 1, 2))
+    val media = Seq(Multimodal.MediaRecord(9L, payload, "video/x-frames")).toDS()
+    val got = Multimodal.sampleFrames(media, stride = 2)
+      .collect().sortBy(_.frame_idx).map(f => (f.frame_idx, f.width, f.height))
+    assert(got.toSeq === Seq((0, 3, 2), (2, 7, 6))) // frame 1 skipped
+  }
+
   test("pngMediaFromDocuments: encode on executors, decode recovers formula dims") {
     val docs = Seq((5L, "hello world"), (100L, "x" * 200))
       .map { case (id, t) => (id, t, t.length.toLong) }

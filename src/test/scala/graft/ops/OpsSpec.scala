@@ -90,6 +90,32 @@ class OpsSpec extends SparkSpec {
     assert(sum === expected)
   }
 
+  test("range join: bucketized equi-join == naive non-equi join, boundaries exact") {
+    import org.apache.spark.sql.functions.col
+    // intervals: multi-bucket span, sub-bucket, overlapping, empty
+    val intervals = Seq(
+      (0L, 100L, 350L),  // spans buckets 1..3 at width 100
+      (1L, 120L, 130L),  // inside one bucket
+      (2L, 300L, 500L),  // overlaps interval 0
+      (3L, 400L, 400L))  // empty (half-open)
+      .toDF("window_id", "start_sec", "end_sec")
+    // points: on starts, just-before-ends, far outside
+    val points = Seq(100L, 349L, 350L, 120L, 129L, 130L, 299L, 300L, 499L, 400L, 999L)
+      .toDF("sec")
+    val got = graft.ops.RangeJoin
+      .pointInInterval(points, "sec", intervals, "start_sec", "end_sec", bucketSec = 100L)
+      .select("sec", "window_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val naive = points.join(intervals,
+        col("sec") >= col("start_sec") && col("sec") < col("end_sec"))
+      .select("sec", "window_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq === naive.toSeq)
+    assert(got.contains((300L, 0L)) && got.contains((300L, 2L))) // overlap: both match
+    assert(!got.exists(_._1 == 350L) || !got.filter(_._1 == 350L).map(_._2).contains(0L)) // end exclusive
+    assert(!got.exists(_._2 == 3L)) // empty interval matches nothing
+  }
+
   test("as-of join: latest right row at/before left time, per key") {
     val left = Seq((1L, 100L, "e1"), (1L, 205L, "e2"), (2L, 50L, "e3"))
       .toDF("k", "t", "ev")
