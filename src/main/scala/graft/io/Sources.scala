@@ -26,6 +26,19 @@ object Sources {
               header: Boolean = true): DataFrame =
     spark.read.schema(schema).option("header", header.toString).csv(path)
 
+  /** JSONL (newline-delimited JSON) corpus read — the lingua franca of
+    * LLM training-data interchange. Schema-enforced like [[readCsv]];
+    * malformed lines land whole in `_corrupt` (PERMISSIVE) instead of
+    * failing the 100 TB job at hour three, so bad records are quarantined
+    * with a filter, not a rerun.
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
   /** S4 — existence check against any Hadoop-compatible filesystem. */
   def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)

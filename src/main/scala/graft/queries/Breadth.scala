@@ -100,6 +100,19 @@ object Breadth {
 
     // RANGE window frame: 7-day trailing spend per customer (epoch seconds
     // so both engines share an integer range dimension)
+    // map scalar family: construct (map_from_entries), introspect
+    // (map_keys/size), look up (element_at with a computed key)
+    "b10_map_funcs" -> ((s: SparkSession, dir: String) => {
+      Tables.nation(s, dir)
+        .groupBy(col("n_regionkey"))
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("n_name"), col("n_nationkey"))))).as("m"))
+        .select(col("n_regionkey"),
+          size(map_keys(col("m"))).as("n_entries"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("keys"),
+          element_at(col("m"), array_min(map_keys(col("m")))).as("first_val"))
+    }),
+
     "b9_range_window" -> ((s: SparkSession, dir: String) => {
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("sec"))
         .rangeBetween(-604800L, 0L)
@@ -178,6 +191,15 @@ object Breadth {
          |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
          |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
          |FROM events GROUP BY user_id""".stripMargin,
+
+    "b10_map_funcs" ->
+      """WITH m AS (SELECT n_regionkey,
+        |    map(list(n_name ORDER BY n_name), list(n_nationkey ORDER BY n_name)) AS m
+        |  FROM nation GROUP BY 1)
+        |SELECT n_regionkey, CAST(cardinality(m) AS INT) AS n_entries,
+        |  list_aggr(list_sort(map_keys(m)), 'string_agg', ',') AS keys,
+        |  CAST(map_extract(m, list_min(map_keys(m)))[1] AS INT) AS first_val
+        |FROM m""".stripMargin,
 
     "b9_range_window" ->
       """SELECT o_custkey, o_orderkey,

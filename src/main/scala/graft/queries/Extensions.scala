@@ -178,6 +178,34 @@ object Extensions {
         nPlanes = 8, nBands = 4)
     }),
 
+    // ---- sampling / splitting -----------------------------------------
+    // systematic 1-in-7 modulo sample (the oracle-expressible member of
+    // the sampling family; production form is hash-based, below)
+    "x_sample_mod" -> ((s: SparkSession, dir: String) => {
+      graft.ops.Sampling.byModulo(Tables.documents(s, dir), col("doc_id"), 7)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    // deterministic hash split sizes (engine-specific hash -> rows-only;
+    // partition/determinism/proportion properties pinned in SamplingSpec)
+    "x_sample_split" -> ((s: SparkSession, dir: String) => {
+      graft.ops.Sampling.splitByHash(Tables.documents(s, dir), col("doc_id"),
+        weights = Seq(0.8, 0.1, 0.1), names = Seq("train", "val", "test"))
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))
+    }),
+
+    // vocabulary building: global token ranks by (df desc, token). The
+    // final rank runs on the AGGREGATED vocab (|vocab| << corpus) — the
+    // one place a global window is the right call.
+    "x_text_vocab" -> ((s: SparkSession, dir: String) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("df").desc, col("tok"))
+      Tables.documents(s, dir)
+        .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .withColumn("token_id", row_number().over(w))
+    }),
+
     // composed training-data-prep pipeline: quality filter -> language
     // prediction -> per-language corpus stats (fully oracle-mirrored)
     "x_pipeline_dataprep" -> ((s: SparkSession, dir: String) => {
@@ -307,6 +335,16 @@ object Extensions {
          |  + CAST(CAST(len(list_distinct($sqlWords)) AS DOUBLE)
          |         / len($sqlWords) >= 0.3 AS INT) AS score
          |FROM documents""".stripMargin,
+
+    "x_sample_mod" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 7 = 0",
+
+    "x_text_vocab" ->
+      s"""WITH t AS (SELECT unnest(list_distinct($sqlWords)) AS tok FROM documents),
+         |v AS (SELECT tok, ${sqlCount()} AS df FROM t GROUP BY tok)
+         |SELECT tok, df,
+         |  CAST(row_number() OVER (ORDER BY df DESC, tok) AS INT) AS token_id
+         |FROM v""".stripMargin,
 
     "x_dedup_embed_exact" ->
       """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -20,6 +20,25 @@ class SourcesSpec extends SparkSpec {
     assert(rows(1).getString(0) === "ONU" && rows(1).isNullAt(1)) // coerced
   }
 
+  test("JSONL read: schema enforced, malformed lines quarantined not fatal") {
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    Files.writeString(Paths.get(s"$dir/docs.jsonl"),
+      """{"doc_id": 1, "text": "hello world"}
+        |{"doc_id": 2, "text": "second doc"}
+        |{"doc_id": broken json here
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // Spark refuses to filter on ONLY the corrupt column straight off raw
+    // files (the parse would be unverifiable); cache materializes the parse
+    val df = Sources.readJsonl(spark, s"$dir/docs.jsonl", schema).cache()
+    val good = df.filter(col("_corrupt").isNull)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(good.toSeq === Seq((1L, "hello world"), (2L, "second doc")))
+    assert(df.filter(col("_corrupt").isNotNull).count() === 1) // quarantined
+    df.unpersist()
+  }
+
   test("S4 existence check + strict raise") {
     assert(Sources.exists(spark, "/root/testdata/sf0.001/orders.parquet"))
     assert(!Sources.exists(spark, "/root/testdata/sf0.001/nope.parquet"))

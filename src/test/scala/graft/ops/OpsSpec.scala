@@ -90,6 +90,28 @@ class OpsSpec extends SparkSpec {
     assert(sum === expected)
   }
 
+  test("hash sampling: deterministic, rate-accurate, split is a partition") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(0, 10000).toDF("id")
+    val s1 = graft.ops.Sampling.byHash(df, col("id"), 0.2).collect().map(_.getLong(0)).toSet
+    val s2 = graft.ops.Sampling.byHash(df, col("id"), 0.2).collect().map(_.getLong(0)).toSet
+    assert(s1 === s2) // rerun -> identical sample (no rand())
+    assert(math.abs(s1.size - 2000) < 200, s"rate off: ${s1.size}")
+    // different salt -> a different (but still deterministic) sample
+    val s3 = graft.ops.Sampling.byHash(df, col("id"), 0.2, salt = 1L).collect().map(_.getLong(0)).toSet
+    assert(s3 !== s1)
+
+    val split = graft.ops.Sampling.splitByHash(df, col("id"),
+      Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+    val byName = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.keySet === Set("train", "val", "test")) // total partition, no null split
+    assert(byName.values.sum === 10000L)
+    assert(math.abs(byName("train") - 8000) < 400, byName.toString)
+    // modulo sampling is exact by construction
+    assert(graft.ops.Sampling.byModulo(df, col("id"), 10).count() === 1000L)
+  }
+
   test("range join: bucketized equi-join == naive non-equi join, boundaries exact") {
     import org.apache.spark.sql.functions.col
     // intervals: multi-bucket span, sub-bucket, overlapping, empty
