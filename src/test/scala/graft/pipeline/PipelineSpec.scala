@@ -54,6 +54,28 @@ class PipelineSpec extends SparkSpec {
     assert(onu.isNullAt(s.columns.indexOf("ano")))              // null date -> null ano
   }
 
+  test("O3 retries: flaky task succeeds within budget; exhausted budget rethrows") {
+    var calls = 0
+    val got = Orchestrate.withRetries(3) {
+      calls += 1
+      if (calls < 3) sys.error(s"flaky $calls")
+      "ok"
+    }
+    assert(got === "ok" && calls === 3)
+    intercept[RuntimeException] {
+      Orchestrate.withRetries(2) { sys.error("always") }
+    }
+  }
+
+  test("O2/O4 fan-out: failures are isolated, successes complete") {
+    val (ok, bad) = Orchestrate.runAll(Seq(
+      "a" -> (() => 1),
+      "boom" -> (() => sys.error("nope")),
+      "b" -> (() => 2)), attempts = 2)
+    assert(ok === Map("a" -> 1, "b" -> 2))
+    assert(bad.keySet === Set("boom"))
+  }
+
   test("gold: derived dims, país/org splits, null-propagating hierarchy") {
     val g = Gold.transform(Silver.transform(Bronze.transform(rawDf)), persist = false)
     assert(g.hier.columns.toSeq === Seq("local_completo", "acordo_recurso"))
