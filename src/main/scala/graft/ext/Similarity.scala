@@ -20,14 +20,26 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Allocation-free dot product (native codegen expression — the SQL
+    * zip_with/aggregate form materialized an array per evaluation and was
+    * the whole cost of the pair joins; same fold order, identical bits).
+    */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.dot_product(a, b)
+
   /** Cosine similarity between two array<double> columns, rounded at 1e-6
     * (absorbs engine-level accumulation-order ulps; see queries.Util).
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+  def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b)), 6)
-  }
+
+  /** Cosine from a precomputed dot + per-row norms — for pair joins, where
+    * recomputing norms per PAIR would redo per-row work |corpus| times.
+    * Division order matches [[cosine]] exactly (x/na/nb), so values are
+    * bit-identical.
+    */
+  private def cosinePre(d: Column, na: Column, nb: Column): Column =
+    round(d / na / nb, 6)
 
   /** Exact top-k neighbours for each query vector (queries × corpus). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
@@ -43,15 +55,13 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane sign sketch: bit j is the sign
-    * of Σ_d vec[d] · s(j,d), with s(j,d) = ±1 derived from hash(j, d).
+    * of Σ_d vec[d] · s(j,d), ±1 signs from mix64 bit streams (native
+    * codegen expression — the SQL-lambda form paid an interpreted `hash()`
+    * call per (plane, dim) pair per row).
     */
   def hyperplaneSketch(vecCol: String, nPlanes: Int = 16): Column =
-    expr(s"""aggregate(sequence(0, ${nPlanes - 1}), CAST(0 AS BIGINT),
-      (acc, j) -> acc | IF(
-        aggregate(sequence(0, size($vecCol) - 1), CAST(0.0 AS DOUBLE),
-          (s, d) -> s + element_at($vecCol, d + 1) *
-                    IF((hash(j, d) & 1) = 1, 1.0, -1.0)) >= 0.0,
-        shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""")
+    graft.functions.GraftFunctions.hyperplane_sketch(
+      col(vecCol), lit(0L), nPlanes)
 
   /** Trained IVF state: centroids are the ONLY driver-side data (nlist ×
     * dim doubles) — everything else stays distributed.
@@ -160,23 +170,22 @@ object Similarity {
     */
   def embedPairsExact(corpus: DataFrame, threshold: Double = 0.9,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = corpus.select(col(idCol).as("vec_a"), col(vecCol).cast("array<double>").as("va"))
-    val b = corpus.select(col(idCol).as("vec_b"), col(vecCol).cast("array<double>").as("vb"))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v")))) // norms once per ROW, not per pair
+    val a = c.select(col("id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = c.select(col("id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("cos"))
+      .select(col("vec_a"), col("vec_b"),
+        cosinePre(dot(col("va"), col("vb")), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
-  /** Hyperplane sketch seeded per band: s(band, j, d) = ±1 from
-    * hash(band, j, d) — bands are independent hash families.
+  /** Hyperplane sketch seeded per band — bands are independent hash
+    * families (band id + 1 as the seed; 0 is the unbanded family).
     */
   def bandedSketch(vecCol: String, bandCol: String, nPlanes: Int): Column =
-    expr(s"""aggregate(sequence(0, ${nPlanes - 1}), CAST(0 AS BIGINT),
-      (acc, j) -> acc | IF(
-        aggregate(sequence(0, size($vecCol) - 1), CAST(0.0 AS DOUBLE),
-          (s, d) -> s + element_at($vecCol, d + 1) *
-                    IF((hash($bandCol, j, d) & 1) = 1, 1.0, -1.0)) >= 0.0,
-        shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""")
+    graft.functions.GraftFunctions.hyperplane_sketch(
+      col(vecCol), col(bandCol).cast("long") + lit(1L), nPlanes)
 
   /** Banded-LSH near-dup pair search over embeddings: `nBands` independent
     * `nPlanes`-bit sketches; candidates share a full sketch in ≥1 band
@@ -192,14 +201,18 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .withColumn("band", explode(expr(s"sequence(0, ${nBands - 1})")))
       .withColumn("bucket", bandedSketch("v", "band", nPlanes))
-    val a = c.select(col("band"), col("bucket"), col("id").as("vec_a"), col("v").as("va"))
-    val b = c.select(col("band"), col("bucket"), col("id").as("vec_b"), col("v").as("vb"))
+    val a = c.select(col("band"), col("bucket"),
+      col("id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = c.select(col("band"), col("bucket"),
+      col("id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
-      .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("cos"))
+      .select(col("vec_a"), col("vec_b"),
+        cosinePre(dot(col("va"), col("vb")), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

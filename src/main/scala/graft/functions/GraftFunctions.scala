@@ -25,6 +25,16 @@ object GraftFunctions {
   def simhash64(tokens: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokens)))
 
+  /** Allocation-free dot product of two double arrays — [[DotProduct]]. */
+  def dot_product(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotProduct(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** nPlanes-bit random-hyperplane sign sketch — [[HyperplaneSketch]]. */
+  def hyperplane_sketch(vec: Column, seed: Column, nPlanes: Int): Column =
+    GraftColumnBridge.column(HyperplaneSketch(
+      GraftColumnBridge.expression(vec), GraftColumnBridge.expression(seed), nPlanes))
+
   private val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("pandas_title", "str - pandas-exact title case", (es: Seq[Expression]) => PandasTitle(es.head))
   )
