@@ -235,6 +235,20 @@ object Extensions {
           col("n"))
     }),
 
+    // mergeable-sketch rollup: per-(flag,status) HLL sketches UNIONED up to
+    // per-flag estimates — the two-level pattern that lets 100 TB shards
+    // sketch independently and combine without re-reading data. Sketch
+    // internals are engine-specific -> rows-only; tolerance vs exact is
+    // pinned in ApproxSpec.
+    "x_approx_hll_merge" -> ((s: SparkSession, dir: String) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(hll_sketch_agg(col("l_orderkey")).as("sk"), count(lit(1)).as("n"))
+        .groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_orders"),
+          sum(col("n")).as("n_rows"))
+    }),
+
     // ---- multimodal plumbing ------------------------------------------
     "x_mm_bytes" -> ((s: SparkSession, dir: String) => {
       Tables.documents(s, dir).select(

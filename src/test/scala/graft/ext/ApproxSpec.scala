@@ -16,6 +16,22 @@ class ApproxSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("merged HLL union estimate within 5% of exact (shard-then-combine)") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val merged = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+      .groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(merged(k) - n).toDouble / n < 0.05, s"$k: ${merged(k)} vs $n")
+    }
+  }
+
   test("approx_percentile brackets the exact median") {
     val exact = li.selectExpr("percentile(l_extendedprice, 0.5)").head().getDouble(0)
     val approx = li.selectExpr("approx_percentile(l_extendedprice, 0.5, 1000)")

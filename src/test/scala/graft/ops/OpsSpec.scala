@@ -90,6 +90,20 @@ class OpsSpec extends SparkSpec {
     assert(sum === expected)
   }
 
+  test("bloom prefilter: join output unchanged, non-matching rows dropped pre-shuffle") {
+    import org.apache.spark.sql.functions.col
+    val large = spark.range(0, 50000).toDF("k")
+    val small = spark.range(0, 50000).filter(col("id") % 100 === 0).toDF("k") // 1% match
+    val filtered = graft.ops.BloomJoin.prefilter(large, col("k"), small, col("k"),
+      expectedItems = 1000, numBits = 65536)
+    val survivors = filtered.count()
+    assert(survivors >= 500 && survivors < 5000, // all matches kept, ~fpp extra
+      s"bloom kept $survivors of 50000")
+    val got = filtered.join(small, "k").orderBy("k").collect().map(_.getLong(0))
+    val plain = large.join(small, "k").orderBy("k").collect().map(_.getLong(0))
+    assert(got.toSeq === plain.toSeq) // exactness: false positives only
+  }
+
   test("hash sampling: deterministic, rate-accurate, split is a partition") {
     import org.apache.spark.sql.functions.col
     val df = spark.range(0, 10000).toDF("id")
