@@ -81,6 +81,20 @@ object EventsQueries {
         .agg(count(lit(1)).as("n_unique_events"))
     }),
 
+    // batch twin of EventStreams.correlate (stream-stream interval join):
+    // same-user event pairs within a trailing 30-min window, counted per
+    // user (whole-second comparisons for cross-engine determinism)
+    "x_corr_batch_twin" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("sec"))
+      val l = ev.select(col("event_id").as("ea"), col("user_id"), col("sec").as("sa"))
+      val r = ev.select(col("event_id").as("eb"), col("user_id"), col("sec").as("sb"))
+      l.join(r, Seq("user_id"))
+        .filter(col("sb").between(col("sa") - 1800, col("sa")) && col("ea") =!= col("eb"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // as-of join: latest order (by date, orderkey tiebreak) at event time
     "e4_asof_last_order" -> ((s: SparkSession, dir: String) => {
       val events = Tables.events(s, dir).select(
@@ -136,6 +150,15 @@ object EventsQueries {
          |SELECT window_id, ${sqlCount()} AS n_events, ${sqlDsum("value")} AS total_value
          |FROM ev JOIN iv ON ev.sec >= iv.start_sec AND ev.sec < iv.end_sec
          |GROUP BY window_id""".stripMargin,
+
+    "x_corr_batch_twin" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |            FROM events)
+        |SELECT l.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM ev l JOIN ev r ON l.user_id = r.user_id
+        |  AND r.sec BETWEEN l.sec - 1800 AND l.sec
+        |  AND l.event_id != r.event_id
+        |GROUP BY l.user_id""".stripMargin,
 
     "e4_asof_last_order" ->
       """SELECT e.event_id,

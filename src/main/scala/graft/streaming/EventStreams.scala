@@ -49,6 +49,24 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-stream interval join: actions of one stream matched to same-user
+    * actions of another within a trailing time window. Both sides carry
+    * watermarks and the join condition bounds event time on both sides, so
+    * Spark can evict buffered state once the watermark passes a row's
+    * match window — state is O(events per window), not O(stream).
+    */
+  def correlate(left: DataFrame, right: DataFrame,
+                windowSec: Long = 1800, watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r, expr(
+      s"""l.user_id = r.user_id AND
+         |r.ts BETWEEN l.ts - INTERVAL $windowSec SECONDS AND l.ts AND
+         |l.event_id != r.event_id""".stripMargin))
+      .select(col("l.event_id").as("event_a"), col("r.event_id").as("event_b"),
+        col("l.user_id").as("user_id"))
+  }
+
   /** Gap-based sessionization (30-min inactivity) as explicit streaming
     * state: per user, count sessions opened so far. Works identically on a
     * batch Dataset (state starts empty, whole group in one call) — the

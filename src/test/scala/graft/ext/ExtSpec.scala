@@ -143,6 +143,40 @@ class JaccardDedupSpec extends SparkSpec {
   }
 }
 
+class HeavyHittersAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MG guarantee: items above n/(k+1) always present, undercount bounded") {
+    // 1000 items: "hot" 400×, "warm" 250×, 350 singletons
+    val items = Seq.fill(400)("hot") ++ Seq.fill(250)("warm") ++
+      (0 until 350).map(i => s"cold$i")
+    val k = 9
+    val agg = new HeavyHittersAgg(k)
+    // distributed run through the real typed-UDAF path, multiple partitions
+    val got = items.toDS().repartition(8)
+      .groupByKey(_ => 0).mapValues(identity)
+      .agg(agg.toColumn.name("hh")).collect().head._2
+    val n = items.size
+    val slack = n / (k + 1) // = 100
+    assert(got.contains("hot") && got.contains("warm")) // freq > n/(k+1)
+    assert(got("hot") <= 400 && got("hot") >= 400 - slack)
+    assert(got("warm") <= 250 && got("warm") >= 250 - slack)
+    assert(got.size <= k)
+  }
+
+  test("MG mergeability: merged shard summaries keep the combined guarantee") {
+    val agg = new HeavyHittersAgg(4)
+    val shard1 = Seq.fill(60)("x") ++ (0 until 30).map(i => s"a$i")
+    val shard2 = Seq.fill(50)("x") ++ (0 until 40).map(i => s"b$i")
+    def sketch(s: Seq[String]) = s.foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.merge(sketch(shard1), sketch(shard2))
+    val n = shard1.size + shard2.size // 180, slack n/5 = 36
+    assert(merged.contains("x")) // true freq 110 > 36
+    assert(merged("x") <= 110 && merged("x") >= 110 - n / 5)
+    assert(merged.size <= 4)
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 

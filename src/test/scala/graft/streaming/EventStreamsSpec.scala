@@ -78,6 +78,27 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches same-user events within the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[EventRow]
+    val views = MemoryStream[EventRow]
+    val q = correlate(clicks.toDF(), views.toDF(), windowSec = 1800)
+      .writeStream.format("memory").queryName("corr_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData(
+        EventRow(100, ts("2024-01-01 10:00:00"), 7, "view", 1.0),  // 20 min before click
+        EventRow(101, ts("2024-01-01 08:00:00"), 7, "view", 1.0),  // outside 30-min window
+        EventRow(102, ts("2024-01-01 10:10:00"), 8, "view", 1.0))  // other user
+      clicks.addData(EventRow(200, ts("2024-01-01 10:20:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("corr_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((200L, 100L))) // in-window same-user pair only
+    } finally q.stop()
+  }
+
   test("incremental batch: Trigger.AvailableNow file stream == batch result") {
     // the SURVEY §7.5 upgrade path: same declarative plan, incremental runs
     import org.apache.spark.sql.streaming.Trigger
