@@ -150,6 +150,32 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cos"), col("rk"))
   }
 
+  /** Persist the assignment as a cid-partitioned parquet layout — the
+    * 100 TB serving form SCALE.md describes: each inverted list is its own
+    * partition directory, so a probe's `cid` filter prunes to nprobe/nlist
+    * of the files before any IO happens (asserted in SimilaritySpec).
+    */
+  def ivfWriteAssignment(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
+
+  /** Probe against a written layout: the probed list ids (≤ nlist values —
+    * model state, not data) become a static partition filter on the scan.
+    */
+  def ivfProbeFromLayout(spark: org.apache.spark.sql.SparkSession, path: String,
+                         model: IvfModel, queries: DataFrame,
+                         k: Int = 10, nprobe: Int = 4,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = model.centroidDf(spark)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("q_vec"))
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cid"))
+    val probedCids = q.crossJoin(cents)
+      .select(col("q_id"), col("cid"), cosine(col("q_vec"), col("c_vec")).as("sim"))
+      .withColumn("rk", row_number().over(probeW)).filter(col("rk") <= nprobe)
+      .select(col("cid")).distinct().collect().map(_.getInt(0))
+    val assigned = spark.read.parquet(path).filter(col("cid").isin(probedCids.map(Integer.valueOf): _*))
+    ivfProbe(assigned, model, queries, k, nprobe, idCol, vecCol)
+  }
+
   /** Convenience: train + assign + probe in one call (tests / one-shot use;
     * long-lived serving should hold the model and assignment and call
     * [[ivfProbe]]).

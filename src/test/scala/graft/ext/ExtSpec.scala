@@ -228,6 +228,23 @@ class SimilaritySpec extends SparkSpec {
     assert(split.toSeq === oneShot.toSeq)
   }
 
+  test("IVF layout serving: cid-partitioned files, probe prunes partitions, same results") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 3)
+    val model = Similarity.ivfTrain(emb, nlist = 8, iters = 1)
+    val assigned = Similarity.ivfAssign(emb, model)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/layout"
+    Similarity.ivfWriteAssignment(assigned, dir)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("cid=")))
+    val fromLayout = Similarity.ivfProbeFromLayout(spark, dir, model, q, k = 5, nprobe = 2)
+    val plan = fromLayout.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid"), plan.take(3000)) // files pruned pre-IO
+    val inMem = Similarity.ivfProbe(assigned, model, q, k = 5, nprobe = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    assert(rows(fromLayout) === rows(inMem))
+  }
+
   test("IVF recall@10 vs brute force on real embeddings stays above 0.6") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter($"vec_id" < 5)
