@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{ExactDedup, MinHashDedup, TextOps}
+import graft.ops.Sampling
+
+/** End-to-end training-data preparation: the composition a user actually
+  * runs over a raw corpus, chaining the engine's M3 operators —
+  *
+  *   raw documents
+  *     → quality gate   (TextOps rule battery, keep score ≥ minScore)
+  *     → exact dedup    (hash-first; keep each text's canonical doc)
+  *     → near-dup prune (MinHash LSH pairs; greedy keep-smaller-id)
+  *     → split          (deterministic hash bands: train/val/test)
+  *     → write          (parquet partitioned by split)
+  *
+  * Every stage is a narrow or key-shuffled plan (no payload-carrying wide
+  * ops, no driver data); determinism end to end — rerunning produces the
+  * same corpus, which is what makes downstream caches and experiment
+  * comparisons meaningful.
+  */
+object DataPrep {
+
+  final case class Config(minScore: Int = 3,
+                          nearDupJaccard: Double = 0.8,
+                          splitWeights: Seq[Double] = Seq(0.8, 0.1, 0.1),
+                          splitNames: Seq[String] = Seq("train", "val", "test"))
+
+  /** Quality-gated corpus. */
+  def qualityGate(docs: DataFrame, minScore: Int): DataFrame =
+    docs.filter(TextOps.qualityScore("text") >= minScore)
+
+  /** Keep one canonical doc per distinct text (hash-first, scale-safe). */
+  def dropExactDups(docs: DataFrame): DataFrame =
+    docs.join(
+      ExactDedup.byContent(docs).select(col("canonical_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+
+  /** Greedy near-dup pruning: for every LSH-confirmed pair (a < b), drop b.
+    * Keeps the smallest id reachable in each similarity cluster — the
+    * standard one-pass choice (a transitive union-find canonicalization is
+    * the exhaustive variant; pairs ≪ corpus either way).
+    */
+  def dropNearDups(docs: DataFrame, minJaccard: Double): DataFrame =
+    docs.join(
+      MinHashDedup.nearDuplicates(docs, minJaccard = minJaccard)
+        .select(col("doc_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
+  /** Full pipeline; writes `outDir/split=…` and returns the final corpus
+    * with its split column.
+    */
+  def run(spark: SparkSession, docs: DataFrame, outDir: String,
+          cfg: Config = Config()): DataFrame = {
+    val prepared = Sampling.splitByHash(
+      dropNearDups(dropExactDups(qualityGate(docs, cfg.minScore)), cfg.nearDupJaccard),
+      col("doc_id"), cfg.splitWeights, cfg.splitNames)
+    prepared.write.mode("overwrite").partitionBy("split").parquet(outDir)
+    prepared
+  }
+}

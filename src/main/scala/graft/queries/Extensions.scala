@@ -218,6 +218,25 @@ object Extensions {
           sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // oracle-checkable slice of the DataPrep composition (quality gate →
+    // exact-dedup canonical keep → deterministic split → per-split stats);
+    // the full pipeline adds MinHash near-dup pruning + hash splits and is
+    // exercised in DataPrepSpec
+    "x_pipeline_train_corpus" -> ((s: SparkSession, dir: String) => {
+      val gated = Tables.documents(s, dir)
+        .filter(TextOps.qualityScore("text") >= 3)
+      val kept = gated.join(
+        graft.ext.ExactDedup.byContent(gated).select(col("canonical_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      kept
+        .withColumn("split",
+          when(pmod(col("doc_id"), lit(10)) < 8, "train")
+            .when(pmod(col("doc_id"), lit(10)) < 9, "val")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // approximate aggregates — the sketches any 100 TB pipeline leans on.
     // Engine-specific sketch internals (HLL++, GK) can't hash-match another
     // engine → rows-only here; tolerance vs exact is asserted in
@@ -359,6 +378,24 @@ object Extensions {
          |SELECT tok, df,
          |  CAST(row_number() OVER (ORDER BY df DESC, tok) AS INT) AS token_id
          |FROM v""".stripMargin,
+
+    "x_pipeline_train_corpus" ->
+      s"""WITH scored AS (SELECT doc_id, text, n_chars,
+         |    CAST(len($sqlWords) BETWEEN 20 AND 1000 AS INT)
+         |    + CAST(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len($sqlWords)
+         |           BETWEEN 3.0 AND 10.0 AS INT)
+         |    + CAST(CAST(${sqlStopCount(graft.ext.TextOps.DefaultStopwords)} AS DOUBLE)
+         |           / len($sqlWords) >= 0.05 AS INT)
+         |    + CAST(CAST(len(list_distinct($sqlWords)) AS DOUBLE)
+         |           / len($sqlWords) >= 0.3 AS INT) AS score
+         |  FROM documents),
+         |gated AS (SELECT * FROM scored WHERE score >= 3),
+         |canon AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text)
+         |SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+         |            WHEN doc_id % 10 < 9 THEN 'val' ELSE 'test' END AS split,
+         |  ${sqlCount()} AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM gated WHERE doc_id IN (SELECT doc_id FROM canon)
+         |GROUP BY 1""".stripMargin,
 
     "x_dedup_embed_exact" ->
       """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
