@@ -60,6 +60,37 @@ object Sinks {
       s"`${f.name}` $t"
     }.mkString(", ")
 
+  /** K4 for the lake: partition-scoped parquet upsert. Rows in `updates`
+    * replace same-key rows and insert new keys — but ONLY partitions that
+    * contain an updated key are rewritten (dynamic partition overwrite);
+    * at 100 TB an upsert touching one day must not rewrite the year, and
+    * SinksSpec2 pins that untouched partitions' files are left alone.
+    *
+    * Mechanics: affected partitions = distinct partition values in
+    * `updates` (broadcast — bounded by partition count, not data); keep
+    * their non-updated rows (anti join on key), union the updates, stage
+    * to a temp dir (Spark refuses a write that overlaps its own scan),
+    * then dynamic-overwrite only those partitions.
+    */
+  def upsertParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    updates: DataFrame, keyCols: Seq[String],
+                    partitionCol: String): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val target = spark.read.parquet(dir)
+    val affected = updates.select(col(partitionCol)).distinct()
+    val merged = target
+      .join(broadcast(affected), Seq(partitionCol), "left_semi")
+      .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(updates.select(target.columns.map(col): _*))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-upsert").toString + "/staged"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(dir)
+  }
+
   /** K2/K3/K4(effective) — append via Spark's batched JDBC writer. */
   def jdbcAppend(df: DataFrame, url: String, table: String,
                  props: java.util.Properties, batchSize: Int = 10000): Unit =

@@ -65,6 +65,28 @@ class SinksSpec2 extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(ano"), plan)
   }
 
+  test("parquet upsert rewrites ONLY partitions containing updated keys") {
+    val dir = Files.createTempDirectory("graft-lake").toString + "/t"
+    Seq((1L, 2010, "a"), (2L, 2010, "b"), (3L, 2011, "c"), (4L, 2012, "d"))
+      .toDF("k", "ano", "v")
+      .write.partitionBy("ano").parquet(dir)
+    def files(p: String) = new java.io.File(s"$dir/ano=$p").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSeq.sorted
+    val before2011 = files("2011")
+    val before2012 = files("2012")
+
+    // update k=1 (2010), insert k=9 into 2010 — 2011/2012 must be untouched
+    val updates = Seq((1L, 2010, "a2"), (9L, 2010, "new")).toDF("k", "ano", "v")
+    Sinks.upsertParquet(spark, dir, updates, keyCols = Seq("k"), partitionCol = "ano")
+
+    val got = spark.read.parquet(dir).select("k", "ano", "v").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    assert(got === Seq((1L, 2010, "a2"), (2L, 2010, "b"), (3L, 2011, "c"),
+      (4L, 2012, "d"), (9L, 2010, "new")))
+    assert(files("2011") === before2011, "untouched partition was rewritten")
+    assert(files("2012") === before2012, "untouched partition was rewritten")
+  }
+
   test("bucketed tables join without a shuffle (the co-located-join layout)") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
