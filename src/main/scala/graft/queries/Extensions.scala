@@ -178,6 +178,22 @@ object Extensions {
         nPlanes = 8, nBands = 4)
     }),
 
+    // per-group top-k via bounded-buffer partial aggregation — the exchange
+    // carries ≤ k rows per group per task instead of the whole table (the
+    // window-row_number twin is q8; outputs identical)
+    "x_topk_agg" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+        .as[(Long, Double, Long)]
+        .groupByKey(_._1).mapValues(r => (r._2, r._3))
+        .agg(new graft.ext.TopKAgg(3).toColumn.name("top"))
+        .toDF("o_custkey", "top")
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(col("o_custkey"), col("col._2").as("o_orderkey"),
+          col("col._1").as("o_totalprice"), (col("pos") + 1).cast("int").as("rk"))
+    }),
+
     // ---- sampling / splitting -----------------------------------------
     // systematic 1-in-7 modulo sample (the oracle-expressible member of
     // the sampling family; production form is hash-based, below)
@@ -368,6 +384,13 @@ object Extensions {
          |  + CAST(CAST(len(list_distinct($sqlWords)) AS DOUBLE)
          |         / len($sqlWords) >= 0.3 AS INT) AS score
          |FROM documents""".stripMargin,
+
+    "x_topk_agg" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
 
     "x_sample_mod" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 7 = 0",

@@ -143,6 +143,36 @@ class JaccardDedupSpec extends SparkSpec {
   }
 }
 
+class TopKAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bounded-buffer top-k == window row_number top-k; partial agg in plan") {
+    val orders = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    val viaAgg = graft.SparkEntry.queries("x_topk_agg")(spark, "/root/testdata/sf0.001")
+    val viaWindow = graft.SparkEntry.queries("q8_top_orders_per_customer")(
+      spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sorted.toSeq
+    assert(rows(viaAgg) === rows(viaWindow))
+    // two-phase: a partial ObjectHashAggregate runs below the exchange, so
+    // the shuffle carries k-bounded buffers, not all rows
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(3000))
+    assert(orders.count() > rows(viaAgg).size.toLong) // actually pruned
+  }
+
+  test("reduce keeps order, truncates at k, handles ties by smaller id") {
+    val agg = new TopKAgg(2)
+    val buf = Seq((5.0, 10L), (5.0, 3L), (1.0, 7L), (9.0, 1L))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(buf === Seq((9.0, 1L), (5.0, 3L))) // tie at 5.0 -> id 3 beats 10
+    val merged = agg.merge(buf, Seq((7.0, 2L)).foldLeft(agg.zero)(agg.reduce))
+    assert(merged === Seq((9.0, 1L), (7.0, 2L)))
+  }
+}
+
 class HeavyHittersAggSpec extends SparkSpec {
   import spark.implicits._
 
