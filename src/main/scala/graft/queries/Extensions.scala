@@ -172,10 +172,15 @@ object Extensions {
     // banded-LSH near-dup pairs: one shuffle on (band, bucket), exact
     // verify inside buckets — output ⊆ exact by construction (subset +
     // planted-dup recall pinned in SimilaritySpec); rows-only because
-    // recall is probabilistic in the sketch family
+    // recall is probabilistic in the sketch family. (bands, planes) is the
+    // recall/candidate-volume dial; 8 bands × 8 planes catches a true
+    // near-duplicate (cos ≥ 0.95) with p ≈ 0.99 while keeping buckets
+    // selective — at this fixture's deliberately weak 0.4 threshold (the
+    // embeddings are uniform random; no planted near-dups exist) the catch
+    // rate is ~0.2 by the same formula, exactly as banding math predicts.
     "x_dedup_embed_lsh" -> ((s: SparkSession, dir: String) => {
       Similarity.embedPairsLsh(Tables.embeddings(s, dir), threshold = 0.4,
-        nPlanes = 8, nBands = 4)
+        nPlanes = 8, nBands = 8)
     }),
 
     // per-group top-k via bounded-buffer partial aggregation — the exchange
