@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.PandasTitle
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions._
 
 /** SparkSessionExtensions hook: registers graft's native expressions and
   * optimizer rules at session build time. Enable with
@@ -16,13 +16,36 @@ import graft.functions.PandasTitle
   * direct cardinality counting without materializing the set arrays.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Int literal argument of a SQL call (`simhash64(toks)` needs none;
+    * `minhash_signature(s, 128)` does).
+    */
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal INT, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("pandas_title"),
-      new ExpressionInfo("graft.functions.PandasTitle", null, "pandas_title",
-        "pandas_title(str) - pandas-exact title case", ""),
-      (es: Seq[Expression]) => PandasTitle(es.head)
-    ))
+    val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+      ("pandas_title", "pandas_title(str) - pandas-exact title case",
+        es => PandasTitle(es.head)),
+      ("shingle_hashes", "shingle_hashes(tokens, k) - sorted distinct k-shingle hashes",
+        es => ShingleHashes(es.head, intArg(es(1), "shingle_hashes k"))),
+      ("minhash_signature", "minhash_signature(shingles, h) - h-value minhash signature",
+        es => MinHashSignature(es.head, intArg(es(1), "minhash_signature h"))),
+      ("simhash64", "simhash64(tokens) - 64-bit simhash",
+        es => SimHash64(es.head)),
+      ("dot_product", "dot_product(a, b) - allocation-free double-array dot product",
+        es => DotProduct(es.head, es(1))),
+      ("hyperplane_sketch", "hyperplane_sketch(vec, seed, planes) - LSH sign sketch",
+        es => HyperplaneSketch(es.head, es(1), intArg(es(2), "hyperplane_sketch planes"))))
+    functions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(s"graft.functions", null, name, usage, ""),
+        builder))
+    }
     ext.injectOptimizerRule(_ => graft.functions.RewriteSetSizes)
   }
 }

@@ -60,6 +60,23 @@ object Sinks {
       s"`${f.name}` $t"
     }.mkString(", ")
 
+  /** Range-sorted layout for data skipping: `repartitionByRange` gives every
+    * output file a DISJOINT range of the sort key and the within-partition
+    * sort makes parquet row-group min/max stats tight — a selective
+    * predicate on the key then skips all but ~one file's row groups at scan
+    * time. The complement of hive partitioning ([[writeParquet]]'s
+    * `partitionBy`): use directories for low-cardinality dimensions, range
+    * sorting for high-cardinality ordered keys (timestamps, ids).
+    * SinksSpec2 asserts file-range disjointness on real data.
+    */
+  def writeSorted(df: DataFrame, path: String, sortCol: String,
+                  numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** K4 for the lake: partition-scoped parquet upsert. Rows in `updates`
     * replace same-key rows and insert new keys — but ONLY partitions that
     * contain an updated key are rewritten (dynamic partition overwrite);

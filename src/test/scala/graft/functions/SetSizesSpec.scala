@@ -1,6 +1,25 @@
 package graft.functions
 
 import graft.SparkSpec
+
+class SqlSurfaceSpec extends SparkSpec {
+  test("all native expressions are SQL-callable via the session extension") {
+    val r = spark.sql(
+      """SELECT pandas_title('a-b c') AS t,
+        |  simhash64(array('x','y')) AS sh,
+        |  size(shingle_hashes(array('a','b','c'), 2)) AS nsh,
+        |  size(minhash_signature(shingle_hashes(array('a','b','c'), 2), 16)) AS nmh,
+        |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+        |  hyperplane_sketch(array(1.0d, 0.0d), 0L, 8) AS hp""".stripMargin).head()
+    assert(r.getString(0) === "A-B C")
+    assert(r.getAs[Int]("nsh") === 2 && r.getAs[Int]("nmh") === 16)
+    assert(r.getDouble(4) === 11.0)
+    // sketch is deterministic: same call, same session, same value
+    val again = spark.sql(
+      "SELECT hyperplane_sketch(array(1.0d, 0.0d), 0L, 8)").head().getLong(0)
+    assert(r.getLong(5) === again)
+  }
+}
 import org.apache.spark.sql.functions._
 
 class SetSizesSpec extends SparkSpec {

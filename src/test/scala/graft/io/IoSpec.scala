@@ -65,6 +65,20 @@ class SinksSpec2 extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(ano"), plan)
   }
 
+  test("range-sorted layout: output files cover disjoint key ranges") {
+    val dir = Files.createTempDirectory("graft-sorted").toString + "/orders"
+    Sinks.writeSorted(graft.Tables.orders(spark, "/root/testdata/sf0.001"),
+      dir, "o_orderkey", numFiles = 4)
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length === 4)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi < lo, s"file ranges overlap: $ranges") // disjoint -> skippable
+    }
+  }
+
   test("parquet upsert rewrites ONLY partitions containing updated keys") {
     val dir = Files.createTempDirectory("graft-lake").toString + "/t"
     Seq((1L, 2010, "a"), (2L, 2010, "b"), (3L, 2011, "c"), (4L, 2012, "d"))
