@@ -38,24 +38,32 @@ object JaccardDedup {
     val t = docs.select(col("doc_id"), col("source"), col("n_chars"),
       array_distinct(split(col("text"), " ")).as("ws"))
 
+    // token identity travels as its 64-bit hash: every keyed shuffle below
+    // (frequency count, freq join, candidate join) carries 8-byte keys, not
+    // token strings. A hash collision can only MERGE two tokens' buckets —
+    // i.e. ADD candidate pairs — and exact verification removes them, so
+    // the lossless guarantee is unconditional.
     val toks = t.select(col("doc_id"), col("source"), col("n_chars"),
       size(col("ws")).as("sz"), explode(col("ws")).as("tok"))
+      .withColumn("th", xxhash64(col("tok")))
 
-    // global canonical token order: ascending document frequency, tie by
-    // token string — a total order every document sorts by
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // global canonical token order: ascending document frequency, ties by
+    // (hash, token) — the token string stays ONLY as the final tiebreak so
+    // colliding tokens still sort consistently across documents
+    val freq = toks.groupBy(col("th")).agg(count(lit(1)).as("df"))
 
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
-    val prefix = toks.join(freq, "tok")
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("th"), col("tok"))
+    val prefix = toks.join(freq, "th")
       .withColumn("rn", row_number().over(byDoc))
       .filter(col("rn") <= floor((lit(1.0) - lit(threshold)) * col("sz")) + lit(1))
-      .select(col("tok"), col("source"), col("doc_id"), col("n_chars"))
+      .select(col("th"), col("source"), col("doc_id"), col("n_chars"))
 
     val cand = prefix
-      .select(col("tok"), col("source"),
+      .select(col("th"), col("source"),
         col("doc_id").as("doc_a"), col("n_chars").as("ca"))
-      .join(prefix.select(col("tok"), col("source"),
-        col("doc_id").as("doc_b"), col("n_chars").as("cb")), Seq("source", "tok"))
+      .join(prefix.select(col("th"), col("source"),
+        col("doc_id").as("doc_b"), col("n_chars").as("cb")), Seq("source", "th"))
       .filter(col("doc_a") < col("doc_b") &&
         abs(col("ca") - col("cb")) * 5 <= col("ca") + col("cb"))
       .select(col("doc_a"), col("doc_b"))
