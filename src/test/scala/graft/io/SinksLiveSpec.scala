@@ -27,19 +27,20 @@ class SinksLiveSpec extends SparkSpec {
     p
   }
 
-  test("K2/K4: jdbcAppend round-trips through a real database, incl. the TEXT-rule column") {
+  test("K2/K4: jdbcAppend round-trips through a real database, every DDL type rule live") {
+    import java.sql.Date
     val df = Seq(
-      ("Acordo de Cooperação Técnica — ê çã", "BR", 2021, 1.5),
-      ("x" * 4000, "AR", 2022, 2.0), // exceeds VARCHAR(255): must land in the unbounded type
-      ("c", "CL", 2023, 3.25))
-      .toDF("título", "parceiro", "ano", "valor")
+      ("Acordo de Cooperação Técnica — ê çã", "BR", 2021, 1.5, Date.valueOf("2021-03-01")),
+      ("x" * 4000, "AR", 2022, 2.0, Date.valueOf("2022-11-30")), // > VARCHAR(255): unbounded type
+      ("c", "CL", 2023, 3.25, Date.valueOf("2023-01-15")))
+      .toDF("título", "parceiro", "ano", "valor", "data_de_celebração")
     Sinks.jdbcAppend(df, url, "acordos", props)
 
-    val back = spark.read.jdbc(url, "acordos", props)
-      .select("título", "parceiro", "ano", "valor")
-      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
-    assert(back.sortBy(_._2).toSeq === df.collect()
-      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3))).sortBy(_._2).toSeq)
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select("título", "parceiro", "ano", "valor", "data_de_celebração")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getDouble(3), r.getDate(4).toString)).sortBy(_._2).toSeq
+    assert(rows(spark.read.jdbc(url, "acordos", props)) === rows(df))
   }
 
   test("K4: batched MERGE upsert updates on key collision and inserts new keys") {
