@@ -61,6 +61,70 @@ object NormalizeProps extends Properties("Normalize") {
     }
 }
 
+object VectorProps extends Properties("Vectors") {
+  import graft.functions.Vectors
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  // integer-valued doubles: keeps sums away from subnormal sign-flip edges
+  private val vecGen = Gen.nonEmptyListOf(Gen.chooseNum(-100, 100).map(_.toDouble))
+  private def arr(v: List[Double]) = new GenericArrayData(v.toArray[Any])
+
+  property("dot == explicit left fold over the common prefix") =
+    forAll(vecGen, vecGen) { (a, b) =>
+      val n = math.min(a.size, b.size)
+      Vectors.dot(arr(a), arr(b)) ==
+        (0 until n).foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    }
+
+  property("hyperplane sketch is invariant under positive scaling") =
+    forAll(vecGen, Gen.chooseNum(1, 1000)) { (v, c) =>
+      Vectors.hyperplaneSketch(arr(v), 7L, 16) ==
+        Vectors.hyperplaneSketch(arr(v.map(_ * c)), 7L, 16)
+    }
+
+  property("distinct seeds give independent families (some vector separates them)") =
+    Prop(Vectors.hyperplaneSketch(arr(List(1.0, 2.0, 3.0, -4.0)), 1L, 16) !=
+      Vectors.hyperplaneSketch(arr(List(1.0, 2.0, 3.0, -4.0)), 2L, 16))
+}
+
+object TopKProps extends Properties("TopKAgg") {
+  private val entryGen = Gen.listOf(
+    Gen.zip(Gen.chooseNum(0, 20).map(_.toDouble), Gen.chooseNum(0L, 50L)))
+
+  property("fold over any input order == global sort-take") =
+    forAll(entryGen, Gen.chooseNum(1, 6)) { (xs, k) =>
+      val agg = new graft.ext.TopKAgg(k)
+      val got = xs.foldLeft(agg.zero)(agg.reduce)
+      val want = xs.sortBy(e => (-e._1, e._2)).take(k)
+      got == want
+    }
+
+  property("merge of split sketches == sketch of concatenation") =
+    forAll(entryGen, entryGen, Gen.chooseNum(1, 5)) { (a, b, k) =>
+      val agg = new graft.ext.TopKAgg(k)
+      val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+        b.foldLeft(agg.zero)(agg.reduce))
+      merged == (a ++ b).sortBy(e => (-e._1, e._2)).take(k)
+    }
+}
+
+object HeavyHitterProps extends Properties("HeavyHittersAgg") {
+  // small alphabet so items actually cross the n/(k+1) threshold
+  private val streamGen = Gen.listOf(Gen.oneOf("a", "a", "a", "b", "b", "c", "d", "e"))
+
+  property("every item above n/(k+1) is present, counts never overcount") =
+    forAll(streamGen, Gen.chooseNum(2, 6)) { (xs, k) =>
+      val agg = new graft.ext.HeavyHittersAgg(k)
+      val sketch = xs.foldLeft(agg.zero)(agg.reduce)
+      val exact = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val slack = xs.size.toDouble / (k + 1)
+      exact.forall { case (item, n) =>
+        (n <= slack || sketch.contains(item)) &&
+          sketch.getOrElse(item, 0L) <= n
+      }
+    }
+}
+
 /** Spark-level properties on tiny generated frames (bounded case count —
   * each case is a real local job).
   */
