@@ -177,6 +177,41 @@ object TpchCore {
           round(col("total_dec"), 2).cast("double").as("total"))
     }),
 
+    // correlated-subquery surface (TPC-H q22 shape): scalar subquery
+    // threshold + correlated NOT EXISTS anti join ("above-average-balance
+    // customers who never placed a 300k+ order"). The threshold is a
+    // rounded decimal sum divided by a count — one exact double each side,
+    // so the strictly-greater comparison is engine-independent.
+    "q22_rich_without_orders" -> ((s: SparkSession, dir: String) => {
+      Tables.customer(s, dir).createOrReplaceTempView("q22_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("q22_orders")
+      s.sql("""
+        SELECT c_nationkey, count(1) AS n_custs,
+          CAST(round(sum(CAST(c_acctbal AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_bal
+        FROM q22_customer c
+        WHERE c_acctbal > (
+            SELECT CAST(round(sum(CAST(c_acctbal AS DECIMAL(28,10))), 2) AS DOUBLE)
+                   / count(1)
+            FROM q22_customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM q22_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 300000.0)
+        GROUP BY c_nationkey""")
+    }),
+
+    // correlated EXISTS (decorrelates to a semi join): orders with at least
+    // one returned line, counted by status
+    "q23_orders_with_returns" -> ((s: SparkSession, dir: String) => {
+      Tables.orders(s, dir).createOrReplaceTempView("q23_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("q23_lineitem")
+      s.sql("""
+        SELECT o_orderstatus, count(1) AS n_orders
+        FROM q23_orders o
+        WHERE EXISTS (SELECT 1 FROM q23_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        GROUP BY o_orderstatus""")
+    }),
+
     // multi-dimensional aggregates
     "q13_rollup_status" -> ((s: SparkSession, dir: String) => {
       Tables.orders(s, dir)
@@ -297,6 +332,26 @@ object TpchCore {
     "q21_salted_sum" ->
       s"""SELECT o_orderstatus, ${sqlDsum("o_totalprice")} AS total
          |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q22_rich_without_orders" ->
+      s"""SELECT c_nationkey, ${sqlCount("1")} AS n_custs,
+         |  ${sqlDsum("c_acctbal")} AS total_bal
+         |FROM customer c
+         |WHERE c_acctbal > (
+         |    SELECT CAST(round(sum(CAST(c_acctbal AS DECIMAL(28,10))), 2) AS DOUBLE)
+         |           / count(1)
+         |    FROM customer WHERE c_acctbal > 0.0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders o
+         |                  WHERE o.o_custkey = c.c_custkey
+         |                    AND o.o_totalprice > 300000.0)
+         |GROUP BY c_nationkey""".stripMargin,
+
+    "q23_orders_with_returns" ->
+      s"""SELECT o_orderstatus, ${sqlCount("1")} AS n_orders
+         |FROM orders o
+         |WHERE EXISTS (SELECT 1 FROM lineitem l
+         |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+         |GROUP BY o_orderstatus""".stripMargin,
 
     "q17_except_all" ->
       "SELECT o_custkey AS k FROM orders EXCEPT ALL SELECT c_custkey AS k FROM customer",
