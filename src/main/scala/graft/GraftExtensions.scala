@@ -27,23 +27,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
-      ("pandas_title", "pandas_title(str) - pandas-exact title case",
+    val functions: Seq[(String, String, String, Seq[Expression] => Expression)] = Seq(
+      ("pandas_title", "graft.functions.PandasTitle",
+        "pandas_title(str) - pandas-exact title case",
         es => PandasTitle(es.head)),
-      ("shingle_hashes", "shingle_hashes(tokens, k) - sorted distinct k-shingle hashes",
+      ("shingle_hashes", "graft.functions.ShingleHashes",
+        "shingle_hashes(tokens, k) - sorted distinct k-shingle hashes",
         es => ShingleHashes(es.head, intArg(es(1), "shingle_hashes k"))),
-      ("minhash_signature", "minhash_signature(shingles, h) - h-value minhash signature",
+      ("minhash_signature", "graft.functions.MinHashSignature",
+        "minhash_signature(shingles, h) - h-value minhash signature",
         es => MinHashSignature(es.head, intArg(es(1), "minhash_signature h"))),
-      ("simhash64", "simhash64(tokens) - 64-bit simhash",
+      ("simhash64", "graft.functions.SimHash64",
+        "simhash64(tokens) - 64-bit simhash",
         es => SimHash64(es.head)),
-      ("dot_product", "dot_product(a, b) - allocation-free double-array dot product",
+      ("dot_product", "graft.functions.DotProduct",
+        "dot_product(a, b) - allocation-free double-array dot product",
         es => DotProduct(es.head, es(1))),
-      ("hyperplane_sketch", "hyperplane_sketch(vec, seed, planes) - LSH sign sketch",
+      ("hyperplane_sketch", "graft.functions.HyperplaneSketch",
+        "hyperplane_sketch(vec, seed, planes) - LSH sign sketch",
         es => HyperplaneSketch(es.head, es(1), intArg(es(2), "hyperplane_sketch planes"))))
-    functions.foreach { case (name, usage, builder) =>
+    functions.foreach { case (name, className, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(s"graft.functions", null, name, usage, ""),
+        new ExpressionInfo(className, null, name, usage, ""),
         builder))
     }
     ext.injectOptimizerRule(_ => graft.functions.RewriteSetSizes)

@@ -52,11 +52,18 @@ object JaccardDedup {
     // colliding tokens still sort consistently across documents
     val freq = toks.groupBy(col("th")).agg(count(lit(1)).as("df"))
 
+    // prefix length p = |s| − ⌈t·|s|⌉ + 1, computed in EXACT decimal: the
+    // double form floor((1−t)·sz)+1 underestimates by 1 whenever (1−t) or
+    // t·sz is inexact in binary (e.g. t=0.9, sz=10 → 1 instead of 2),
+    // silently breaking losslessness
+    val tDec = lit(new java.math.BigDecimal(java.lang.Double.toString(threshold)))
+    val prefixLen = col("sz") - ceil(tDec * col("sz")) + lit(1)
+
     val byDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("th"), col("tok"))
     val prefix = toks.join(freq, "th")
       .withColumn("rn", row_number().over(byDoc))
-      .filter(col("rn") <= floor((lit(1.0) - lit(threshold)) * col("sz")) + lit(1))
+      .filter(col("rn") <= prefixLen)
       .select(col("th"), col("source"), col("doc_id"), col("n_chars"))
 
     val cand = prefix

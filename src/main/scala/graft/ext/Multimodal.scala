@@ -168,12 +168,14 @@ object Multimodal {
     * decoding (the point of sampling).
     */
   def sampleFrames(media: Dataset[MediaRecord], stride: Int): Dataset[FrameFeatures] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>
       unpackFrames(r.payload).iterator
         .filter { case (i, _) => i % stride == 0 }
         .map { case (i, png) =>
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          require(img != null, s"media ${r.media_id} frame $i: not a decodable image")
           FrameFeatures(r.media_id, i, img.getWidth, img.getHeight)
         }
     })

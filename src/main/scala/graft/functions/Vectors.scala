@@ -17,11 +17,12 @@ import org.apache.spark.sql.types._
   */
 object Vectors {
 
-  /** Σ a_i·b_i over the common prefix, accumulated left-to-right (the same
-    * fold order as the SQL `aggregate` it replaces).
+  /** Σ a_i·b_i, accumulated left-to-right (the same fold order as the SQL
+    * `aggregate` it replaces). Callers guarantee equal lengths — the
+    * expression layer turns a mismatch into NULL first.
     */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
@@ -71,17 +72,29 @@ case class HyperplaneSketch(left: Expression, right: Expression, nPlanes: Int)
     copy(left = newLeft, right = newRight)
 }
 
-/** `dot_product(a, b)` over two double arrays. */
+/** `dot_product(a, b)` over two double arrays. Length mismatch → NULL (the
+  * null-propagation the SQL zip_with form had: a truncated/corrupt vector
+  * must fall out of similarity filters, not receive a plausible partial
+  * score).
+  */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    Vectors.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (aa.numElements() != bb.numElements()) null else Vectors.dot(aa, bb)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Vectors.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.Vectors.dot($a, $b);
+         |}""".stripMargin)
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)

@@ -83,29 +83,51 @@ object Sinks {
     * at 100 TB an upsert touching one day must not rewrite the year, and
     * SinksSpec2 pins that untouched partitions' files are left alone.
     *
-    * Mechanics: affected partitions = distinct partition values in
-    * `updates` (broadcast — bounded by partition count, not data); keep
-    * their non-updated rows (anti join on key), union the updates, stage
-    * to a temp dir (Spark refuses a write that overlaps its own scan),
-    * then dynamic-overwrite only those partitions.
+    * Mechanics: affected partitions = the updates' partition values PLUS
+    * any partition where an updated key currently lives (a key whose
+    * update MOVES it between partitions must have its old row deleted, so
+    * the old partition rewrites too). Both sets are value-distinct —
+    * bounded by partition count, not data. Non-updated rows of affected
+    * partitions are kept (anti join on key), the updates unioned in,
+    * everything staged next to the target (Spark refuses a write that
+    * overlaps its own scan; staging on the SAME filesystem keeps this
+    * cluster-valid), then dynamic overwrite rewrites only the affected
+    * partitions and the staging dir is removed.
     */
   def upsertParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
                     updates: DataFrame, keyCols: Seq[String],
                     partitionCol: String): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val target = spark.read.parquet(dir)
-    val affected = updates.select(col(partitionCol)).distinct()
+    val keys = updates.select(keyCols.map(col): _*)
+    val affected = updates.select(col(partitionCol))
+      .union(target.join(keys, keyCols, "left_semi").select(col(partitionCol)))
+      .distinct()
     val merged = target
       .join(broadcast(affected), Seq(partitionCol), "left_semi")
-      .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .join(keys, keyCols, "left_anti")
       .unionByName(updates.select(target.columns.map(col): _*))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-upsert").toString + "/staged"
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionCol)
-      .parquet(dir)
+    val staged = new org.apache.hadoop.fs.Path(s"$dir.graft-upsert-staging")
+    val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      merged.write.mode("overwrite").parquet(staged.toString)
+      val stagedDf = spark.read.parquet(staged.toString)
+      // materialize BEFORE overwriting: both plans scan the target dir,
+      // whose files are about to be replaced (partition-count bounded)
+      val affectedVals = affected.collect().map(_.get(0)).toSet
+      val stagedVals = stagedDf.select(col(partitionCol)).distinct()
+        .collect().map(_.get(0)).toSet
+      stagedDf.write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol)
+        .parquet(dir)
+      // a partition EMPTIED by a key move has no rows in the merged data,
+      // so dynamic overwrite never touches it — remove its directory
+      (affectedVals -- stagedVals).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, s"$partitionCol=$v"), true): Unit
+      }
+    } finally fs.delete(staged, true): Unit
   }
 
   /** K2/K3/K4(effective) — append via Spark's batched JDBC writer. */
@@ -135,9 +157,12 @@ object Sinks {
                      dummyTable: String = "SYSIBM.SYSDUMMY1"): String = {
     val on = keyCols.map(k => s"t.$k = ?").mkString(" AND ")
     val nonKey = cols.filterNot(keyCols.contains)
-    val updates = nonKey.map(c => s"t.$c = ?").mkString(", ")
-    s"MERGE INTO $table AS t USING $dummyTable ON ($on) " +
-      s"WHEN MATCHED THEN UPDATE SET $updates " +
+    // all-key table (presence ledger): MERGE legally omits WHEN MATCHED —
+    // an empty UPDATE SET would be a syntax error
+    val matched =
+      if (nonKey.isEmpty) ""
+      else s"WHEN MATCHED THEN UPDATE SET ${nonKey.map(c => s"t.$c = ?").mkString(", ")} "
+    s"MERGE INTO $table AS t USING $dummyTable ON ($on) " + matched +
       s"WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")}) " +
       s"VALUES (${cols.map(_ => "?").mkString(", ")})"
   }

@@ -57,6 +57,8 @@ object DataPrep {
       dropNearDups(dropExactDups(qualityGate(docs, cfg.minScore)), cfg.nearDupJaccard),
       col("doc_id"), cfg.splitWeights, cfg.splitNames)
     prepared.write.mode("overwrite").partitionBy("split").parquet(outDir)
-    prepared
+    // hand back the WRITTEN corpus: re-running the multi-join LSH pipeline
+    // on every downstream action would triple the cost of the lazy plan
+    spark.read.parquet(outDir)
   }
 }

@@ -98,8 +98,6 @@ object Breadth {
         .na.fill(0L)
     }),
 
-    // RANGE window frame: 7-day trailing spend per customer (epoch seconds
-    // so both engines share an integer range dimension)
     // map scalar family: construct (map_from_entries), introspect
     // (map_keys/size), look up (element_at with a computed key)
     "b10_map_funcs" -> ((s: SparkSession, dir: String) => {
@@ -113,6 +111,8 @@ object Breadth {
           element_at(col("m"), array_min(map_keys(col("m")))).as("first_val"))
     }),
 
+    // RANGE window frame: 7-day trailing spend per customer (epoch seconds
+    // so both engines share an integer range dimension)
     "b9_range_window" -> ((s: SparkSession, dir: String) => {
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("sec"))
         .rangeBetween(-604800L, 0L)

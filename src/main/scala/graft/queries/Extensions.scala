@@ -20,7 +20,10 @@ object Extensions {
     * the corpus assignment are built and persisted ONCE per (session,
     * corpus); registry entries then measure what a serving system pays —
     * the probe. Keyed by applicationId so a fresh session (tests) never
-    * sees another session's cached plans.
+    * sees another session's cached plans. Entries are never evicted, which
+    * is deliberate and bounded: one small persisted assignment per corpus
+    * dir (the driver uses three), alive exactly as long as the model is
+    * servable — a long-lived deployment would hold the same state.
     */
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), (Similarity.IvfModel, DataFrame)]

@@ -127,7 +127,7 @@ class JaccardDedupSpec extends SparkSpec {
       asTriples(naivePairs(docs, 0.5)))
   }
 
-  test("prefix-filter join output == naive all-pairs (seeded random corpus)") {
+  test("prefix-filter join output == naive all-pairs (seeded random corpus, several thresholds)") {
     val rnd = new scala.util.Random(42)
     val vocab = (0 until 50).map(i => s"t$i")
     val docs = (0L until 60L).map { id =>
@@ -137,9 +137,24 @@ class JaccardDedupSpec extends SparkSpec {
       (id, s"s${rnd.nextInt(2)}", text.length, text)
     }.toDF("doc_id", "source", "n_chars", "text")
     docs.cache().count()
-    assert(asTriples(JaccardDedup.similarPairs(docs, 0.5)) ===
-      asTriples(naivePairs(docs, 0.5)))
+    // 0.5 is FP-exact; 0.9/0.7/0.3 exercise the inexact-binary thresholds
+    // where a double prefix length undercounts and drops true pairs
+    for (t <- Seq(0.5, 0.9, 0.7, 0.3))
+      assert(asTriples(JaccardDedup.similarPairs(docs, t)) ===
+        asTriples(naivePairs(docs, t)), s"threshold $t")
     docs.unpersist()
+  }
+
+  test("lossless at t=0.9: the FP-undercount counterexample pair is found") {
+    // J(A,B) = 9/10 exactly; with floor((1-0.9)*10)+1 = 1 the rarest token
+    // 'unique0' is A's whole prefix, B's prefix misses it, and the pair
+    // would vanish. The decimal prefix length (2) keeps it.
+    val a = (1 to 9).map(i => s"s$i").mkString(" ") + " unique0"
+    val b = (1 to 9).map(i => s"s$i").mkString(" ")
+    val docs = Seq((1L, "s1", a.length, a), (2L, "s1", b.length, b))
+      .toDF("doc_id", "source", "n_chars", "text")
+    val got = asTriples(JaccardDedup.similarPairs(docs, 0.9))
+    assert(got === Seq((1L, 2L, 0.9)))
   }
 }
 
@@ -454,5 +469,9 @@ class SinksSpec extends SparkSpec {
       "MERGE INTO t AS t USING SYSIBM.SYSDUMMY1 ON (t.k = ?) " +
         "WHEN MATCHED THEN UPDATE SET t.v = ? " +
         "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (?, ?)")
+    // all-key presence table: WHEN MATCHED must be omitted, not empty
+    assert(Sinks.upsertSqlMerge("t", Seq("k"), Seq("k")) ===
+      "MERGE INTO t AS t USING SYSIBM.SYSDUMMY1 ON (t.k = ?) " +
+        "WHEN NOT MATCHED THEN INSERT (k) VALUES (?)")
   }
 }

@@ -19,6 +19,14 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT hyperplane_sketch(array(1.0d, 0.0d), 0L, 8)").head().getLong(0)
     assert(r.getLong(5) === again)
   }
+
+  test("dot_product null-propagates on length mismatch (corrupt-vector safety)") {
+    val r = spark.sql(
+      """SELECT dot_product(array(1.0d, 2.0d), array(3.0d)) AS mismatch,
+        |  dot_product(array(1.0d, 2.0d), CAST(NULL AS ARRAY<DOUBLE>)) AS nullarg""".stripMargin)
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
 }
 import org.apache.spark.sql.functions._
 

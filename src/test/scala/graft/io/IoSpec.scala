@@ -99,6 +99,20 @@ class SinksSpec2 extends SparkSpec {
       (4L, 2012, "d"), (9L, 2010, "new")))
     assert(files("2011") === before2011, "untouched partition was rewritten")
     assert(files("2012") === before2012, "untouched partition was rewritten")
+
+    // staging dir cleaned up
+    assert(!new java.io.File(s"$dir.graft-upsert-staging").exists())
+
+    // a PARTITION-MOVING update: k=3 moves 2011 -> 2012; the old 2011 row
+    // must disappear (old partition rewrites), 2010 untouched this time
+    val before2010 = files("2010")
+    val move = Seq((3L, 2012, "c-moved")).toDF("k", "ano", "v")
+    Sinks.upsertParquet(spark, dir, move, keyCols = Seq("k"), partitionCol = "ano")
+    val after = spark.read.parquet(dir).select("k", "ano", "v").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    assert(after === Seq((1L, 2010, "a2"), (2L, 2010, "b"), (3L, 2012, "c-moved"),
+      (4L, 2012, "d"), (9L, 2010, "new")))
+    assert(files("2010") === before2010, "untouched partition was rewritten")
   }
 
   test("bucketed tables join without a shuffle (the co-located-join layout)") {
