@@ -65,6 +65,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("AQE is live: shuffle reads are adaptive (runtime re-planning enabled)") {
+    // the engine relies on AQE for runtime partition coalescing and skew
+    // splitting; pin that sessions actually run adaptive plans
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    df.collect() // materialize THIS queryExecution so AQE finalizes it
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AdaptiveSparkPlan"), p.take(1000))
+    assert(p.contains("isFinalPlan=true"), p.take(2000))
+  }
+
   test("silver scan prunes columns (ReadSchema is a subset)") {
     val df = SparkEntry.queries("ref_silver_clean")(spark, sf)
     val scan = df.queryExecution.executedPlan.toString

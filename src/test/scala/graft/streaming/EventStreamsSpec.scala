@@ -78,6 +78,27 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append-mode windowed counts emit only when the watermark closes a window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val q = hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly_append")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(EventRow(1, ts("2024-01-01 10:05:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      // window still open (watermark = max ts - 2h) -> nothing emitted
+      assert(spark.table("hourly_append").count() === 0)
+      // an event 4h later pushes the watermark past the 10:00 window
+      input.addData(EventRow(2, ts("2024-01-01 14:00:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("hourly_append")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2)))
+      assert(got.toSeq === Seq(("2024-01-01 10:00:00.0", 1L))) // closed window only
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches same-user events within the window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
