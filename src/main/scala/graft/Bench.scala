@@ -17,11 +17,17 @@ object Bench {
     } catch { case _: Throwable => }
 
     // noop sink: forces FULL evaluation of every output column (a bare
-    // count() lets Spark prune projections and under-reports the work)
+    // count() lets Spark prune projections and under-reports the work).
+    // A failing query must NOT contribute its (near-zero) elapsed time —
+    // that would report an engine regression as a bench improvement.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name: $e")
+        failed += name
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -35,12 +41,13 @@ object Bench {
       val warms = Seq.fill(warmRuns)(once(name, fn)).sorted
       val median = if (warms.isEmpty) cold else warms(warms.size / 2)
       name -> ((cold, median))
-    }
+    }.filter { case (name, _) => !failed.contains(name) }
     def obj(f: ((Double, Double)) => Double) = results
       .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
     val warmTotal = results.values.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._1)},"warm_total":$warmTotal,"warm_queries":${obj(_._2)},"warm_runs":$warmRuns,"sf":"$sfDir"}""")
+    val errs = failed.map(n => s"\"$n\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._1)},"warm_total":$warmTotal,"warm_queries":${obj(_._2)},"warm_runs":$warmRuns,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,15 +34,23 @@ object Verify {
       if (worker.isAlive) {
         System.err.println(s"[verify] $name TIMED OUT after ${timeoutMs / 1000}s; cancelling")
         spark.sparkContext.cancelJobGroup(s"verify-$name")
-        worker.join(30000)
-        // a cancelled write may leave a partial parquet dir — remove it so
-        // the driver records "missing" (honest) instead of reading garbage
+        // wait until the worker is actually DEAD before removing output —
+        // deleting while it can still complete its write would let a
+        // zombie recreate the dir with partial data afterwards
+        var grace = 0
+        while (worker.isAlive && grace < 8) { worker.join(30000); grace += 1 }
         val dir = new java.io.File(s"$outDir/$name")
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
           f.delete(): Unit
         }
-        if (dir.exists()) rm(dir)
+        if (worker.isAlive)
+          System.err.println(s"[verify] $name worker uncancellable; leaving dir for inspection")
+        else if (dir.exists()) {
+          // a cancelled write may leave a partial parquet dir — remove it so
+          // the driver records "missing" (honest) instead of reading garbage
+          rm(dir)
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -35,8 +35,14 @@ object JaccardDedup {
     * mirrored in the oracle).
     */
   def similarPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    // the tokenized corpus is consumed three times (token explode + both
+    // sides of the verification join); persist beats recomputing the
+    // split/distinct scan each time — same measured trade as
+    // MinHashDedup.nearDuplicates (cache released by the ContextCleaner
+    // once the result plan is unreferenced)
     val t = docs.select(col("doc_id"), col("source"), col("n_chars"),
       array_distinct(split(col("text"), " ")).as("ws"))
+      .persist()
 
     // token identity travels as its 64-bit hash: every keyed shuffle below
     // (frequency count, freq join, candidate join) carries 8-byte keys, not

@@ -53,7 +53,10 @@ object MinHashDedup {
     // shingle sets are used three times (banding + both sides of the
     // verification join) — persist beats recomputation even with the cheap
     // native sketch expressions (measured: 1.2s warm cached vs 7.5s
-    // recomputed at sf0.1)
+    // recomputed at sf0.1). The cache is scoped to the returned plan's
+    // lifetime: once callers drop the result, the ContextCleaner reclaims
+    // the blocks (repeat callers pin at most one live copy per in-flight
+    // result, not one per call retained forever).
     val sigs = signatures(docs, idCol, textCol, h)
     sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

@@ -109,7 +109,12 @@ object Similarity {
     (1 to iters).foreach { _ =>
       centroids = assignNearest(c, IvfModel(centroids).centroidDf(spark))
         .select(col("cid"), posexplode(col("n_vec")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos").agg(avg(col("v")).as("m"))
+        .groupBy("cid", "pos")
+        // exact-decimal mean: a raw double avg() merges partials in
+        // task-completion order, so centroids (and therefore assignments
+        // near rounding boundaries) would differ run to run
+        .agg((sum(col("v").cast("decimal(28,14)")) / count(lit(1)))
+          .cast("double").as("m"))
         .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
         .select(col("cid"), expr("transform(dims, d -> d.m)").as("c_vec"))
         .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))

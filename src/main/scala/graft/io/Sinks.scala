@@ -123,9 +123,16 @@ object Sinks {
         .partitionBy(partitionCol)
         .parquet(dir)
       // a partition EMPTIED by a key move has no rows in the merged data,
-      // so dynamic overwrite never touches it — remove its directory
+      // so dynamic overwrite never touches it — remove its directory.
+      // Hive path escaping (and the null-partition name) must match what
+      // the writer produced, so build the segment with catalyst's escaper.
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       (affectedVals -- stagedVals).foreach { v =>
-        fs.delete(new org.apache.hadoop.fs.Path(dir, s"$partitionCol=$v"), true): Unit
+        val valuePart =
+          if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+          else ExternalCatalogUtils.escapePathName(v.toString)
+        fs.delete(new org.apache.hadoop.fs.Path(dir,
+          s"${ExternalCatalogUtils.escapePathName(partitionCol)}=$valuePart"), true): Unit
       }
     } finally fs.delete(staged, true): Unit
   }

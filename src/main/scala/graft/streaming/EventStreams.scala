@@ -104,8 +104,11 @@ object EventStreams {
             sorted.foreach { e =>
               val sec = e.ts.getTime / 1000
               val isNew = st.lastSec == Long.MinValue || sec - st.lastSec > gapSec
-              st = SessionState(sec, st.openSessions + (if (isNew) 1 else 0),
-                st.nEvents + 1)
+              // never REWIND the session clock: a late (cross-batch
+              // out-of-order) event must not reopen the gap and inflate the
+              // session count on the next in-order event
+              st = SessionState(math.max(st.lastSec, sec),
+                st.openSessions + (if (isNew) 1 else 0), st.nEvents + 1)
             }
             state.update(st)
             evictAfter.foreach(state.setTimeoutDuration)

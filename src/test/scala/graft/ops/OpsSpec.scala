@@ -31,6 +31,22 @@ class OpsSpec extends SparkSpec {
     assert(got(3) === ("Abc", "Abc"))
   }
 
+  test("F4 pandas_title matches CPython on CASED boundaries, expansions, final sigma") {
+    import graft.functions.PandasTitle
+    import org.apache.spark.unsafe.types.UTF8String
+    def t(s: String) = PandasTitle.title(UTF8String.fromString(s)).toString
+    // every expectation below is the verbatim CPython 3 str.title() output
+    assert(t("中国a") === "中国A")      // ideographs are not cased -> new word
+    assert(t("ʻokina") === "ʻOkina")   // modifier letter is not cased
+    assert(t("ß x") === "Ss X")        // one-to-many titlecase expansion
+    assert(t("ﬁne") === "Fine")        // ligature expands
+    assert(t("ǆungla") === "ǅungla")   // single-codepoint titlecase form
+    assert(t("ΟΣ") === "Ος")           // Final_Sigma rule
+    assert(t("ΟΣ a") === "Ος A")       // sigma final before non-cased too
+    assert(t("aİb") === "Ai̇b")         // İ lowercases to i + combining dot
+    assert(t("a1b c") === "A1B C")     // digits are not cased -> new word
+  }
+
   test("F4 pandas_title propagates null and registers as SQL function") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT pandas_title(NULL), pandas_title('a.b c')").head()

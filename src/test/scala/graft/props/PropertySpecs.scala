@@ -22,19 +22,28 @@ object NormalizeProps extends Properties("Normalize") {
     !n.contains(' ') && n == n.toLowerCase
   }
 
-  property("pandas_title is idempotent") = forAll { (s: String) =>
+  // idempotence holds where no one-to-many case expansion occurs; CPython
+  // itself is non-idempotent on expansions ('aİb'.title() == 'Ai̇b', but
+  // 'Ai̇b'.title() == 'Ai̇B') and parity means matching that — so the
+  // property is checked over ASCII, and the expansion cases are pinned
+  // against CPython outputs in OpsSpec.
+  private val asciiGen = Gen.listOf(Gen.choose(' ', '~')).map(_.mkString)
+
+  property("pandas_title is idempotent (ASCII)") = forAll(asciiGen) { (s: String) =>
     val once = PandasTitle.title(UTF8String.fromString(s)).toString
     PandasTitle.title(UTF8String.fromString(once)).toString == once
   }
 
-  property("pandas_title preserves length and non-letters") = forAll { (s: String) =>
-    val t = PandasTitle.title(UTF8String.fromString(s)).toString
-    // codepoint count preserved; every non-letter codepoint unchanged
-    val a = s.codePoints.toArray; val b = t.codePoints.toArray
-    a.length == b.length && a.indices.forall { i =>
-      Character.isLetter(a(i)) || a(i) == b(i)
+  property("pandas_title preserves length and non-letters (ASCII)") =
+    forAll(asciiGen) { (s: String) =>
+      val t = PandasTitle.title(UTF8String.fromString(s)).toString
+      // codepoint count preserved; every non-letter codepoint unchanged
+      // (only within ASCII — full Unicode has one-to-many expansions)
+      val a = s.codePoints.toArray; val b = t.codePoints.toArray
+      a.length == b.length && a.indices.forall { i =>
+        Character.isLetter(a(i)) || a(i) == b(i)
+      }
     }
-  }
 
   private val tokenGen = Gen.listOf(Gen.alphaLowerStr.suchThat(_.nonEmpty))
 

@@ -54,6 +54,30 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: a late event never rewinds the session clock") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val q = sessionize(input.toDS())
+      .writeStream.format("memory").queryName("late_test")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        EventRow(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        EventRow(2, ts("2024-01-01 10:20:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      // late event 30 min BEFORE the clock: in-gap, must not rewind it
+      input.addData(EventRow(3, ts("2024-01-01 09:50:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      // 10:40 is within 30 min of the true last event (10:20): same session
+      input.addData(EventRow(4, ts("2024-01-01 10:40:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      val last = spark.table("late_test")
+        .collect().map(r => (r.getLong(1), r.getLong(2))).maxBy(_._2)
+      assert(last === ((1L, 4L))) // still ONE session over 4 events
+    } finally q.stop()
+  }
+
   test("streaming dedup drops within-watermark duplicates across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
