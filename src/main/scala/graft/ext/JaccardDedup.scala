@@ -29,19 +29,38 @@ import org.apache.spark.sql.functions._
   */
 object JaccardDedup {
 
-  /** Pairs (doc_a < doc_b, same source) with Jaccard(token sets) ≥
+  /** Distinct token set at the given n-gram order: n=1 → words; n>1 →
+    * space-joined runs of n consecutive words (string n-grams, so the
+    * oracle can mirror them — [[MinHashDedup]] is the hashed-shingle
+    * variant). Takes the column NAME: SQL lambdas need a spliceable
+    * identifier.
+    */
+  def ngramSet(textColName: String, n: Int): org.apache.spark.sql.Column = {
+    require(n >= 1)
+    if (n == 1) array_distinct(split(col(textColName), " "))
+    else {
+      val w = s"split($textColName, ' ')"
+      val parts = (0 until n).map(j => s"element_at($w, i + $j)").mkString(", ")
+      expr(s"""array_distinct(CASE WHEN size($w) >= $n THEN
+        transform(sequence(1, size($w) - ${n - 1}), i -> concat_ws(' ', $parts))
+        ELSE CAST(array() AS array<string>) END)""")
+    }
+  }
+
+  /** Pairs (doc_a < doc_b, same source) with Jaccard(n-gram sets) ≥
     * `threshold`, restricted to |Δn_chars|·5 ≤ n_chars sum (the ≤1.5×
     * length-ratio prefilter that is part of this operator's round-1 spec,
     * mirrored in the oracle).
     */
-  def similarPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def similarPairs(docs: DataFrame, threshold: Double = 0.5,
+                   ngram: Int = 1): DataFrame = {
     // the tokenized corpus is consumed three times (token explode + both
     // sides of the verification join); persist beats recomputing the
     // split/distinct scan each time — same measured trade as
     // MinHashDedup.nearDuplicates (cache released by the ContextCleaner
     // once the result plan is unreferenced)
     val t = docs.select(col("doc_id"), col("source"), col("n_chars"),
-      array_distinct(split(col("text"), " ")).as("ws"))
+      ngramSet("text", ngram).as("ws"))
       .persist()
 
     // token identity travels as its 64-bit hash: every keyed shuffle below

@@ -88,6 +88,13 @@ object Extensions {
       JaccardDedup.similarPairs(Tables.documents(s, dir), threshold = 0.5)
     }),
 
+    // n-gram (n=3) variant: string trigram sets, much stricter — catches
+    // only genuine phrase-level near-dups (the hashed-shingle scale form
+    // is MinHashDedup; this one is oracle-mirrorable)
+    "x_dedup_jaccard_3gram" -> ((s: SparkSession, dir: String) => {
+      JaccardDedup.similarPairs(Tables.documents(s, dir), threshold = 0.2, ngram = 3)
+    }),
+
     // MinHash signatures (deterministic; the LSH pair search is asserted in
     // MinHashDedupSpec with planted near-duplicates — approximate by nature)
     "x_dedup_minhash_sigs" -> ((s: SparkSession, dir: String) => {
@@ -374,6 +381,19 @@ object Extensions {
     "x_dedup_exact" ->
       s"""SELECT min(doc_id) AS canonical_id, ${sqlCount()} AS n_copies
          |FROM documents GROUP BY text""".stripMargin,
+
+    "x_dedup_jaccard_3gram" ->
+      s"""WITH t AS (SELECT doc_id, source, n_chars,
+         |  list_distinct(list_transform(generate_series(1, len($sqlWords) - 2),
+         |    i -> $sqlWords[i] || ' ' || $sqlWords[i+1] || ' ' || $sqlWords[i+2])) AS ws
+         |  FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
+         |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  AND abs(a.n_chars - b.n_chars) * 5 <= a.n_chars + b.n_chars
+         |WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.2""".stripMargin,
 
     "x_text_quality" ->
       s"""SELECT doc_id,

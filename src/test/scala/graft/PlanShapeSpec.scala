@@ -76,6 +76,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("isFinalPlan=true"), p.take(2000))
   }
 
+  test("REGISTRY-WIDE: no unplanned nested-loop/cartesian join in any query") {
+    // the operators that are quadratic BY SPEC (exact pair scoring, or a
+    // deliberate cross join against a broadcast model/query side bounded by
+    // nlist or |queries|) — everything else must plan keyed joins only
+    val quadraticBySpec = Set(
+      "x_dedup_embed_exact", // exact pair join: the oracle for the LSH form
+      "x_sim_topk_brute",    // corpus × broadcast(small query set)
+      "x_sim_ann_ivf",       // queries × broadcast(centroids), nlist-bounded
+      "x_sim_ivf_recall",    // includes the brute-force reference
+      "x_sim_ann_lsh")       // queries broadcast into buckets
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(quadraticBySpec)
+      .flatMap { name =>
+        val p = plan(name)
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      }
+    assert(offenders.isEmpty, s"unplanned cross joins in: $offenders")
+  }
+
   test("silver scan prunes columns (ReadSchema is a subset)") {
     val df = SparkEntry.queries("ref_silver_clean")(spark, sf)
     val scan = df.queryExecution.executedPlan.toString

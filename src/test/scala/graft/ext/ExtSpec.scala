@@ -145,6 +145,41 @@ class JaccardDedupSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("n-gram mode: prefix-filter output == naive bigram all-pairs; planted trigram dup") {
+    // bigram equivalence on the seeded corpus shape
+    val rnd = new scala.util.Random(5)
+    val vocab = (0 until 30).map(i => s"t$i")
+    val docs = (0L until 40L).map { id =>
+      val words = Seq.fill(6 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+      val text = words.mkString(" ")
+      (id, "s1", text.length, text)
+    }.toDF("doc_id", "source", "n_chars", "text")
+    val naive = {
+      val d = docs.select($"doc_id", $"source", $"n_chars",
+        JaccardDedup.ngramSet("text", 2).as("ws"))
+      val a = d.select($"doc_id".as("doc_a"), $"source", $"n_chars".as("ca"), $"ws".as("wa"))
+      val b = d.select($"doc_id".as("doc_b"), $"source", $"n_chars".as("cb"), $"ws".as("wb"))
+      a.join(b, Seq("source"))
+        .filter($"doc_a" < $"doc_b" && abs($"ca" - $"cb") * 5 <= $"ca" + $"cb")
+        .select($"doc_a", $"doc_b",
+          (size(array_intersect($"wa", $"wb")).cast("double") /
+            size(array_union($"wa", $"wb"))).as("jaccard"))
+        .filter($"jaccard" >= 0.3)
+    }
+    assert(asTriples(JaccardDedup.similarPairs(docs, 0.3, ngram = 2)) === asTriples(naive))
+
+    // a phrase-level near-dup shares trigrams; a reshuffled doc does not
+    val phrase = "alpha beta gamma delta epsilon zeta"
+    val planted = Seq(
+      (100L, "s1", phrase.length, phrase),
+      (101L, "s1", phrase.length, "alpha beta gamma delta epsilon eta"),
+      (102L, "s1", phrase.length, "zeta epsilon delta gamma beta alpha")) // same words, no shared trigram
+      .toDF("doc_id", "source", "n_chars", "text")
+    val tri = JaccardDedup.similarPairs(planted, 0.2, ngram = 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tri === Set((100L, 101L)))
+  }
+
   test("lossless at t=0.9: the FP-undercount counterexample pair is found") {
     // J(A,B) = 9/10 exactly; with floor((1-0.9)*10)+1 = 1 the rarest token
     // 'unique0' is A's whole prefix, B's prefix misses it, and the pair
