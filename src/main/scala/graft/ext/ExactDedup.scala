@@ -47,4 +47,31 @@ object ExactDedup {
 
     singles.union(verified)
   }
+
+  /** Incremental exact dedup — the daily-ingest flow: which docs of a NEW
+    * batch are absent (by content) from an existing corpus? History is
+    * never re-deduped; at steady state the corpus side is a precomputed
+    * 8-byte content-hash table. Batch rows probe it by hash, and ONLY
+    * hash-matched candidates fetch corpus text for exact verification —
+    * so a hash collision can never drop a genuinely novel document, and
+    * corpus text moves only for actual duplicate candidates.
+    *
+    * Within-batch duplicates are deliberately retained (compose with
+    * [[byContent]] for that half).
+    */
+  def newAgainstCorpus(batch: DataFrame, corpus: DataFrame,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val b = batch.select(col(idCol), col(textCol).as("t"),
+      xxhash64(col(textCol)).as("h"))
+    val corpusHashes = corpus.select(xxhash64(col(textCol)).as("h"))
+    val noHashMatch = b.join(corpusHashes, Seq("h"), "left_anti")
+      .select(col(idCol))
+    val candidates = b.join(corpusHashes, Seq("h"), "left_semi")
+    val corpusVerify = corpus.select(xxhash64(col(textCol)).as("h"),
+      col(textCol).as("t"))
+    val collisionOnly = candidates.join(corpusVerify, Seq("h", "t"), "left_anti")
+      .select(col(idCol))
+    noHashMatch.union(collisionOnly)
+  }
 }

@@ -88,6 +88,15 @@ object Extensions {
       JaccardDedup.similarPairs(Tables.documents(s, dir), threshold = 0.5)
     }),
 
+    // incremental dedup: a "new batch" (source src0) probed against the
+    // rest of the corpus by content hash, exact text verify for candidates
+    "x_dedup_incremental" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir)
+      ExactDedup.newAgainstCorpus(
+        batch = docs.filter(col("source") === "src0"),
+        corpus = docs.filter(col("source") =!= "src0"))
+    }),
+
     // n-gram (n=3) variant: string trigram sets, much stricter — catches
     // only genuine phrase-level near-dups (the hashed-shingle scale form
     // is MinHashDedup; this one is oracle-mirrorable)
@@ -381,6 +390,12 @@ object Extensions {
     "x_dedup_exact" ->
       s"""SELECT min(doc_id) AS canonical_id, ${sqlCount()} AS n_copies
          |FROM documents GROUP BY text""".stripMargin,
+
+    "x_dedup_incremental" ->
+      """SELECT doc_id FROM documents b
+        |WHERE source = 'src0'
+        |  AND NOT EXISTS (SELECT 1 FROM documents c
+        |                  WHERE c.source <> 'src0' AND c.text = b.text)""".stripMargin,
 
     "x_dedup_jaccard_3gram" ->
       s"""WITH t AS (SELECT doc_id, source, n_chars,

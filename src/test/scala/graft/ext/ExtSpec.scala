@@ -92,6 +92,28 @@ class ExactDedupSpec extends SparkSpec {
   }
 }
 
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("new-vs-corpus dedup == NOT EXISTS by text; batch-internal dups retained") {
+    val corpus = Seq((1L, "seen before"), (2L, "also known"), (3L, "old news"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "seen before"),  // dup of corpus -> dropped
+      (11L, "brand new"),    // novel -> kept
+      (12L, "brand new"),    // batch-internal dup -> BOTH kept (by contract)
+      (13L, "old news"))     // dup of corpus -> dropped
+      .toDF("doc_id", "text")
+    val got = graft.ext.ExactDedup.newAgainstCorpus(batch, corpus)
+      .as[Long].collect().sorted
+    assert(got.toSeq === Seq(11L, 12L))
+    // equivalence with the naive text anti join
+    val naive = batch.join(corpus.select($"text"), Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq === naive.toSeq)
+  }
+}
+
 class JaccardDedupSpec extends SparkSpec {
   import spark.implicits._
 
