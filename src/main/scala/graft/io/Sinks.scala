@@ -60,6 +60,27 @@ object Sinks {
       s"`${f.name}` $t"
     }.mkString(", ")
 
+  /** Small-file compaction: rewrite a directory into ⌈rows / rowsPerFile⌉
+    * files. Streaming sinks and incremental upserts accrete small files
+    * until footer-listing and task-scheduling overheads dominate scans —
+    * periodic compaction is table maintenance every lake runs. Content is
+    * unchanged (round-trip pinned in SinksSpec2); combine with
+    * [[writeSorted]] when a sort key should also tighten row-group stats.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              rowsPerFile: Long): Unit = {
+    val df = spark.read.parquet(dir)
+    val n = df.count()
+    val files = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
+    val staged = new org.apache.hadoop.fs.Path(s"$dir.graft-compact-staging")
+    val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      df.repartition(files).write.mode("overwrite").parquet(staged.toString)
+      spark.read.parquet(staged.toString)
+        .write.mode("overwrite").parquet(dir)
+    } finally fs.delete(staged, true): Unit
+  }
+
   /** Range-sorted layout for data skipping: `repartitionByRange` gives every
     * output file a DISJOINT range of the sort key and the within-partition
     * sort makes parquet row-group min/max stats tight — a selective

@@ -39,6 +39,16 @@ object Sources {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
 
+  /** Schema-evolution read: merge the schemas of all footers instead of
+    * trusting the first file. A long-lived 100 TB table accretes columns;
+    * without this, files written before a column existed silently hide it
+    * (Spark samples one footer by default for speed). Older files yield
+    * NULL for later columns — the same contract as the engine's
+    * null-tolerant reference semantics.
+    */
+  def readParquetEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** S4 — existence check against any Hadoop-compatible filesystem. */
   def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)

@@ -39,6 +39,32 @@ class SourcesSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("schema evolution: merged read surfaces columns newer files added") {
+    val dir = Files.createTempDirectory("graft-evolve").toString + "/t"
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/part1")
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score").write.parquet(s"$dir/part2")
+    val df = Sources.readParquetEvolved(spark, s"$dir/*")
+    assert(df.columns.sorted.toSeq === Seq("id", "score", "v"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score"))) // old file -> null
+    assert(rows(1).getDouble(rows(1).fieldIndex("score")) === 9.5)
+  }
+
+  test("compaction: many small files -> few, content identical") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    import spark.implicits._
+    (0L until 1000L).toDF("id").repartition(50).write.parquet(dir)
+    def nFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles === 50)
+    Sinks.compact(spark, dir, rowsPerFile = 500)
+    assert(nFiles === 2)
+    assert(!new java.io.File(s"$dir.graft-compact-staging").exists())
+    val back = spark.read.parquet(dir).as[Long].collect().sorted
+    assert(back.toSeq === (0L until 1000L))
+  }
+
   test("S4 existence check + strict raise") {
     assert(Sources.exists(spark, "/root/testdata/sf0.001/orders.parquet"))
     assert(!Sources.exists(spark, "/root/testdata/sf0.001/nope.parquet"))
