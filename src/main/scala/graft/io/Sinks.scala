@@ -63,22 +63,49 @@ object Sinks {
   /** Small-file compaction: rewrite a directory into ⌈rows / rowsPerFile⌉
     * files. Streaming sinks and incremental upserts accrete small files
     * until footer-listing and task-scheduling overheads dominate scans —
-    * periodic compaction is table maintenance every lake runs. Content is
-    * unchanged (round-trip pinned in SinksSpec2); combine with
+    * periodic compaction is table maintenance every lake runs.
+    *
+    * Safety and fidelity rules (each one a reviewed failure mode):
+    *  - the read merges schemas, so compacting an evolved table cannot
+    *    drop columns that the sampled footer lacks;
+    *  - `partitionBy` preserves a Hive layout (pass the table's partition
+    *    columns — a flat rewrite would silently end partition pruning);
+    *  - the new copy is STAGED completely, then swapped in via rename:
+    *    the original is deleted only after the staged copy is whole, and
+    *    if the swap itself fails the staged copy survives as the recovery
+    *    copy (it is never deleted unless the original is intact);
+    *  - rename (not a second Spark write) also makes the file-count
+    *    contract exact — a rewrite would re-split by scan partitioning.
+    *
+    * Content round trip + layout pinned in SinksSpec2; combine with
     * [[writeSorted]] when a sort key should also tighten row-group stats.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
-              rowsPerFile: Long): Unit = {
-    val df = spark.read.parquet(dir)
+              rowsPerFile: Long, partitionBy: Seq[String] = Nil): Unit = {
+    require(rowsPerFile > 0, s"rowsPerFile must be positive, got $rowsPerFile")
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.option("mergeSchema", "true").parquet(dir)
     val n = df.count()
     val files = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
     val staged = new org.apache.hadoop.fs.Path(s"$dir.graft-compact-staging")
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
-      df.repartition(files).write.mode("overwrite").parquet(staged.toString)
-      spark.read.parquet(staged.toString)
-        .write.mode("overwrite").parquet(dir)
-    } finally fs.delete(staged, true): Unit
+      val re = if (partitionBy.nonEmpty)
+        df.repartition(files, partitionBy.map(col): _*)
+      else df.repartition(files)
+      val w = re.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(staged.toString)
+      fs.delete(dirPath, true)
+      if (!fs.rename(staged, dirPath))
+        throw new java.io.IOException(
+          s"compact: swap failed; complete data preserved at $staged")
+    } finally {
+      // clean staging ONLY while the original is intact — once the swap
+      // starts, staged may be the only complete copy
+      if (fs.exists(dirPath) && fs.exists(staged)) fs.delete(staged, true): Unit
+    }
   }
 
   /** Range-sorted layout for data skipping: `repartitionByRange` gives every

@@ -51,20 +51,6 @@ class SourcesSpec extends SparkSpec {
     assert(rows(1).getDouble(rows(1).fieldIndex("score")) === 9.5)
   }
 
-  test("compaction: many small files -> few, content identical") {
-    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
-    import spark.implicits._
-    (0L until 1000L).toDF("id").repartition(50).write.parquet(dir)
-    def nFiles = new java.io.File(dir).listFiles()
-      .count(_.getName.endsWith(".parquet"))
-    assert(nFiles === 50)
-    Sinks.compact(spark, dir, rowsPerFile = 500)
-    assert(nFiles === 2)
-    assert(!new java.io.File(s"$dir.graft-compact-staging").exists())
-    val back = spark.read.parquet(dir).as[Long].collect().sorted
-    assert(back.toSeq === (0L until 1000L))
-  }
-
   test("S4 existence check + strict raise") {
     assert(Sources.exists(spark, "/root/testdata/sf0.001/orders.parquet"))
     assert(!Sources.exists(spark, "/root/testdata/sf0.001/nope.parquet"))
@@ -139,6 +125,35 @@ class SinksSpec2 extends SparkSpec {
     assert(after === Seq((1L, 2010, "a2"), (2L, 2010, "b"), (3L, 2012, "c-moved"),
       (4L, 2012, "d"), (9L, 2010, "new")))
     assert(files("2010") === before2010, "untouched partition was rewritten")
+  }
+
+  test("compaction: many small files -> few, exact count, content identical") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    (0L until 1000L).toDF("id").repartition(50).write.parquet(dir)
+    def nFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles === 50)
+    Sinks.compact(spark, dir, rowsPerFile = 500)
+    assert(nFiles === 2) // rename-swap keeps the repartition count exact
+    assert(!new java.io.File(s"$dir.graft-compact-staging").exists())
+    val back = spark.read.parquet(dir).as[Long].collect().sorted
+    assert(back.toSeq === (0L until 1000L))
+    intercept[IllegalArgumentException] { Sinks.compact(spark, dir, 0) }
+  }
+
+  test("compaction preserves a Hive-partitioned layout and evolved columns") {
+    val dir = Files.createTempDirectory("graft-compact2").toString + "/t"
+    // partitioned table whose ano=2011 files predate the 'extra' column
+    Seq((1L, 2010, "x")).toDF("k", "ano", "extra")
+      .write.partitionBy("ano").parquet(dir)
+    Seq((2L, 2011)).toDF("k", "ano")
+      .write.mode("append").partitionBy("ano").parquet(dir)
+    Sinks.compact(spark, dir, rowsPerFile = 100, partitionBy = Seq("ano"))
+    assert(new java.io.File(dir).listFiles().map(_.getName).count(_.startsWith("ano=")) === 2)
+    val back = spark.read.option("mergeSchema", "true").parquet(dir)
+      .select("k", "ano", "extra").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getInt(1), Option(r.getString(2)).getOrElse("-")))
+    assert(back.toSeq === Seq((1L, 2010, "x"), (2L, 2011, "-"))) // column survived
   }
 
   test("bucketed tables join without a shuffle (the co-located-join layout)") {
