@@ -146,7 +146,10 @@ object Sinks {
                     updates: DataFrame, keyCols: Seq[String],
                     partitionCol: String): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    val target = spark.read.parquet(dir)
+    // mergeSchema: rewriting affected partitions from a single-footer read
+    // of an evolved table would silently DROP columns the sampled footer
+    // predates (same failure mode fixed in compact)
+    val target = spark.read.option("mergeSchema", "true").parquet(dir)
     val keys = updates.select(keyCols.map(col): _*)
     val affected = updates.select(col(partitionCol))
       .union(target.join(keys, keyCols, "left_semi").select(col(partitionCol)))
