@@ -18,11 +18,13 @@ import org.apache.spark.sql.types._
 object Vectors {
 
   /** Σ a_i·b_i, accumulated left-to-right (the same fold order as the SQL
-    * `aggregate` it replaces). Callers guarantee equal lengths — the
-    * expression layer turns a mismatch into NULL first.
+    * `aggregate` it replaces). Folds over the common prefix — defensive
+    * against length mismatch; the expression layer (`DotProduct`) still
+    * turns a mismatch into NULL before this kernel sees it, so production
+    * semantics are unchanged (a partial score never escapes).
     */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
+    val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
@@ -59,6 +61,10 @@ object Vectors {
 /** `hyperplane_sketch(vec, seed)` — nPlanes-bit sign sketch. */
 case class HyperplaneSketch(left: Expression, right: Expression, nPlanes: Int)
     extends BinaryExpression with ExpectsInputTypes {
+  // sig is one Long; `1L << j` wraps modulo 64, so plane 64 would silently
+  // alias plane 0 — reject at construction (= analysis time for SQL calls)
+  require(nPlanes >= 1 && nPlanes <= 64,
+    s"hyperplane_sketch: nPlanes must be in [1, 64], got $nPlanes")
   override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), LongType)
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sketch"

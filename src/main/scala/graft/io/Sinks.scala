@@ -61,7 +61,9 @@ object Sinks {
     }.mkString(", ")
 
   /** Small-file compaction: rewrite a directory into ⌈rows / rowsPerFile⌉
-    * files. Streaming sinks and incremental upserts accrete small files
+    * files (exact for flat layouts; per-PARTITION ⌈rows / rowsPerFile⌉
+    * best-effort for Hive layouts — see the salting note in the body).
+    * Streaming sinks and incremental upserts accrete small files
     * until footer-listing and task-scheduling overheads dominate scans —
     * periodic compaction is table maintenance every lake runs.
     *
@@ -83,17 +85,44 @@ object Sinks {
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
               rowsPerFile: Long, partitionBy: Seq[String] = Nil): Unit = {
     require(rowsPerFile > 0, s"rowsPerFile must be positive, got $rowsPerFile")
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{broadcast, col, hash, lit, pmod, greatest, ceil, count}
     val df = spark.read.option("mergeSchema", "true").parquet(dir)
-    val n = df.count()
-    val files = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
     val staged = new org.apache.hadoop.fs.Path(s"$dir.graft-compact-staging")
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
-      val re = if (partitionBy.nonEmpty)
-        df.repartition(files, partitionBy.map(col): _*)
-      else df.repartition(files)
+      val re = if (partitionBy.nonEmpty) {
+        // Hashing ONLY the partition columns would collapse each partition
+        // value into one task — one giant file per skewed partition,
+        // breaking the rows-per-file contract. Instead compute a per-
+        // partition file budget (partition-count-bounded aggregate) and
+        // salt rows into ⌈partitionRows / rowsPerFile⌉ groups; the writer
+        // then emits one file per (partition value, salt) group per task.
+        // Best-effort: a hash collision between two (partition, salt)
+        // groups can still merge their files, but a partition can never
+        // collapse to one giant file unless its budget is 1.
+        val cnt = df.groupBy(partitionBy.map(col): _*)
+          .agg(greatest(lit(1L),
+            ceil(count(lit(1)) / lit(rowsPerFile.toDouble))).cast("int").as("__files"))
+        val totalFiles = math.max(1,
+          cnt.agg(org.apache.spark.sql.functions.sum(col("__files")))
+            .collect()(0).getLong(0).toInt)
+        val d = df.alias("d")
+        val c = broadcast(cnt).alias("c")
+        // null-safe: NULL partition values form a real group and must get
+        // their file budget like any other
+        val cond = partitionBy.map(p => col(s"d.$p") <=> col(s"c.$p")).reduce(_ && _)
+        val dataCols = df.columns.filterNot(partitionBy.contains)
+        d.join(c, cond)
+          .select(col("d.*"), col("c.__files"))
+          .withColumn("__salt",
+            pmod(hash(dataCols.map(col): _*), col("__files")).cast("int"))
+          .repartition(totalFiles, (partitionBy.map(col) :+ col("__salt")): _*)
+          .drop("__files", "__salt")
+      } else {
+        val n = df.count()
+        df.repartition(math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt))
+      }
       val w = re.write.mode("overwrite")
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .parquet(staged.toString)
@@ -149,17 +178,30 @@ object Sinks {
     // mergeSchema: rewriting affected partitions from a single-footer read
     // of an evolved table would silently DROP columns the sampled footer
     // predates (same failure mode fixed in compact)
-    val target = spark.read.option("mergeSchema", "true").parquet(dir)
-    val keys = updates.select(keyCols.map(col): _*)
+    val target = spark.read.option("mergeSchema", "true").parquet(dir).alias("t")
+    // ALL joins below are null-safe (<=>): the writer materializes NULL
+    // partition values as __HIVE_DEFAULT_PARTITION__ and the delete path
+    // handles them, so plain equality (which never matches NULL) would
+    // silently exclude the null partition's unchanged rows from `merged`
+    // and dynamic overwrite would then rewrite that partition with only
+    // the update rows — dropping the rest. Same hazard for NULL keys.
+    val keys = updates.select(keyCols.map(col): _*).alias("k")
+    val keyCond = keyCols.map(c => col(s"t.$c") <=> col(s"k.$c")).reduce(_ && _)
     val affected = updates.select(col(partitionCol))
-      .union(target.join(keys, keyCols, "left_semi").select(col(partitionCol)))
-      .distinct()
+      .union(target.join(keys, keyCond, "left_semi").select(col(partitionCol)))
+      .distinct().alias("p")
     val merged = target
-      .join(broadcast(affected), Seq(partitionCol), "left_semi")
-      .join(keys, keyCols, "left_anti")
+      .join(broadcast(affected),
+        col(s"t.$partitionCol") <=> col(s"p.$partitionCol"), "left_semi")
+      .join(keys, keyCond, "left_anti")
       .unionByName(updates.select(target.columns.map(col): _*))
     val staged = new org.apache.hadoop.fs.Path(s"$dir.graft-upsert-staging")
     val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // `overwriteStarted` splits the failure modes: before the dynamic
+    // overwrite begins the target is intact and staging is disposable;
+    // after it begins, staged may hold the ONLY complete copy of the
+    // affected partitions — preserve it and say so (mirrors compact()).
+    var overwriteStarted = false
     try {
       merged.write.mode("overwrite").parquet(staged.toString)
       val stagedDf = spark.read.parquet(staged.toString)
@@ -168,6 +210,7 @@ object Sinks {
       val affectedVals = affected.collect().map(_.get(0)).toSet
       val stagedVals = stagedDf.select(col(partitionCol)).distinct()
         .collect().map(_.get(0)).toSet
+      overwriteStarted = true
       stagedDf.write
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -185,7 +228,16 @@ object Sinks {
         fs.delete(new org.apache.hadoop.fs.Path(dir,
           s"${ExternalCatalogUtils.escapePathName(partitionCol)}=$valuePart"), true): Unit
       }
-    } finally fs.delete(staged, true): Unit
+      fs.delete(staged, true): Unit
+    } catch {
+      case e: Throwable if overwriteStarted =>
+        throw new java.io.IOException(
+          s"upsertParquet: overwrite failed mid-commit; target may be " +
+            s"partially overwritten — complete merged data for the affected " +
+            s"partitions preserved at $staged", e)
+    } finally {
+      if (!overwriteStarted) fs.delete(staged, true): Unit
+    }
   }
 
   /** K2/K3/K4(effective) — append via Spark's batched JDBC writer. */

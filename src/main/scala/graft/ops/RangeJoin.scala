@@ -28,9 +28,16 @@ object RangeJoin {
                       intervals: DataFrame, startSec: String, endSec: String,
                       bucketSec: Long = 86400L): DataFrame = {
     val pb = points.withColumn("__bucket", floor(col(pointSec) / bucketSec))
+    // Clamp the sequence upper bound: for a corrupt interval with
+    // end <= start, sequence(a, b) with a > b generates a DESCENDING
+    // sequence — one inverted row (e.g. endSec=0) would explode into
+    // millions of spurious bucket rows. The exact range filter below
+    // already drops such rows from the output (an empty half-open
+    // interval matches nothing), so clamping only removes blow-up cost,
+    // never result rows.
+    val lo = floor(col(startSec) / bucketSec)
     val ib = intervals.withColumn("__bucket",
-      explode(sequence(floor(col(startSec) / bucketSec),
-        floor((col(endSec) - 1) / bucketSec))))
+      explode(sequence(lo, greatest(lo, floor((col(endSec) - 1) / bucketSec)))))
     pb.join(ib, "__bucket")
       .filter(col(pointSec) >= col(startSec) && col(pointSec) < col(endSec))
       .drop("__bucket")

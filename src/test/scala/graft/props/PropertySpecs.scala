@@ -85,6 +85,32 @@ object VectorProps extends Properties("Vectors") {
         (0 until n).foldLeft(0.0)((s, i) => s + a(i) * b(i))
     }
 
+  // equal-length pairs: the production shape (the expression layer NULLs
+  // mismatches before the kernel runs)
+  private val pairGen = for {
+    n <- Gen.chooseNum(1, 64)
+    a <- Gen.listOfN(n, Gen.chooseNum(-100, 100).map(_.toDouble))
+    b <- Gen.listOfN(n, Gen.chooseNum(-100, 100).map(_.toDouble))
+  } yield (a, b)
+
+  property("dot on equal-length pairs == explicit left fold") =
+    forAll(pairGen) { case (a, b) =>
+      Vectors.dot(arr(a), arr(b)) ==
+        a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    }
+
+  property("DotProduct expression: length mismatch evaluates to NULL") =
+    forAll(vecGen, vecGen) { (a, b) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      val expr = graft.functions.DotProduct(
+        Literal.create(a.toArray, ArrayType(DoubleType)),
+        Literal.create(b.toArray, ArrayType(DoubleType)))
+      val got = expr.eval(null)
+      if (a.size != b.size) got == null
+      else got == a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    }
+
   property("hyperplane sketch is invariant under positive scaling") =
     forAll(vecGen, Gen.chooseNum(1, 1000)) { (v, c) =>
       Vectors.hyperplaneSketch(arr(v), 7L, 16) ==
