@@ -89,15 +89,32 @@ object JaccardDedup {
     val prefix = toks.join(freq, "th")
       .withColumn("rn", row_number().over(byDoc))
       .filter(col("rn") <= prefixLen)
-      .select(col("th"), col("source"), col("doc_id"), col("n_chars"))
+      .select(col("th"), col("source"), col("doc_id"), col("n_chars"),
+        col("rn"), col("sz"))
 
+    // ppjoin POSITIONAL upper bound, applied before the verify join: for
+    // the FIRST common token under the global order (position rn_a in A,
+    // rn_b in B), every other common token sits strictly after it in both
+    // documents, so |A∩B| ≤ 1 + min(|A|−rn_a, |B|−rn_b). J ≥ t needs
+    // |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|), so a pair whose bound falls short
+    // of ⌈t·max⌉ is provably below threshold. The max-form (not ppjoin's
+    // t/(1+t)·(|A|+|B|) form) is deliberate: it needs only an exact
+    // decimal MULTIPLY + ceil, while the sum form needs a decimal DIVIDE
+    // whose rounded quotient could overestimate the requirement and break
+    // losslessness. Lossless: the first common token appears in both
+    // prefixes (the prefix-filter argument) and satisfies the bound;
+    // later shared tokens may be dropped, which only thins duplicate
+    // candidate rows ahead of dropDuplicates.
     val cand = prefix
-      .select(col("th"), col("source"),
-        col("doc_id").as("doc_a"), col("n_chars").as("ca"))
-      .join(prefix.select(col("th"), col("source"),
-        col("doc_id").as("doc_b"), col("n_chars").as("cb")), Seq("source", "th"))
+      .select(col("th"), col("source"), col("doc_id").as("doc_a"),
+        col("n_chars").as("ca"), col("rn").as("ra"), col("sz").as("sa"))
+      .join(prefix.select(col("th"), col("source"), col("doc_id").as("doc_b"),
+        col("n_chars").as("cb"), col("rn").as("rb"), col("sz").as("sb")),
+        Seq("source", "th"))
       .filter(col("doc_a") < col("doc_b") &&
         abs(col("ca") - col("cb")) * 5 <= col("ca") + col("cb"))
+      .filter(lit(1) + least(col("sa") - col("ra"), col("sb") - col("rb")) >=
+        ceil(tDec * greatest(col("sa"), col("sb"))))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 

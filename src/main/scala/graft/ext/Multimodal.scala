@@ -33,16 +33,19 @@ object Multimodal {
 
   /** STUB decode: a real implementation would decode the payload with an
     * image/audio codec. This deterministic fake derives pseudo-dimensions
-    * and a tiny feature vector from the bytes themselves so tests can
-    * assert exact values.
+    * and a tiny feature vector from (media_id, n_bytes) with plain integer
+    * arithmetic — deterministic, no RNG, and (deliberately) computable by
+    * an independent SQL engine, which is what lets `x_mm_features` carry a
+    * DuckDB oracle just like the real decoders' geometry queries. Feature
+    * components are k/256 (exactly representable in float AND double), so
+    * a float→double cast is lossless cross-engine.
     */
   def fakeDecode(r: MediaRecord): MediaFeatures = {
     val n = r.payload.length.toLong
-    var h = 1125899906842597L // FNV-ish fold; deterministic, no RNG
-    r.payload.foreach(b => h = h * 31 + b)
-    val feat = Array.tabulate(4)(i => ((h >>> (i * 8)) & 0xff).toFloat / 255f)
+    val h = r.media_id * 2654435761L + n * 131L
+    val feat = Array.tabulate(4)(i => ((h >>> (i * 8)) & 0xff).toFloat / 256f)
     MediaFeatures(r.media_id, n, r.media_type,
-      width = (math.abs(h) % 640).toInt, height = (math.abs(h) % 480).toInt,
+      width = (h % 640).toInt, height = (h % 480).toInt,
       feature = feat)
   }
 

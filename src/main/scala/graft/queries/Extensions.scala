@@ -37,6 +37,20 @@ object Extensions {
       (model, assigned)
     })
 
+  /** Written-once cid-partitioned layout per corpus (the serving path's
+    * durable half — a deployment writes it at assignment time, probes read
+    * it forever after; here it lands in a temp dir per application run).
+    */
+  private val ivfLayoutCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def ivfLayoutFor(s: SparkSession, dir: String): String =
+    ivfLayoutCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      val path = java.nio.file.Files.createTempDirectory("graft-ivf-layout").toString + "/assigned"
+      Similarity.ivfWriteAssignment(ivfFor(s, dir)._2, path)
+      path
+    })
+
   val queries: Map[String, Q] = Map(
     // ---- text analysis -------------------------------------------------
     "x_text_stats" -> ((s: SparkSession, dir: String) => {
@@ -163,6 +177,19 @@ object Extensions {
     "x_sim_ann_ivf" -> ((s: SparkSession, dir: String) => {
       val (model, assigned) = ivfFor(s, dir)
       Similarity.ivfProbe(assigned, model,
+        Tables.embeddings(s, dir).filter(col("vec_id") < 5), k = 10, nprobe = 4)
+    }),
+
+    // the 100 TB SERVING form: the assignment is persisted as a
+    // cid-partitioned parquet layout and the probe's list ids become a
+    // static partition filter — only nprobe/nlist of the files are read
+    // (pruning pinned in ExtSpec's layout-serving test). Same model and
+    // probe parameters as x_sim_ann_ivf, so results match it; rows-only
+    // for the same reason (centroid training is engine-specific)
+    "x_sim_ivf_layout" -> ((s: SparkSession, dir: String) => {
+      val (model, _) = ivfFor(s, dir)
+      val layout = ivfLayoutFor(s, dir)
+      Similarity.ivfProbeFromLayout(s, layout, model,
         Tables.embeddings(s, dir).filter(col("vec_id") < 5), k = 10, nprobe = 4)
     }),
 
@@ -319,7 +346,8 @@ object Extensions {
       val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir))
       Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), col("n_bytes"), col("width"), col("height"),
-          element_at(col("feature"), 1).as("f0"))
+          // f0 is k/256 — float→double is exact, so the oracle can match
+          element_at(col("feature"), 1).cast("double").as("f0"))
     }),
 
     // REAL codec round trip: PNGs are encoded from (doc_id, n_chars) with
@@ -496,6 +524,19 @@ object Extensions {
 
     "x_mm_bytes" ->
       "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes FROM documents",
+
+    // mirrors fakeDecode's arithmetic pseudo-geometry in (media_id, n_bytes);
+    // n_bytes = UTF-8 byte length of text (mediaFromDocuments' payload)
+    "x_mm_features" ->
+      """WITH h AS (SELECT doc_id AS media_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    doc_id * 2654435761 + octet_length(encode(text)) * 131 AS h
+        |  FROM documents)
+        |SELECT media_id, n_bytes,
+        |  CAST(h % 640 AS INT) AS width,
+        |  CAST(h % 480 AS INT) AS height,
+        |  CAST(h & 255 AS DOUBLE) / 256.0 AS f0
+        |FROM h""".stripMargin,
 
     "x_mm_image_decode" ->
       """SELECT doc_id AS media_id,
