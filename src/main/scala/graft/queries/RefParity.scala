@@ -16,6 +16,49 @@ object RefParity {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The ref_silver_clean transform chain as a function (shared by the
+    * batch entry below and the incremental twin — same code path, so the
+    * twin proves the STREAMING execution, not a reimplementation).
+    */
+  private def silverChain(df: DataFrame): DataFrame =
+    df.select(
+        when(col("o_orderstatus") === "F", lit(null)).otherwise(col("o_orderstatus")).as("status"),
+        col("o_orderpriority"), col("o_orderdate"))
+      .na.fill("não informado", Seq("status"))
+      .select(
+        initcap(trim(col("status"))).as("status"),
+        initcap(trim(col("o_orderpriority"))).as("prioridade"),
+        year(col("o_orderdate")).as("ano"))
+      .dropDuplicates()
+
+  /** Incremental-run result dir per (application, corpus): stages orders
+    * into a landing dir in TWO arrival waves and runs the silver chain as
+    * a `Trigger.AvailableNow` file-stream between them — the second run
+    * processes only the second wave's files (checkpoint-tracked), and the
+    * streaming `dropDuplicates` state carries across runs, so the final
+    * table equals the batch distinct over all rows. That equality is what
+    * the shared ref_silver_clean oracle SQL checks.
+    */
+  private val incrCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def incrementalSilverFor(s: SparkSession, dir: String): String =
+    incrCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      val root = java.nio.file.Files.createTempDirectory("graft-incr").toString
+      val landing = s"$root/landing"; val out = s"$root/silver"
+      val orders = graft.Tables.orders(s, dir)
+      // wave 1: even order keys land, run; wave 2: odd keys land, run again
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .write.mode("append").parquet(landing)
+      graft.pipeline.IncrementalMedallion.runLayer(
+        s, landing, orders.schema, silverChain, out, s"$root/ckpt")
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .write.mode("append").parquet(landing)
+      graft.pipeline.IncrementalMedallion.runLayer(
+        s, landing, orders.schema, silverChain, out, s"$root/ckpt")
+      out
+    })
+
   val queries: Map[String, Q] = Map(
     // P1+F7+F2+F3 — bronze normalize: dd/MM/yyyy coerce-parse + trim + truncate
     "ref_bronze_normalize" -> ((s: SparkSession, dir: String) => {
@@ -29,18 +72,8 @@ object RefParity {
 
     // F9+F6+F2+F4+F8+P2+P5 — the silver chain on orders (initcap variant so
     // the oracle can mirror it; pandas-exact variant is unit-tested)
-    "ref_silver_clean" -> ((s: SparkSession, dir: String) => {
-      Tables.orders(s, dir)
-        .select(
-          when(col("o_orderstatus") === "F", lit(null)).otherwise(col("o_orderstatus")).as("status"),
-          col("o_orderpriority"), col("o_orderdate"))
-        .na.fill("não informado", Seq("status"))
-        .select(
-          initcap(trim(col("status"))).as("status"),
-          initcap(trim(col("o_orderpriority"))).as("prioridade"),
-          year(col("o_orderdate")).as("ano"))
-        .dropDuplicates()
-    }),
+    "ref_silver_clean" -> ((s: SparkSession, dir: String) =>
+      silverChain(Tables.orders(s, dir))),
 
     // D1+F5 — null-propagating hierarchy concat over a broadcast join
     "ref_gold_hier" -> ((s: SparkSession, dir: String) => {
@@ -74,6 +107,14 @@ object RefParity {
         .dropDuplicates()
     }),
 
+    // O-incremental — the silver chain run as an AvailableNow file stream
+    // in two arrival waves with cross-run dedup state; oracle-checked
+    // against the same batch SQL as ref_silver_clean, proving the
+    // incremental output converges to the batch answer
+    "ref_incremental_silver" -> ((s: SparkSession, dir: String) => {
+      s.read.parquet(incrementalSilverFor(s, dir))
+    }),
+
     // F4 pandas-exact title-case (custom codegen expression; no SQL oracle —
     // DuckDB cannot express Python title() semantics → rows-only check)
     "ref_pandas_title" -> ((s: SparkSession, dir: String) => {
@@ -90,6 +131,17 @@ object RefParity {
         |FROM orders""".stripMargin,
 
     "ref_silver_clean" ->
+      s"""WITH t AS (
+         |  SELECT coalesce(nullif(o_orderstatus, 'F'), 'não informado') AS status,
+         |         o_orderpriority, o_orderdate
+         |  FROM orders)
+         |SELECT DISTINCT
+         |  ${sqlInitcap("trim(status)")} AS status,
+         |  ${sqlInitcap("trim(o_orderpriority)")} AS prioridade,
+         |  CAST(year(o_orderdate) AS INT) AS ano
+         |FROM t""".stripMargin,
+
+    "ref_incremental_silver" ->
       s"""WITH t AS (
          |  SELECT coalesce(nullif(o_orderstatus, 'F'), 'não informado') AS status,
          |         o_orderpriority, o_orderdate
