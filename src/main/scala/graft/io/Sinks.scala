@@ -82,10 +82,41 @@ object Sinks {
     * Content round trip + layout pinned in SinksSpec2; combine with
     * [[writeSorted]] when a sort key should also tighten row-group stats.
     */
+  /** Heal the on-disk state a KILLED [[compact]] run can leave behind, so a
+    * re-run always starts from a consistent table. The parquet committer's
+    * `_SUCCESS` marker distinguishes the cases:
+    *  - staging COMPLETE (+_SUCCESS) and the table dir missing → the kill
+    *    hit between delete and rename; finish the swap (staging is the only
+    *    complete copy).
+    *  - staging present but the table dir intact → either a mid-write kill
+    *    (no _SUCCESS) or a kill before the delete; the original is whole,
+    *    so staging is stale — discard it.
+    * Called automatically at [[compact]] entry; exposed for ops tooling.
+    */
+  def recoverCompact(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val staged = new org.apache.hadoop.fs.Path(s"$dir.graft-compact-staging")
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(staged)) {
+      val complete = fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))
+      if (complete && !fs.exists(dirPath)) {
+        if (!fs.rename(staged, dirPath))
+          throw new java.io.IOException(
+            s"recoverCompact: swap completion failed; data preserved at $staged")
+      } else if (fs.exists(dirPath)) {
+        fs.delete(staged, true): Unit
+      } else {
+        throw new java.io.IOException(
+          s"recoverCompact: $dir missing and $staged incomplete — manual intervention needed")
+      }
+    }
+  }
+
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
               rowsPerFile: Long, partitionBy: Seq[String] = Nil): Unit = {
     require(rowsPerFile > 0, s"rowsPerFile must be positive, got $rowsPerFile")
     import org.apache.spark.sql.functions.{broadcast, col, hash, lit, pmod, greatest, ceil, count}
+    recoverCompact(spark, dir) // self-healing re-run after a crash
     val df = spark.read.option("mergeSchema", "true").parquet(dir)
     val staged = new org.apache.hadoop.fs.Path(s"$dir.graft-compact-staging")
     val dirPath = new org.apache.hadoop.fs.Path(dir)
@@ -171,10 +202,58 @@ object Sinks {
     * cluster-valid), then dynamic overwrite rewrites only the affected
     * partitions and the staging dir is removed.
     */
+  /** Hive-layout partition directory segment for one value (writer-escaped,
+    * null → the default-partition name).
+    */
+  private def partitionSegment(partitionCol: String, v: Any): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val valuePart =
+      if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      else ExternalCatalogUtils.escapePathName(v.toString)
+    s"${ExternalCatalogUtils.escapePathName(partitionCol)}=$valuePart"
+  }
+
+  private val upsertManifest = "_graft_emptied.txt"
+
+  /** Heal the state a KILLED [[upsertParquet]] run can leave behind. A
+    * COMPLETE staging dir (parquet `_SUCCESS` present) means the kill hit
+    * during or after the dynamic overwrite, which may have replaced only
+    * some affected partitions — replay the overwrite from staging (it holds
+    * the full merged content of every affected partition; the rewrite is
+    * idempotent), then delete the partitions the manifest records as
+    * emptied-by-key-move, then drop staging. A staging dir WITHOUT
+    * `_SUCCESS` is a mid-write kill: the target was never touched, discard.
+    * Called automatically at [[upsertParquet]] entry.
+    */
+  def recoverUpsert(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    partitionCol: String): Unit = {
+    val staged = new org.apache.hadoop.fs.Path(s"$dir.graft-upsert-staging")
+    val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(staged)) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))) {
+      spark.read.parquet(staged.toString).write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol)
+        .parquet(dir)
+      val manifest = new org.apache.hadoop.fs.Path(staged, upsertManifest)
+      if (fs.exists(manifest)) {
+        val in = fs.open(manifest)
+        val segs = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        segs.split("\n").filter(_.nonEmpty).foreach { seg =>
+          fs.delete(new org.apache.hadoop.fs.Path(dir, seg), true): Unit
+        }
+      }
+    }
+    fs.delete(staged, true): Unit
+  }
+
   def upsertParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
                     updates: DataFrame, keyCols: Seq[String],
                     partitionCol: String): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    recoverUpsert(spark, dir, partitionCol) // self-healing re-run after a crash
     // mergeSchema: rewriting affected partitions from a single-footer read
     // of an evolved table would silently DROP columns the sampled footer
     // predates (same failure mode fixed in compact)
@@ -210,23 +289,24 @@ object Sinks {
       val affectedVals = affected.collect().map(_.get(0)).toSet
       val stagedVals = stagedDf.select(col(partitionCol)).distinct()
         .collect().map(_.get(0)).toSet
+      // a partition EMPTIED by a key move has no rows in the merged data,
+      // so dynamic overwrite never touches it — its directory must be
+      // deleted after the overwrite. Record those segments in a manifest
+      // INSIDE staging before anything destructive runs, so recovery after
+      // a mid-commit kill can finish the deletes too (underscore-prefixed
+      // → invisible to parquet readers of the staged data).
+      val emptiedSegs = (affectedVals -- stagedVals)
+        .map(v => partitionSegment(partitionCol, v))
+      val out = fs.create(new org.apache.hadoop.fs.Path(staged, upsertManifest), true)
+      try out.write(emptiedSegs.mkString("\n").getBytes("UTF-8")) finally out.close()
       overwriteStarted = true
       stagedDf.write
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partitionCol)
         .parquet(dir)
-      // a partition EMPTIED by a key move has no rows in the merged data,
-      // so dynamic overwrite never touches it — remove its directory.
-      // Hive path escaping (and the null-partition name) must match what
-      // the writer produced, so build the segment with catalyst's escaper.
-      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-      (affectedVals -- stagedVals).foreach { v =>
-        val valuePart =
-          if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-          else ExternalCatalogUtils.escapePathName(v.toString)
-        fs.delete(new org.apache.hadoop.fs.Path(dir,
-          s"${ExternalCatalogUtils.escapePathName(partitionCol)}=$valuePart"), true): Unit
+      emptiedSegs.foreach { seg =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, seg), true): Unit
       }
       fs.delete(staged, true): Unit
     } catch {
