@@ -42,7 +42,11 @@ object Multimodal {
     */
   def fakeDecode(r: MediaRecord): MediaFeatures = {
     val n = r.payload.length.toLong
-    val h = r.media_id * 2654435761L + n * 131L
+    // media_id is folded mod 1000003 first so h stays ≪ Long.MaxValue for
+    // ANY id: unbounded ids would wrap negative in the JVM (negative
+    // dimensions) while DuckDB's BIGINT multiply would error instead of
+    // wrapping — the bound keeps both engines in exact integer territory
+    val h = (r.media_id % 1000003L) * 2654435761L + n * 131L
     val feat = Array.tabulate(4)(i => ((h >>> (i * 8)) & 0xff).toFloat / 256f)
     MediaFeatures(r.media_id, n, r.media_type,
       width = (h % 640).toInt, height = (h % 480).toInt,

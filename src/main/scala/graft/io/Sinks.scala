@@ -82,15 +82,19 @@ object Sinks {
     * Content round trip + layout pinned in SinksSpec2; combine with
     * [[writeSorted]] when a sort key should also tighten row-group stats.
     */
+  private val swapMarker = "_graft_swap_started"
+
   /** Heal the on-disk state a KILLED [[compact]] run can leave behind, so a
-    * re-run always starts from a consistent table. The parquet committer's
-    * `_SUCCESS` marker distinguishes the cases:
-    *  - staging COMPLETE (+_SUCCESS) and the table dir missing → the kill
-    *    hit between delete and rename; finish the swap (staging is the only
-    *    complete copy).
-    *  - staging present but the table dir intact → either a mid-write kill
-    *    (no _SUCCESS) or a kill before the delete; the original is whole,
-    *    so staging is stale — discard it.
+    * re-run always starts from a consistent table. Two markers inside
+    * staging decide (the table dir's own existence is NOT trustworthy — a
+    * recursive delete is non-atomic, so a killed delete can leave a
+    * PARTIAL original that looks intact):
+    *  - `_graft_swap_started` present (written atomically after the staged
+    *    copy is complete, immediately before the original's delete): the
+    *    original is suspect — finish the swap from staging, which is the
+    *    one guaranteed-complete copy.
+    *  - no swap marker: the destructive phase never began, the original is
+    *    whole, staging is stale or partial — discard it.
     * Called automatically at [[compact]] entry; exposed for ops tooling.
     */
   def recoverCompact(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
@@ -98,18 +102,22 @@ object Sinks {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(staged)) {
-      val complete = fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))
-      if (complete && !fs.exists(dirPath)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(staged, swapMarker))) {
+        // swap was in flight: original may be partially deleted — replace
+        // it wholesale with the complete staged copy. The marker rides
+        // along with the rename and is removed LAST, so a kill anywhere in
+        // this block leaves a state this same procedure finishes next time.
+        fs.delete(dirPath, true)
         if (!fs.rename(staged, dirPath))
           throw new java.io.IOException(
             s"recoverCompact: swap completion failed; data preserved at $staged")
-      } else if (fs.exists(dirPath)) {
-        fs.delete(staged, true): Unit
       } else {
-        throw new java.io.IOException(
-          s"recoverCompact: $dir missing and $staged incomplete — manual intervention needed")
+        fs.delete(staged, true): Unit
       }
     }
+    // stray marker in the table dir = a kill after rename, before cleanup
+    val strayMarker = new org.apache.hadoop.fs.Path(dirPath, swapMarker)
+    if (fs.exists(strayMarker)) fs.delete(strayMarker, false): Unit
   }
 
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -135,19 +143,26 @@ object Sinks {
         val cnt = df.groupBy(partitionBy.map(col): _*)
           .agg(greatest(lit(1L),
             ceil(count(lit(1)) / lit(rowsPerFile.toDouble))).cast("int").as("__files"))
-        val totalFiles = math.max(1,
-          cnt.agg(org.apache.spark.sql.functions.sum(col("__files")))
-            .collect()(0).getLong(0).toInt)
+        // empty table → sum over zero groups is NULL → one empty file
+        val totalRow = cnt.agg(org.apache.spark.sql.functions.sum(col("__files"))).collect()(0)
+        val totalFiles = if (totalRow.isNullAt(0)) 1 else math.max(1, totalRow.getLong(0).toInt)
         val d = df.alias("d")
         val c = broadcast(cnt).alias("c")
         // null-safe: NULL partition values form a real group and must get
         // their file budget like any other
         val cond = partitionBy.map(p => col(s"d.$p") <=> col(s"c.$p")).reduce(_ && _)
-        val dataCols = df.columns.filterNot(partitionBy.contains)
+        // hash() rejects MapType and needs ≥1 argument (an all-key table
+        // has no data columns) — fall back to the input split id, which
+        // still spreads a skewed partition across its source splits
+        val hashable = df.schema.fields
+          .filterNot(f => partitionBy.contains(f.name))
+          .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+          .map(f => col(f.name))
+        val saltSrc = if (hashable.nonEmpty) hash(hashable: _*)
+          else org.apache.spark.sql.functions.spark_partition_id()
         d.join(c, cond)
           .select(col("d.*"), col("c.__files"))
-          .withColumn("__salt",
-            pmod(hash(dataCols.map(col): _*), col("__files")).cast("int"))
+          .withColumn("__salt", pmod(saltSrc, col("__files")).cast("int"))
           .repartition(totalFiles, (partitionBy.map(col) :+ col("__salt")): _*)
           .drop("__files", "__salt")
       } else {
@@ -157,14 +172,22 @@ object Sinks {
       val w = re.write.mode("overwrite")
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .parquet(staged.toString)
+      // commit point: the marker (one atomic create) says "the original is
+      // no longer trustworthy — staging is the source of truth". Without
+      // it, a kill mid-delete leaves a PARTIAL original that a recovery
+      // keyed on the dir's existence would mistake for an intact table.
+      fs.create(new org.apache.hadoop.fs.Path(staged, swapMarker), true).close()
       fs.delete(dirPath, true)
       if (!fs.rename(staged, dirPath))
         throw new java.io.IOException(
           s"compact: swap failed; complete data preserved at $staged")
+      fs.delete(new org.apache.hadoop.fs.Path(dirPath, swapMarker), false)
     } finally {
-      // clean staging ONLY while the original is intact — once the swap
-      // starts, staged may be the only complete copy
-      if (fs.exists(dirPath) && fs.exists(staged)) fs.delete(staged, true): Unit
+      // clean staging ONLY if the swap never started — once the marker is
+      // down, staged may be the only complete copy
+      if (fs.exists(staged) &&
+          !fs.exists(new org.apache.hadoop.fs.Path(staged, swapMarker)))
+        fs.delete(staged, true): Unit
     }
   }
 
@@ -215,14 +238,20 @@ object Sinks {
 
   private val upsertManifest = "_graft_emptied.txt"
 
-  /** Heal the state a KILLED [[upsertParquet]] run can leave behind. A
-    * COMPLETE staging dir (parquet `_SUCCESS` present) means the kill hit
-    * during or after the dynamic overwrite, which may have replaced only
-    * some affected partitions — replay the overwrite from staging (it holds
-    * the full merged content of every affected partition; the rewrite is
-    * idempotent), then delete the partitions the manifest records as
-    * emptied-by-key-move, then drop staging. A staging dir WITHOUT
-    * `_SUCCESS` is a mid-write kill: the target was never touched, discard.
+  /** Heal the state a KILLED [[upsertParquet]] run can leave behind. The
+    * MANIFEST is the commit point (written via create-then-rename, i.e.
+    * atomically, after the staged copy is complete and immediately before
+    * the destructive overwrite):
+    *  - manifest present → the overwrite may have started and replaced only
+    *    some affected partitions. Replay it from staging (which holds the
+    *    full merged content of every affected partition; the rewrite is
+    *    idempotent), then finish the emptied-partition deletes the manifest
+    *    records, then drop staging.
+    *  - no manifest → the target was never touched (this covers both a
+    *    mid-write kill and a kill between the staging commit and the
+    *    manifest — relying on parquet's `_SUCCESS` alone would replay the
+    *    overwrite without knowing which emptied partitions to delete,
+    *    leaving a moved key duplicated across partitions). Discard staging.
     * Called automatically at [[upsertParquet]] entry.
     */
   def recoverUpsert(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -230,20 +259,18 @@ object Sinks {
     val staged = new org.apache.hadoop.fs.Path(s"$dir.graft-upsert-staging")
     val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(staged)) return
-    if (fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))) {
+    val manifest = new org.apache.hadoop.fs.Path(staged, upsertManifest)
+    if (fs.exists(manifest)) {
       spark.read.parquet(staged.toString).write
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partitionCol)
         .parquet(dir)
-      val manifest = new org.apache.hadoop.fs.Path(staged, upsertManifest)
-      if (fs.exists(manifest)) {
-        val in = fs.open(manifest)
-        val segs = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        segs.split("\n").filter(_.nonEmpty).foreach { seg =>
-          fs.delete(new org.apache.hadoop.fs.Path(dir, seg), true): Unit
-        }
+      val in = fs.open(manifest)
+      val segs = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      segs.split("\n").filter(_.nonEmpty).foreach { seg =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, seg), true): Unit
       }
     }
     fs.delete(staged, true): Unit
@@ -297,8 +324,14 @@ object Sinks {
       // → invisible to parquet readers of the staged data).
       val emptiedSegs = (affectedVals -- stagedVals)
         .map(v => partitionSegment(partitionCol, v))
-      val out = fs.create(new org.apache.hadoop.fs.Path(staged, upsertManifest), true)
+      // the manifest is the COMMIT POINT: write to a temp name, then rename
+      // (atomic) — recovery must never see a torn manifest, and its mere
+      // presence means "the destructive overwrite may have started"
+      val manifestTmp = new org.apache.hadoop.fs.Path(staged, s"$upsertManifest.tmp")
+      val out = fs.create(manifestTmp, true)
       try out.write(emptiedSegs.mkString("\n").getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(manifestTmp, new org.apache.hadoop.fs.Path(staged, upsertManifest)))
+        throw new java.io.IOException(s"upsertParquet: manifest commit failed in $staged")
       overwriteStarted = true
       stagedDf.write
         .mode("overwrite")

@@ -56,7 +56,10 @@ object IncrementalMedallion {
     q.awaitTermination()
   }
 
-  /** Multi-sink incremental pass: each micro-batch is written through every
+  /** Multi-sink incremental pass: each micro-batch is passed through
+    * `prepare` ONCE (persisted — shared upstream work like a derive
+    * projection is computed a single time, and the batch's input files are
+    * scanned once instead of once per sink), then written through every
     * `(transform, outDir)` sink. Idempotence: each sink writes its batch to
     * `outDir/batch=<id>` with OVERWRITE — foreachBatch runs before the
     * checkpoint commit, so a crash between write and commit re-runs the
@@ -65,13 +68,15 @@ object IncrementalMedallion {
     */
   def runFanOut(spark: SparkSession, inDir: String, schema: StructType,
                 sinks: Seq[(DataFrame => DataFrame, String)],
-                checkpointDir: String): Unit = {
+                checkpointDir: String,
+                prepare: DataFrame => DataFrame = identity): Unit = {
     val in = spark.readStream.schema(schema).parquet(inDir)
     val q = in.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        sinks.foreach { case (f, out) =>
-          f(batch).write.mode("overwrite").parquet(s"$out/batch=$id")
-        }
+        val prepared = prepare(batch).persist()
+        try sinks.foreach { case (f, out) =>
+          f(prepared).write.mode("overwrite").parquet(s"$out/batch=$id")
+        } finally prepared.unpersist(): Unit
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -108,13 +113,16 @@ object IncrementalMedallion {
     val silverSchema = Silver.transform(
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), bronzeSchema)).schema
     val twoCols = Seq(col("local_completo"), col("acordo_recurso"))
+    val silverCols = silverSchema.fieldNames.map(col).toSeq
+    // derive runs ONCE per batch (prepare), each sink projects/filters it
     runFanOut(spark, dirs.silver, silverSchema, Seq(
-      ((b: DataFrame) => b, dirs.gold("acordos")),
-      ((b: DataFrame) => Gold.derive(b).select(twoCols: _*), dirs.gold("hier")),
-      ((b: DataFrame) => Gold.derive(b).filter(col("tipo_de_parceiro") === "País")
+      ((h: DataFrame) => h.select(silverCols: _*), dirs.gold("acordos")),
+      ((h: DataFrame) => h.select(twoCols: _*), dirs.gold("hier")),
+      ((h: DataFrame) => h.filter(col("tipo_de_parceiro") === "País")
         .select(twoCols: _*), dirs.gold("pais")),
-      ((b: DataFrame) => Gold.derive(b).filter(col("tipo_de_parceiro") === "Organização")
+      ((h: DataFrame) => h.filter(col("tipo_de_parceiro") === "Organização")
         .select(twoCols: _*), dirs.gold("org"))),
-      dirs.ckpt("gold"))
+      dirs.ckpt("gold"),
+      prepare = Gold.derive)
   }
 }

@@ -530,7 +530,7 @@ object Extensions {
     "x_mm_features" ->
       """WITH h AS (SELECT doc_id AS media_id,
         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |    doc_id * 2654435761 + octet_length(encode(text)) * 131 AS h
+        |    (doc_id % 1000003) * 2654435761 + octet_length(encode(text)) * 131 AS h
         |  FROM documents)
         |SELECT media_id, n_bytes,
         |  CAST(h % 640 AS INT) AS width,

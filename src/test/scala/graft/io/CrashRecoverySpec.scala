@@ -22,17 +22,38 @@ class CrashRecoverySpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-crash").toString + "/t"
     val data = (1 to 100).map(i => (i, s"v$i"))
     data.toDF("k", "v").repartition(10).write.parquet(dir)
-    // crash state: staged copy fully written (parquet commit → _SUCCESS),
-    // original deleted, rename never happened
-    spark.read.parquet(dir).write.parquet(s"$dir.graft-compact-staging")
+    // crash state: staged copy fully written, swap marker committed (the
+    // protocol's point of no return), original deleted, rename never ran
+    val staged = s"$dir.graft-compact-staging"
+    spark.read.parquet(dir).write.parquet(staged)
+    fs.create(new Path(staged, "_graft_swap_started"), true).close()
     fs.delete(new Path(dir), true)
     assert(!fs.exists(new Path(dir)))
     // re-run: entry recovery completes the swap, then compaction proceeds
     Sinks.compact(spark, dir, rowsPerFile = 50)
     assert(rowsOf(dir) === data)
-    assert(!fs.exists(new Path(s"$dir.graft-compact-staging")))
+    assert(!fs.exists(new Path(staged)))
     val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
     assert(files === 2) // ⌈100/50⌉ — the compaction itself also ran
+  }
+
+  test("compact recovery after a kill MID-DELETE: partial original replaced from staging") {
+    // the reviewed hole: recursive delete is non-atomic, so a kill can
+    // leave a PARTIAL original that still 'exists' — the swap marker, not
+    // the dir's existence, must decide
+    val dir = Files.createTempDirectory("graft-crash").toString + "/t"
+    val data = (1 to 100).map(i => (i, s"v$i"))
+    data.toDF("k", "v").repartition(10).write.parquet(dir)
+    val staged = s"$dir.graft-compact-staging"
+    spark.read.parquet(dir).write.parquet(staged)
+    fs.create(new Path(staged, "_graft_swap_started"), true).close()
+    // kill mid-delete: half the original's files are gone, dir still exists
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    parts.take(parts.length / 2).foreach(f => assert(f.delete()))
+    Sinks.recoverCompact(spark, dir)
+    assert(rowsOf(dir) === data, "recovery must restore the COMPLETE staged copy")
+    assert(!fs.exists(new Path(staged)))
+    assert(!fs.exists(new Path(dir, "_graft_swap_started")))
   }
 
   test("compact re-run discards a PARTIAL staging dir (no _SUCCESS) and keeps the original") {
@@ -74,6 +95,26 @@ class CrashRecoverySpec extends SparkSpec {
       .as[(Int, String, String)].collect().sorted.toSeq
     assert(got === Seq((1, "a", "NEW1"), (2, "a", "x2"), (3, "a", "NEW3"), (4, "c", "x4")))
     assert(!fs.exists(new Path(s"$dir/p=b")), "emptied partition must be removed by recovery")
+    assert(!fs.exists(new Path(staged)))
+  }
+
+  test("upsert recovery with complete staging but NO manifest discards it (target intact)") {
+    // the reviewed hole: a kill between the staging parquet commit
+    // (_SUCCESS) and the manifest write must NOT replay — the overwrite
+    // never started, and replaying without a manifest would leave a moved
+    // key duplicated across partitions
+    val root = Files.createTempDirectory("graft-crash").toString
+    val dir = s"$root/t"
+    Seq((1, "a", "x1"), (3, "b", "x3")).toDF("k", "p", "v")
+      .write.partitionBy("p").parquet(dir)
+    val staged = s"$dir.graft-upsert-staging"
+    // staged merged copy for a b→a key move, fully committed (_SUCCESS),
+    // but the kill hit before the manifest landed
+    Seq((1, "a", "x1"), (3, "a", "MOVED")).toDF("k", "p", "v").write.parquet(staged)
+    Sinks.recoverUpsert(spark, dir, "p")
+    val got = spark.read.parquet(dir).select("k", "p", "v")
+      .as[(Int, String, String)].collect().sorted.toSeq
+    assert(got === Seq((1, "a", "x1"), (3, "b", "x3")), "target must be untouched")
     assert(!fs.exists(new Path(staged)))
   }
 
