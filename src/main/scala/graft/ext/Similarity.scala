@@ -233,15 +233,25 @@ object Similarity {
     val c = corpus
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    // candidate generation ships IDS ONLY: (band, bucket, id) is 24 B/row
+    // where carrying the vectors would be ~0.5 KB/row, and the pair dedup
+    // becomes a hash aggregate on two longs instead of a SortAggregate
+    // dragging first(array) buffers (arrays aren't hash-aggregable).
+    // Vectors are fetched per SURVIVING candidate by id — the JaccardDedup
+    // shuffle discipline applied to the embedding space.
+    val sk = c.select(col("id"), col("v"))
       .withColumn("band", explode(expr(s"sequence(0, ${nBands - 1})")))
       .withColumn("bucket", bandedSketch("v", "band", nPlanes))
-    val a = c.select(col("band"), col("bucket"),
-      col("id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = c.select(col("band"), col("bucket"),
-      col("id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("band", "bucket"))
+      .select(col("band"), col("bucket"), col("id"))
+    val cand = sk.select(col("band"), col("bucket"), col("id").as("vec_a"))
+      .join(sk.select(col("band"), col("bucket"), col("id").as("vec_b")),
+        Seq("band", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+    cand
+      .join(c.select(col("id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), Seq("vec_a"))
+      .join(c.select(col("id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         cosinePre(dot(col("va"), col("vb")), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)

@@ -49,6 +49,19 @@ object Sources {
   def readParquetEvolved(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** ORC scan — the other columnar warehouse format Spark ships a
+    * vectorized, predicate-pushdown reader for (Hive-lineage warehouses
+    * hand over ORC as often as parquet). Same declarative posture as
+    * [[readParquet]]: pruning/pushdown verified in IoSpec.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   /** S4 — existence check against any Hadoop-compatible filesystem. */
   def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)

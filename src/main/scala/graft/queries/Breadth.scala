@@ -124,6 +124,43 @@ object Breadth {
           round(sum(dec(col("o_totalprice"))).over(w), 2).cast("double").as("trailing_7d"))
     }),
 
+    // unpivot / melt: wide measure columns → long (id, measure, value) —
+    // the inverse of b8's pivot; value columns share DoubleType so the
+    // melted column keeps an exact type both engines agree on
+    "b11_unpivot" -> ((s: SparkSession, dir: String) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 100 === 0)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "value")
+    }),
+
+    // fixed-width histogram: arithmetic bucketing (floor of an exact double
+    // division; DuckDB lacks width_bucket, and floor-div is deterministic
+    // on both engines), counts + exact-decimal mass per bucket
+    "b12_histogram" -> ((s: SparkSession, dir: String) => {
+      Tables.orders(s, dir)
+        .select(least(floor(col("o_totalprice") / 50000), lit(9)).cast("int").as("bucket"),
+          col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("mass"))
+    }),
+
+    // distribution window family: percent_rank / cume_dist / nth_value —
+    // unique tiebreak makes RANGE peers singletons, so both engines' default
+    // frames agree; the rank ratios are single exact integer divisions
+    "b13_dist_windows" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+    }),
+
     // math scalar breadth (IEEE-deterministic ops only)
     "b6_math_funcs" -> ((s: SparkSession, dir: String) => {
       Tables.orders(s, dir).select(
@@ -207,6 +244,28 @@ object Breadth {
         |    PARTITION BY o_custkey ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
         |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS trailing_7d
         |FROM orders""".stripMargin,
+
+    "b11_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |         l_discount, l_tax
+        |  FROM lineitem WHERE l_orderkey % 100 = 0)
+        |UNPIVOT (value FOR measure IN
+        |  (l_quantity, l_extendedprice, l_discount, l_tax))""".stripMargin,
+
+    "b12_histogram" ->
+      s"""SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INT) AS bucket,
+         |  ${sqlCount("1")} AS n, ${sqlDsum("o_totalprice")} AS mass
+         |FROM orders GROUP BY 1""".stripMargin,
+
+    "b13_dist_windows" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin,
 
     "b6_math_funcs" ->
       """SELECT o_orderkey, abs(o_totalprice - 200000) AS centered,

@@ -108,10 +108,41 @@ object EventsQueries {
         key = "o_custkey", leftTime = col("ts"), rightTime = col("o_ts"),
         payload = Seq("o_orderkey"), rightTiebreak = col("o_orderkey"))
         .select(col("event_id"), col("o_orderkey"))
+    }),
+
+    // time-series gap filling: per-type hourly grid between each type's
+    // first and last hour, missing buckets as explicit zeros — the
+    // resample/densify step every downstream rolling computation needs
+    // (a window over a gappy series silently spans the holes). The grid
+    // explodes from a per-key (lo, hi) aggregate — key-count × span rows,
+    // never a driver loop; hours are whole-second integer arithmetic
+    // (ns-vs-µs-proof, see the object scaladoc).
+    "e5_gap_fill" -> ((s: SparkSession, dir: String) => {
+      val counts = Tables.events(s, dir)
+        .select(col("event_type"), expr("unix_timestamp(ts) div 3600").as("hour"))
+        .groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n"))
+      val grid = counts.groupBy(col("event_type"))
+        .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+        .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("hour"))
+      grid.join(counts, Seq("event_type", "hour"), "left")
+        .select(col("event_type"), col("hour"),
+          coalesce(col("n"), lit(0L)).as("n"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "e5_gap_fill" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, min(hour) AS lo, max(hour) AS hi
+        |      FROM c GROUP BY 1),
+        |g AS (SELECT event_type, unnest(generate_series(lo, hi)) AS hour FROM s)
+        |SELECT g.event_type, g.hour, CAST(coalesce(c.cnt, 0) AS BIGINT) AS n
+        |FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.hour = c.hour""".stripMargin,
+
     "e1_hourly_counts" ->
       s"""SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS bucket, event_type,
          |  ${sqlCount()} AS n, ${sqlDsum("value")} AS total_value

@@ -58,6 +58,19 @@ class SourcesSpec extends SparkSpec {
       Sources.requireExists(spark, "/no/such/key")
     }
   }
+
+  test("ORC round trip: content identical, filter pushed to the ORC scan") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/orders"
+    val src = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    Sources.writeOrc(src, dir)
+    val back = Sources.readOrc(spark, dir)
+    assert(back.count() === src.count())
+    assert(back.schema === src.schema)
+    val filtered = back.filter(col("o_orderkey") === 1L).select("o_orderkey", "o_orderstatus")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderkey"), plan.take(2000))
+    assert(filtered.count() === src.filter(col("o_orderkey") === 1L).count())
+  }
 }
 
 class SinksSpec2 extends SparkSpec {
