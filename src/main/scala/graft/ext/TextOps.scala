@@ -98,4 +98,26 @@ object TextOps {
                 w -> CAST(length(w)*31 + ascii(w) AS BIGINT)),
       CAST(0 AS BIGINT),
       (acc, x) -> (acc * 131 + x) % 2147483647)""")
+
+  /** PII / boilerplate scrub patterns, applied in order. Kept to syntax
+    * valid in BOTH Java regex and RE2 (no backrefs, no lookaround) so the
+    * operator is oracle-mirrorable in DuckDB and portable to RE2-based
+    * scanners. Order matters: URLs before bare numbers, or the digits
+    * inside a URL get re-tagged.
+    */
+  val ScrubPatterns: Seq[(String, String)] = Seq(
+    "https?://[^ ]+"                                  -> "<URL>",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "[0-9]+"                                          -> "<NUM>")
+
+  /** Apply [[ScrubPatterns]] (or a custom list) to a text column — the
+    * standard pre-training scrub step (emails, URLs, raw numbers →
+    * placeholder tokens). Pure columnar `regexp_replace` chain: fuses into
+    * the scan, no UDF.
+    */
+  def scrub(text: Column,
+            patterns: Seq[(String, String)] = ScrubPatterns): Column =
+    patterns.foldLeft(text) { case (c, (re, repl)) =>
+      regexp_replace(c, re, repl)
+    }
 }

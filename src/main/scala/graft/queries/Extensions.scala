@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{ExactDedup, JaccardDedup, MinHashDedup, MinHashMergeAgg, Multimodal, SimHash, Similarity, TextOps}
+import graft.ext.{Components, ExactDedup, JaccardDedup, MinHashDedup, MinHashMergeAgg, Multimodal, SimHash, Similarity, TextOps}
 
 /** Training-data pipeline extensions (SURVEY.md §7.3 M3): dedup family,
   * similarity search, text analysis, multimodal plumbing — exercised on the
@@ -76,6 +76,16 @@ object Extensions {
         col("doc_id"), TextOps.fingerprint("text").as("fp"))
     }),
 
+    // PII / boilerplate scrub: URL → <URL>, email → <EMAIL>, digit runs →
+    // <NUM> (regexp_replace chain, RE2-compatible patterns — fused with
+    // the scan, mirrored verbatim in the oracle)
+    "x_text_scrub" -> ((s: SparkSession, dir: String) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.scrub(col("text")).as("scrubbed"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_nums"))
+    }),
+
     // document quality scoring (Gopher/C4-style rule battery) — pure
     // columnar, fused with the scan; every rule is an exact predicate so
     // the whole battery is oracle-checked
@@ -100,6 +110,16 @@ object Extensions {
     // the operator's spec, mirrored in the oracle.
     "x_dedup_jaccard" -> ((s: SparkSession, dir: String) => {
       JaccardDedup.similarPairs(Tables.documents(s, dir), threshold = 0.5)
+    }),
+
+    // pair graph → dedup decisions: connected components over the jaccard
+    // near-dup pairs (min-label propagation; component = min reachable id).
+    // Similarity is not transitive, so clusters — not pairs — are the unit
+    // a dedup keeps one representative of. Unique fixpoint → oracle-checked
+    // against a DuckDB recursive CTE computing the same labels.
+    "x_dedup_cc" -> ((s: SparkSession, dir: String) => {
+      Components.connectedComponents(
+        JaccardDedup.similarPairs(Tables.documents(s, dir), threshold = 0.5))
     }),
 
     // incremental dedup: a "new batch" (source src0) probed against the
@@ -415,6 +435,15 @@ object Extensions {
          |    (acc, x) -> (acc * 131 + x) % 2147483647) AS fp
          |FROM documents""".stripMargin,
 
+    "x_text_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    'https?://[^ ]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_nums
+        |FROM documents""".stripMargin,
+
     "x_dedup_exact" ->
       s"""SELECT min(doc_id) AS canonical_id, ${sqlCount()} AS n_copies
          |FROM documents GROUP BY text""".stripMargin,
@@ -509,6 +538,24 @@ object Extensions {
          |  AND abs(a.n_chars - b.n_chars) * 5 <= a.n_chars + b.n_chars
          |WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
          |    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5""".stripMargin,
+
+    "x_dedup_cc" ->
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, source, n_chars, list_distinct($sqlWords) AS ws
+         |      FROM documents),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |      FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+         |        AND abs(a.n_chars - b.n_chars) * 5 <= a.n_chars + b.n_chars
+         |      WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+         |          len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |      UNION ALL SELECT doc_b, doc_a FROM p),
+         |walk(node, label) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node)
+         |SELECT node AS doc_id, min(label) AS component
+         |FROM walk GROUP BY node""".stripMargin,
 
     "x_sim_topk_brute" ->
       """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

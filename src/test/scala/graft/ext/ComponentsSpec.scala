@@ -1,0 +1,47 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("transitive chain collapses to one component labeled by its min id") {
+    // 1-2, 2-3, 3-4 (diameter 3, no direct 1-4 edge) + separate pair 10-11
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Components.connectedComponents(edges)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L), (11L, 10L)))
+  }
+
+  test("star graph and isolated pairs; nodes without edges are absent") {
+    val edges = Seq((5L, 1L), (5L, 2L), (5L, 3L)).toDF("doc_a", "doc_b")
+    val got = Components.connectedComponents(edges)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 1L)))
+  }
+
+  test("keepRepresentatives: one survivor per cluster, pairless docs pass through") {
+    val docs = Seq(1L, 2L, 3L, 4L, 9L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val kept = Components.keepRepresentatives(docs, edges)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 4L, 9L)) // 2,3 collapse into 1's cluster
+  }
+
+  test("chain longer than maxIter rounds fails loudly instead of mislabeling") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Components.connectedComponents(chain, maxIter = 2)
+    }
+  }
+
+  test("scrub replaces urls, emails, digit runs; url digits not double-tagged") {
+    val df = Seq(
+      (1L, "visit https://ex.com/p?id=99 or mail a.b@ex.org now"),
+      (2L, "version 2 of 10 things")).toDF("doc_id", "text")
+    val got = df.select(TextOps.scrub(col("text")).as("s")).as[String].collect()
+    assert(got(0) === "visit <URL> or mail <EMAIL> now")
+    assert(got(1) === "version <NUM> of <NUM> things")
+  }
+}
