@@ -208,6 +208,46 @@ object Sinks {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Z-ORDER layout: multi-dimension data skipping. [[writeSorted]] makes
+    * row-group stats tight on ONE key; a predicate on any other column
+    * still reads everything. Z-ordering interleaves the bits of several
+    * keys' rank positions into one curve value and range-sorts by it, so
+    * every file covers a small HYPER-RECTANGLE of the key space — a
+    * selective predicate on ANY of the z columns skips most files (the
+    * Delta/Iceberg OPTIMIZE ZORDER layout decision, as a plain writer).
+    *
+    * Ranks are DISTRIBUTED: each column is range-partitioned into 2^bits
+    * buckets and the partition id (ascending with the range) IS the
+    * quantized rank — no global window, no single-task sort anywhere; the
+    * cost is one sampling-based shuffle per z column plus the final range
+    * partition on the curve. Quantile-based ranks mean value skew never
+    * distorts the curve. Skipping effectiveness is pinned in SinksSpec2:
+    * per-file spans of BOTH dims shrink vs a single-key sort.
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+                    numFiles: Int, bitsPerCol: Int = 8): Unit = {
+    require(zCols.nonEmpty && zCols.size * bitsPerCol <= 63,
+      s"z-order needs 1..${63 / bitsPerCol} columns at $bitsPerCol bits")
+    import org.apache.spark.sql.functions._
+    val buckets = 1 << bitsPerCol
+    val ranked = zCols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      d.repartitionByRange(buckets, col(c))
+        .withColumn(s"__r$i", spark_partition_id().cast("long"))
+    }
+    // interleave: bit j of column i lands at position j*nCols + i
+    val n = zCols.size
+    val zval = (0 until bitsPerCol).flatMap { j =>
+      (0 until n).map { i =>
+        shiftleft(shiftright(col(s"__r$i"), j).bitwiseAND(lit(1L)), j * n + i)
+      }
+    }.reduce(_.bitwiseOR(_))
+    ranked.withColumn("__z", zval)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop((0 until n).map(i => s"__r$i") :+ "__z": _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** K4 for the lake: partition-scoped parquet upsert. Rows in `updates`
     * replace same-key rows and insert new keys — but ONLY partitions that
     * contain an updated key are rewritten (dynamic partition overwrite);

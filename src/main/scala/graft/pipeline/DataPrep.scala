@@ -38,15 +38,24 @@ object DataPrep {
       Seq("doc_id"), "left_semi")
 
   /** Greedy near-dup pruning: for every LSH-confirmed pair (a < b), drop b.
-    * Keeps the smallest id reachable in each similarity cluster — the
-    * standard one-pass choice (a transitive union-find canonicalization is
-    * the exhaustive variant; pairs ≪ corpus either way).
+    * One pass, pairs ≪ corpus. Because similarity is not transitive, an
+    * a–c, b–c chain keeps BOTH a and b here; [[dropNearDupClusters]] is the
+    * exact variant that collapses chains via connected components.
     */
   def dropNearDups(docs: DataFrame, minJaccard: Double): DataFrame =
     docs.join(
       MinHashDedup.nearDuplicates(docs, minJaccard = minJaccard)
         .select(col("doc_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
+
+  /** Exact cluster semantics: connected components over the LSH pair graph,
+    * one representative (min id) per cluster ([[graft.ext.Components]]).
+    * Costs the CC rounds on top of the pair join; same cost class (pairs ≪
+    * corpus), stricter result on transitivity chains.
+    */
+  def dropNearDupClusters(docs: DataFrame, minJaccard: Double): DataFrame =
+    graft.ext.Components.keepRepresentatives(
+      docs, MinHashDedup.nearDuplicates(docs, minJaccard = minJaccard))
 
   /** Full pipeline; writes `outDir/split=…` and returns the final corpus
     * with its split column.

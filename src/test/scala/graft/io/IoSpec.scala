@@ -90,6 +90,32 @@ class SinksSpec2 extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(ano"), plan)
   }
 
+  test("z-order layout: both dimensions' per-file spans shrink vs a one-key sort") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    import spark.implicits._
+    // two independent uniform dims — the adversarial case for one-key sorts
+    val df = (0 until 20000).map { i =>
+      (i.toLong, ((i * 7919) % 20000).toLong, s"p$i")
+    }.toDF("x", "y", "payload")
+    Sinks.writeSorted(df, s"$base/by_x", "x", numFiles = 16)
+    Sinks.writeZOrdered(df, s"$base/z", Seq("x", "y"), numFiles = 16)
+    def meanSpan(dir: String, c: String): Double = {
+      val spans = spark.read.parquet(dir)
+        .groupBy(input_file_name()).agg((max(col(c)) - min(col(c))).as("span"))
+        .select("span").as[Long].collect()
+      spans.sum.toDouble / spans.length
+    }
+    // sorted-by-x: x spans tiny, y spans ~full range. z-order: BOTH bounded.
+    val zx = meanSpan(s"$base/z", "x"); val zy = meanSpan(s"$base/z", "y")
+    val sx = meanSpan(s"$base/by_x", "x"); val sy = meanSpan(s"$base/by_x", "y")
+    assert(sy > 15000.0, s"one-key sort should leave y unclustered, got $sy")
+    assert(zy < sy / 2, s"z-order must cluster y too: z=$zy vs sorted=$sy")
+    assert(zx < 15000.0, s"z-order must keep x partially clustered, got $zx (sorted $sx)")
+    // round trip intact
+    assert(spark.read.parquet(s"$base/z").count() === 20000)
+    assert(spark.read.parquet(s"$base/z").columns.sorted.toSeq === Seq("payload", "x", "y"))
+  }
+
   test("range-sorted layout: output files cover disjoint key ranges") {
     val dir = Files.createTempDirectory("graft-sorted").toString + "/orders"
     Sinks.writeSorted(graft.Tables.orders(spark, "/root/testdata/sf0.001"),

@@ -58,4 +58,17 @@ class DataPrepSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq === Seq(1L, 3L)) // 2 pruned as near-dup of 1
   }
+
+  test("cluster-exact pruning collapses a duplicate CHAIN to its min id") {
+    // 1~2 and 2~3 via shared-word overlap; greedy pairwise would also work
+    // here, but the cluster path must agree and keep exactly doc 1
+    val a = (1 to 60).map(i => s"w$i").mkString(" ")
+    val b = ((1 to 58).map(i => s"w$i") ++ Seq("z1", "z2")).mkString(" ")
+    val c = ((1 to 56).map(i => s"w$i") ++ Seq("z1", "z2", "z3", "z4")).mkString(" ")
+    val other = (100 to 160).map(i => s"v$i").mkString(" ")
+    val fixture = Seq((1L, a), (2L, b), (3L, c), (9L, other)).toDF("doc_id", "text")
+    val kept = DataPrep.dropNearDupClusters(fixture, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 9L))
+  }
 }

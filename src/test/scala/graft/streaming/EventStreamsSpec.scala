@@ -102,6 +102,41 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful dedup runs on the RocksDB state store (the 100 TB state backend)") {
+    // the default HDFSBackedStateStore holds all state on the JVM heap —
+    // fine locally, a hard wall at large key cardinality. RocksDB ships in
+    // Spark core and spills to native memory + disk; this pins that our
+    // stateful operators run unchanged on it (provider is read per query
+    // from session conf at stream start).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[EventRow]
+    val q = dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_rocks")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        EventRow(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        EventRow(2, ts("2024-01-01 10:01:00"), 8, "view", 2.0))
+      q.processAllAvailable()
+      input.addData( // cross-trigger duplicate must hit RocksDB state
+        EventRow(1, ts("2024-01-01 10:30:00"), 7, "click", 1.0),
+        EventRow(3, ts("2024-01-01 10:31:00"), 9, "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_rocks").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+      assert(q.lastProgress.stateOperators(0).customMetrics
+        .containsKey("rocksdbGetCount"), "query did not actually use RocksDB")
+    } finally {
+      q.stop()
+      old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("append-mode windowed counts emit only when the watermark closes a window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
