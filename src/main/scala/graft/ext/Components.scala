@@ -27,6 +27,12 @@ import org.apache.spark.sql.functions._
   * Determinism: labels are mins over a fixed edge set — the fixpoint is
   * unique regardless of execution order, so the result is oracle-checkable
   * (DuckDB recursive CTE computes the same fixpoint in `x_dedup_cc`).
+  *
+  * Fault-tolerance note: `localCheckpoint` blocks are not replayable — an
+  * executor loss mid-loop fails the job (rerun, it's deterministic). A
+  * cluster deployment that must survive executor churn should use reliable
+  * `checkpoint()` with a checkpoint dir instead; the trade is HDFS writes
+  * per round.
   */
 object Components {
 
@@ -36,6 +42,17 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
+    // ids must be integral: a silent cast of string/UUID ids to long would
+    // NULL every node, converge instantly, and report "no duplicates" —
+    // the worst possible failure mode for a dedup. Fail at entry instead.
+    Seq(aCol, bCol).foreach { c =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = edges.schema(c).dataType
+      val integral = dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
+      require(integral,
+        s"connectedComponents: $c must be an integral id column, got $dt " +
+          "(hash non-numeric ids to 64-bit first, e.g. xxhash64)")
+    }
     // localCheckpoint (eager), NOT persist: an iterative join grows the
     // LOGICAL plan exponentially (every round's plan embeds the previous
     // round's whole lineage — persist caches data but never truncates the
@@ -62,10 +79,15 @@ object Components {
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
         .filter(col("label") < col("old")).count()
+      // drop the superseded round's checkpoint blocks NOW — waiting for the
+      // ContextCleaner would pin up to maxIter copies of the label table in
+      // executor storage
+      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
+    sym.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxIter rounds — " +

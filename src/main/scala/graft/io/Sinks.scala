@@ -226,6 +226,11 @@ object Sinks {
     */
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
                     numFiles: Int, bitsPerCol: Int = 8): Unit = {
+    // bits bound: 0 would collapse every rank to one bucket (single output
+    // file regardless of numFiles), ≥31 overflows the Int shift — both
+    // silent layout corruptions, so they fail here instead
+    require(bitsPerCol >= 1 && bitsPerCol <= 20,
+      s"bitsPerCol must be in [1, 20], got $bitsPerCol")
     require(zCols.nonEmpty && zCols.size * bitsPerCol <= 63,
       s"z-order needs 1..${63 / bitsPerCol} columns at $bitsPerCol bits")
     import org.apache.spark.sql.functions._

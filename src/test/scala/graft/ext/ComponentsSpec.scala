@@ -36,12 +36,10 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
-  test("scrub replaces urls, emails, digit runs; url digits not double-tagged") {
-    val df = Seq(
-      (1L, "visit https://ex.com/p?id=99 or mail a.b@ex.org now"),
-      (2L, "version 2 of 10 things")).toDF("doc_id", "text")
-    val got = df.select(TextOps.scrub(col("text")).as("s")).as[String].collect()
-    assert(got(0) === "visit <URL> or mail <EMAIL> now")
-    assert(got(1) === "version <NUM> of <NUM> things")
+  test("non-integral id columns are rejected, not silently nulled") {
+    val edges = Seq(("a", "b")).toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException] {
+      Components.connectedComponents(edges)
+    }
   }
 }

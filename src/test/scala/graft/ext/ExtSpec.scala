@@ -469,6 +469,16 @@ class MultimodalSpec extends SparkSpec {
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("scrub replaces urls, emails, digit runs; url digits not double-tagged") {
+    val df = Seq(
+      (1L, "visit https://ex.com/p?id=99 or mail a.b@ex.org now"),
+      (2L, "version 2 of 10 things")).toDF("doc_id", "text")
+    val got = df.select(TextOps.scrub(org.apache.spark.sql.functions.col("text")).as("s"))
+      .as[String].collect()
+    assert(got(0) === "visit <URL> or mail <EMAIL> now")
+    assert(got(1) === "version <NUM> of <NUM> things")
+  }
+
   test("fingerprint matches the hand-computed polynomial fold") {
     // f("ab") = 2*31 + 97 = 159 ; f("cd") = 2*31 + 99 = 161
     // fold: (0*131+159)*131 + 161 = 20990
