@@ -56,6 +56,24 @@ object EventsQueries {
         .agg(sum(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    // native SESSION_WINDOW sessionization — the declarative twin of e3's
+    // lag-islands form (and of the stateful streaming sessionizer): Spark
+    // merges events whose gap < 30 min into one growing window. Event
+    // times are floored to whole seconds FIRST so the gap comparisons are
+    // ns-vs-µs-proof; the oracle computes the same islands with
+    // `new session iff gap >= 1800` (session_window's end is exclusive,
+    // so an exactly-1800 s gap starts a new session)
+    "e6_session_window" -> ((s: SparkSession, dir: String) => {
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          timestamp_seconds(unix_timestamp(col("ts"))).as("tsec"))
+        .groupBy(session_window(col("tsec"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"))
+    }),
+
     // range (interval) join with NO equi key — bucketized to an equi-join
     // on day buckets + exact refinement (ops.RangeJoin). The 20 overlapping
     // campaign windows (50h every 32h) are arithmetic, so the oracle can
@@ -142,6 +160,21 @@ object EventsQueries {
         |g AS (SELECT event_type, unnest(generate_series(lo, hi)) AS hour FROM s)
         |SELECT g.event_type, g.hour, CAST(coalesce(c.cnt, 0) AS BIGINT) AS n
         |FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.hour = c.hour""".stripMargin,
+
+    "e6_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+        |w AS (SELECT user_id, s,
+        |        lag(s) OVER (PARTITION BY user_id ORDER BY s) AS prev FROM e),
+        |m AS (SELECT user_id, s,
+        |        CASE WHEN prev IS NULL OR s - prev >= 1800 THEN 1 ELSE 0 END AS is_new
+        |      FROM w),
+        |g AS (SELECT user_id, s,
+        |        sum(is_new) OVER (PARTITION BY user_id ORDER BY s
+        |                          ROWS UNBOUNDED PRECEDING) AS grp FROM m)
+        |SELECT user_id,
+        |  strftime(to_timestamp(min(s)), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, grp""".stripMargin,
 
     "e1_hourly_counts" ->
       s"""SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS bucket, event_type,

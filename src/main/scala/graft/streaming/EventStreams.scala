@@ -49,6 +49,23 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Declarative streaming sessionization via native `session_window`:
+    * events with gaps < `gap` merge into one growing window; a session's
+    * row is emitted when the watermark passes its close (append mode).
+    * The DECLARATIVE twin of [[sessionize]]'s explicit
+    * flatMapGroupsWithState state machine — use this form when per-session
+    * aggregates suffice, the custom-state form when mid-session emission
+    * or non-time eviction rules are needed. Batch twin: e6_session_window
+    * (oracle-checked).
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"), col("n_events"))
+
   /** Stream-stream interval join: actions of one stream matched to same-user
     * actions of another within a trailing time window. Both sides carry
     * watermarks and the join condition bounds event time on both sides, so

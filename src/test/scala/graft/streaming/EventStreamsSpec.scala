@@ -158,6 +158,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window stream merges gap<30min events; emits when watermark closes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val q = sessionWindows(input.toDF())
+      .writeStream.format("memory").queryName("sw_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 7: two events 10 min apart (one session), then one 40 min
+      // later (second session); user 8: one event
+      input.addData(
+        EventRow(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        EventRow(2, ts("2024-01-01 10:10:00"), 7, "view", 1.0),
+        EventRow(3, ts("2024-01-01 10:50:00"), 7, "click", 1.0),
+        EventRow(4, ts("2024-01-01 10:05:00"), 8, "view", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past every session end so all close
+      input.addData(EventRow(99, ts("2024-01-01 20:00:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sw_test")
+        .select($"user_id", $"n_events").as[(Long, Long)].collect().sorted.toSeq
+      assert(got === Seq((7L, 1L), (7L, 2L), (8L, 1L)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches same-user events within the window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
