@@ -168,6 +168,23 @@ class OpsSpec extends SparkSpec {
     assert(!got.exists(_._2 == 3L)) // empty interval matches nothing
   }
 
+  test("range join: an INVERTED interval neither matches nor explodes buckets") {
+    import org.apache.spark.sql.functions.col
+    // end << start: sequence(start/b, (end-1)/b) would DESCEND into
+    // millions of spurious bucket rows without the clamp
+    val intervals = Seq((0L, 100L, 350L), (1L, 500000000L, 0L))
+      .toDF("window_id", "start_sec", "end_sec")
+    val points = Seq(100L, 200L, 349L).toDF("sec")
+    val joined = graft.ops.RangeJoin
+      .pointInInterval(points, "sec", intervals, "start_sec", "end_sec", bucketSec = 100L)
+    assert(joined.select("window_id").distinct().collect().map(_.getLong(0)).toSeq === Seq(0L))
+    // blow-up guard: the exploded bucket row count stays interval-bounded
+    val ib = intervals.withColumn("__n",
+      org.apache.spark.sql.functions.expr(
+        "size(sequence(floor(start_sec / 100), greatest(floor(start_sec / 100), floor((end_sec - 1) / 100))))"))
+    assert(ib.agg(org.apache.spark.sql.functions.sum(col("__n"))).head().getLong(0) < 10L)
+  }
+
   test("as-of join: latest right row at/before left time, per key") {
     val left = Seq((1L, 100L, "e1"), (1L, 205L, "e2"), (2L, 50L, "e3"))
       .toDF("k", "t", "ev")
