@@ -88,6 +88,21 @@ object Extensions {
         col("doc_id"), TextOps.fingerprint("text").as("fp"))
     }),
 
+    // inverted index: term → document frequency + sorted postings list —
+    // the retrieval-side layout built from the same explode/groupBy shape
+    // as the vocabulary. Postings are distinct doc ids (document-level
+    // index), serialized sorted so the oracle can hash-match; the shuffle
+    // carries (term-hash…) pairs only. At 100 TB the postings column
+    // becomes the value of a bucketed-by-term layout.
+    "x_text_inverted_index" -> ((s: SparkSession, dir: String) => {
+      Tables.documents(s, dir)
+        .select(explode(array_distinct(split(col("text"), " "))).as("term"),
+          col("doc_id"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          array_join(array_sort(collect_set(col("doc_id"))), ",").as("postings"))
+    }),
+
     // PII / boilerplate scrub: URL → <URL>, email → <EMAIL>, digit runs →
     // <NUM> (regexp_replace chain, RE2-compatible patterns — fused with
     // the scan, mirrored verbatim in the oracle)
@@ -445,6 +460,13 @@ object Extensions {
          |      list_transform($sqlWords, w -> CAST(length(w)*31 + ascii(w) AS BIGINT))),
          |    (acc, x) -> (acc * 131 + x) % 2147483647) AS fp
          |FROM documents""".stripMargin,
+
+    "x_text_inverted_index" ->
+      s"""SELECT term, ${sqlCount()} AS df,
+         |  list_aggr(list_sort(list(DISTINCT doc_id)), 'string_agg', ',') AS postings
+         |FROM (SELECT doc_id, unnest(list_distinct($sqlWords)) AS term
+         |      FROM documents)
+         |GROUP BY term""".stripMargin,
 
     "x_text_scrub" ->
       """SELECT doc_id,
