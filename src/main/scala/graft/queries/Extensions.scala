@@ -103,6 +103,27 @@ object Extensions {
           array_join(array_sort(collect_set(col("doc_id"))), ",").as("postings"))
     }),
 
+    // retrieval on top of the inverted index: score = Σ_t ⌊N/df_t⌋ over
+    // matched query terms (an integer-exact idf surrogate — log-based
+    // BM25/tf-idf weights are libm-dependent and can't cross-engine
+    // hash-match), query = the 3 rarest terms (deterministic: df asc, term
+    // asc), top-10 docs with a full tiebreak. The whole chain — index
+    // build, term selection, scoring join, top-k — is one declarative plan
+    // (no driver-side term list). N arrives via a broadcast single-row
+    // count, not a collected literal.
+    "x_text_search" -> ((s: SparkSession, dir: String) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
+      val dfreq = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val q = dfreq.orderBy(col("df"), col("term")).limit(3).select(col("term"), col("df"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_total"))
+      toks.join(broadcast(q), Seq("term"))
+        .crossJoin(broadcast(n))
+        .groupBy(col("doc_id"))
+        .agg(sum(expr("n_total div df")).as("score"), count(lit(1)).as("n_hits"))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+    }),
+
     // PII / boilerplate scrub: URL → <URL>, email → <EMAIL>, digit runs →
     // <NUM> (regexp_replace chain, RE2-compatible patterns — fused with
     // the scan, mirrored verbatim in the oracle)
@@ -467,6 +488,19 @@ object Extensions {
          |FROM (SELECT doc_id, unnest(list_distinct($sqlWords)) AS term
          |      FROM documents)
          |GROUP BY term""".stripMargin,
+
+    "x_text_search" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(list_distinct($sqlWords)) AS term
+         |              FROM documents),
+         |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY term),
+         |q AS (SELECT term, df FROM d ORDER BY df, term LIMIT 3),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+         |SELECT doc_id,
+         |  CAST(sum(n_total // df) AS BIGINT) AS score,
+         |  ${sqlCount()} AS n_hits
+         |FROM toks JOIN q USING (term), n
+         |GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     "x_text_scrub" ->
       """SELECT doc_id,

@@ -86,7 +86,8 @@ class PlanShapeSpec extends SparkSpec {
       "x_sim_ann_ivf",       // queries × broadcast(centroids), nlist-bounded
       "x_sim_ivf_layout",    // same probe shape over the partitioned layout
       "x_sim_ivf_recall",    // includes the brute-force reference
-      "x_sim_ann_lsh")       // queries broadcast into buckets
+      "x_sim_ann_lsh",       // queries broadcast into buckets
+      "x_text_search")       // broadcast single-row corpus count (N for idf)
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(quadraticBySpec)
       .flatMap { name =>
