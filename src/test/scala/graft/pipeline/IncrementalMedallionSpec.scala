@@ -78,4 +78,32 @@ class IncrementalMedallionSpec extends SparkSpec {
     val batchGold = Gold.transform(batch, persist = false)
     assert(key(pais) === key(batchGold.pais) && key(org) === key(batchGold.org))
   }
+
+  test("fan-out replays an uncommitted batch onto the same dir — no duplicates") {
+    // foreachBatch runs BEFORE the checkpoint commit: a crash in between
+    // leaves the batch's output written but uncommitted, and the restart
+    // re-runs it with the SAME batch id. The per-batch overwrite dirs make
+    // that replay idempotent; this constructs exactly that state by
+    // deleting the commit marker and restarting.
+    val root = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val landing = s"$root/landing"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    raw(Seq(franca, onu)).write.mode("append").parquet(landing)
+    def run(): Unit = IncrementalMedallion.runFanOut(
+      spark, landing, rawSchema,
+      Seq(((b: org.apache.spark.sql.DataFrame) => b, out)), ckpt)
+    run()
+    val n1 = IncrementalMedallion.readFanOut(spark, out).count()
+    assert(n1 === 2)
+    // crash state: batch written, commit marker gone (a real crash between
+    // foreachBatch and commit leaves neither the marker nor its checksum)
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists()) assert(crc.delete())
+    run() // restart replays the batch with the same id
+    assert(IncrementalMedallion.readFanOut(spark, out).count() === n1,
+      "replayed batch must overwrite its own dir, not append duplicates")
+  }
 }
