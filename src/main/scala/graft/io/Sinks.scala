@@ -31,9 +31,14 @@ import org.apache.spark.sql.types._
   */
 object Sinks {
 
-  /** K1 — distributed parquet write, optional partition columns. */
-  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite")
+  /** K1 — distributed parquet write, optional partition columns and codec.
+    * Codec is a real 100 TB lever: zstd trades ~10-20% CPU for ~25-30%
+    * smaller files than snappy (Spark's default) — at fleet scale that is
+    * storage AND scan-I/O; per-table choice belongs to the writer.
+    */
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+                   codec: String = "snappy"): Unit = {
+    val w = df.write.mode("overwrite").option("compression", codec)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 

@@ -42,4 +42,31 @@ class ComponentsSpec extends SparkSpec {
       Components.connectedComponents(edges)
     }
   }
+
+  test("connectedComponents == union-find on random edge sets (sampled property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val edgeGen = Gen.listOfN(14,
+      Gen.zip(Gen.chooseNum(0L, 11L), Gen.chooseNum(0L, 11L)))
+      .map(_.filter { case (a, b) => a != b })
+      .suchThat(_.nonEmpty)
+    val prop = Prop.forAll(edgeGen) { es =>
+      // reference: plain union-find over the same edges
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min-id canonical labels from union-find (roots are mins by merge rule)
+      val want = parent.keys.map(n => n -> find(n)).toMap
+      val got = Components.connectedComponents(es.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      Prop(got == want) :| s"got $got want $want"
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(result.passed, result.status.toString)
+  }
 }

@@ -90,6 +90,15 @@ class SinksSpec2 extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(ano"), plan)
   }
 
+  test("K1 codec choice: zstd write round-trips and marks its files") {
+    val out = Files.createTempDirectory("graft-codec").toString + "/t"
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    Sinks.writeParquet(df, out, codec = "zstd")
+    val files = new java.io.File(out).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".zstd.parquet")), files.mkString(","))
+    assert(spark.read.parquet(out).count() === 2)
+  }
+
   test("z-order layout: both dimensions' per-file spans shrink vs a one-key sort") {
     val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
     import spark.implicits._
