@@ -449,7 +449,106 @@ object Extensions {
   private def sqlStopCount(words: Seq[String]) =
     s"len(list_filter($sqlWords, w -> w in (${words.map(w => s"'$w'").mkString(", ")})))"
 
-  val oracleSql: Map[String, String] = Map(
+  /** Static oracles + the dynamically generated IVF family (the latter
+    * embed the trained model's centroid literals and the written layout
+    * path, which exist only after the registry entries have run —
+    * `Verify` dumps `oracleSql` last, so the timing works out).
+    */
+  def oracleSql: Map[String, String] = staticOracleSql ++ ivfOracles
+
+  // ---- IVF oracles ----------------------------------------------------
+  // Everything downstream of Lloyd training is exact, deterministic
+  // arithmetic: given the centroids (nlist × dim doubles — model state),
+  // the nearest-list assignment, probe selection, and top-k re-rank are
+  // plain round-6 cosine + row_number, which DuckDB reproduces
+  // bit-identically (same contract as x_sim_topk_brute). The centroids are
+  // inlined as double literals via Double.toString (shortest round-trip
+  // repr — parses back to the identical bits in both engines).
+
+  private def fmtVec(v: Seq[Double]): String =
+    v.map(java.lang.Double.toString).mkString("[", ", ", "]")
+
+  /** Shared CTE prefix: centroid VALUES table, corpus as double lists,
+    * query set, and the nprobe=4 probe selection (round-6 cosine desc,
+    * cid asc — Spark's max(struct(sim, -cid)) order).
+    */
+  private def ivfCtePrefix(model: Similarity.IvfModel): String = {
+    val cents = model.centroids.sortBy(_._1)
+      .map { case (cid, v) => s"($cid, ${fmtVec(v)}::DOUBLE[])" }
+      .mkString(",\n      ")
+    s"""WITH cents AS (SELECT * FROM (VALUES
+       |      $cents) t(cid, c_vec)),
+       |c AS (SELECT vec_id AS n_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS n_vec
+       |      FROM embeddings),
+       |q AS (SELECT n_id AS q_id, n_vec AS q_vec FROM c WHERE n_id < 5),
+       |probes AS (SELECT cid, q_id, q_vec FROM (
+       |    SELECT q.q_id, q.q_vec, ct.cid,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY round(list_cosine_similarity(q.q_vec, ct.c_vec), 6) DESC, ct.cid) AS rk
+       |    FROM q CROSS JOIN cents ct)
+       |  WHERE rk <= 4)""".stripMargin
+  }
+
+  /** Probe + exact top-10 re-rank over an assignment relation named `a`
+    * (cid, n_id, n_vec) — identical tiebreaks to Similarity.ivfProbe.
+    */
+  private val ivfProbeSelect =
+    """SELECT q_id, n_id, cos, rk FROM (
+      |  SELECT p.q_id, a.n_id,
+      |    round(list_cosine_similarity(p.q_vec, a.n_vec), 6) AS cos,
+      |    CAST(row_number() OVER (PARTITION BY p.q_id
+      |      ORDER BY round(list_cosine_similarity(p.q_vec, a.n_vec), 6) DESC, a.n_id) AS INT) AS rk
+      |  FROM a JOIN probes p ON a.cid = p.cid AND a.n_id <> p.q_id)
+      |WHERE rk <= 10""".stripMargin
+
+  // nearest-centroid assignment recomputed in SQL (self-contained — checks
+  // assign + probe end-to-end from the embeddings table alone)
+  private val ivfAssignCte =
+    """a AS (SELECT cid, n_id, n_vec FROM (
+      |    SELECT c.n_id, c.n_vec, ct.cid,
+      |      row_number() OVER (PARTITION BY c.n_id
+      |        ORDER BY round(list_cosine_similarity(c.n_vec, ct.c_vec), 6) DESC, ct.cid) AS rk
+      |    FROM c CROSS JOIN cents ct)
+      |  WHERE rk = 1)""".stripMargin
+
+  private def ivfOracles: Map[String, String] =
+    ivfCache.toMap match {
+      case one if one.size == 1 =>
+        val (key, (model, _)) = one.head
+        val prefix = ivfCtePrefix(model)
+        val annIvf = s"$prefix,\n$ivfAssignCte\n$ivfProbeSelect"
+        // recall@10: ivf hits vs exact brute-force top-10, per query
+        val recall =
+          s"""$prefix,
+             |$ivfAssignCte,
+             |ivf AS ($ivfProbeSelect),
+             |brute AS (SELECT q_id, n_id FROM (
+             |    SELECT q.q_id, c.n_id,
+             |      row_number() OVER (PARTITION BY q.q_id
+             |        ORDER BY round(list_cosine_similarity(q.q_vec, c.n_vec), 6) DESC, c.n_id) AS rk
+             |    FROM q JOIN c ON c.n_id <> q.q_id)
+             |  WHERE rk <= 10)
+             |SELECT b.q_id,
+             |  CAST(sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) / 10.0 AS recall_at_10
+             |FROM brute b LEFT JOIN ivf i ON b.q_id = i.q_id AND b.n_id = i.n_id
+             |GROUP BY b.q_id""".stripMargin
+        val base = Map("x_sim_ann_ivf" -> annIvf, "x_sim_ivf_recall" -> recall)
+        // layout oracle only when the cid-partitioned parquet was written
+        // this run: DuckDB reads the SERVED FILES themselves, so the check
+        // covers the on-disk layout, not just the arithmetic
+        ivfLayoutCache.get(key) match {
+          case Some(path) =>
+            base + ("x_sim_ivf_layout" ->
+              s"""$prefix,
+                 |a AS (SELECT CAST(cid AS INT) AS cid, n_id, n_vec
+                 |      FROM read_parquet('$path/*/*.parquet', hive_partitioning = true))
+                 |$ivfProbeSelect""".stripMargin)
+          case None => base
+        }
+      case _ => Map.empty // zero or ambiguous model state: rows-only fallback
+    }
+
+  private val staticOracleSql: Map[String, String] = Map(
     "x_text_stats" ->
       s"""SELECT doc_id, n_chars,
          |  CAST(len($sqlWords) AS INT) AS n_words,
