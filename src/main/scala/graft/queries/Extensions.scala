@@ -29,13 +29,14 @@ object Extensions {
     scala.collection.concurrent.TrieMap.empty[(String, String), (Similarity.IvfModel, DataFrame)]
 
   private def ivfFor(s: SparkSession, dir: String): (Similarity.IvfModel, DataFrame) =
-    ivfCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
-      val emb = Tables.embeddings(s, dir)
-      val model = Similarity.ivfTrain(emb, nlist = 16, iters = 2)
-      val assigned = Similarity.ivfAssign(emb, model).persist()
-      assigned.count() // materialize eagerly: the probe below must not pay assignment
-      (model, assigned)
-    })
+    ivfCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("ivf_train_assign") {
+        val emb = Tables.embeddings(s, dir)
+        val model = Similarity.ivfTrain(emb, nlist = 16, iters = 2)
+        val assigned = Similarity.ivfAssign(emb, model).persist()
+        assigned.count() // materialize eagerly: the probe below must not pay assignment
+        (model, assigned)
+      })
 
   /** Written-once cid-partitioned layout per corpus (the serving path's
     * durable half — a deployment writes it at assignment time, probes read
@@ -45,11 +46,12 @@ object Extensions {
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   private def ivfLayoutFor(s: SparkSession, dir: String): String =
-    ivfLayoutCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
-      val path = java.nio.file.Files.createTempDirectory("graft-ivf-layout").toString + "/assigned"
-      Similarity.ivfWriteAssignment(ivfFor(s, dir)._2, path)
-      path
-    })
+    ivfLayoutCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("ivf_layout_write") {
+        val path = java.nio.file.Files.createTempDirectory("graft-ivf-layout").toString + "/assigned"
+        Similarity.ivfWriteAssignment(ivfFor(s, dir)._2, path)
+        path
+      })
 
   /** Component labels per corpus — the "dedup ledger": computed once (the
     * result is already lineage-checkpointed by connectedComponents, so the
@@ -60,8 +62,10 @@ object Extensions {
 
   private def ccFor(s: SparkSession, dir: String): DataFrame =
     ccCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
-      Components.connectedComponents(
-        JaccardDedup.similarPairs(Tables.documents(s, dir), threshold = 0.5)))
+      graft.BuildTimes.timed("cc_ledger") {
+        Components.connectedComponents(
+          JaccardDedup.similarPairs(Tables.documents(s, dir), threshold = 0.5))
+      })
 
   val queries: Map[String, Q] = Map(
     // ---- text analysis -------------------------------------------------

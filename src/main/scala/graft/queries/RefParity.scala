@@ -43,7 +43,8 @@ object RefParity {
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   private def incrementalSilverFor(s: SparkSession, dir: String): String =
-    incrCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+    incrCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("incremental_silver_staging") {
       val root = java.nio.file.Files.createTempDirectory("graft-incr").toString
       val landing = s"$root/landing"; val out = s"$root/silver"
       val orders = graft.Tables.orders(s, dir)
