@@ -328,7 +328,8 @@ object Sinks {
 
   def upsertParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
                     updates: DataFrame, keyCols: Seq[String],
-                    partitionCol: String): Unit = {
+                    partitionCol: String,
+                    maxAffectedPartitions: Int = 100000): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col}
     recoverUpsert(spark, dir, partitionCol) // self-healing re-run after a crash
     // mergeSchema: rewriting affected partitions from a single-footer read
@@ -359,11 +360,27 @@ object Sinks {
     // affected partitions — preserve it and say so (mirrors compact()).
     var overwriteStarted = false
     try {
+      // The affected-partition set lives on the driver (it decides which
+      // emptied directories to delete) — that is PARTITION-metadata scale,
+      // not data scale, but a table partitioned on a high-cardinality
+      // column could still blow it up. Cap it with a loud, actionable
+      // failure BEFORE anything is staged or overwritten; collect only
+      // cap+1 values so the check itself cannot OOM the driver.
+      val affectedRows = affected.limit(maxAffectedPartitions + 1).collect()
+      if (affectedRows.length > maxAffectedPartitions)
+        throw new IllegalStateException(
+          s"upsertParquet: update touches more than $maxAffectedPartitions distinct " +
+            s"'$partitionCol' values — the affected-partition set is driver-side state, " +
+            s"and a set this large means '$partitionCol' is too fine a partition column " +
+            s"for an upsert layout. Repartition the table on a coarser column, or pass " +
+            s"a higher maxAffectedPartitions if the driver has the memory for it.")
       merged.write.mode("overwrite").parquet(staged.toString)
       val stagedDf = spark.read.parquet(staged.toString)
       // materialize BEFORE overwriting: both plans scan the target dir,
-      // whose files are about to be replaced (partition-count bounded)
-      val affectedVals = affected.collect().map(_.get(0)).toSet
+      // whose files are about to be replaced. stagedVals ⊆ affectedVals
+      // (merged is the affected-partition semijoin plus the updates), so
+      // the cap above bounds this collect too.
+      val affectedVals = affectedRows.map(_.get(0)).toSet
       val stagedVals = stagedDf.select(col(partitionCol)).distinct()
         .collect().map(_.get(0)).toSet
       // a partition EMPTIED by a key move has no rows in the merged data,

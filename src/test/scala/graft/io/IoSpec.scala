@@ -175,6 +175,30 @@ class SinksSpec2 extends SparkSpec {
     assert(files("2010") === before2010, "untouched partition was rewritten")
   }
 
+  test("upsert past the affected-partition cap fails loudly and leaves the target intact") {
+    val dir = Files.createTempDirectory("graft-lake-cap").toString + "/t"
+    // 20 partitions, one row each — partitioned on a (deliberately) fine column
+    (0L until 20L).map(i => (i, i.toInt, s"v$i")).toDF("k", "ano", "v")
+      .write.partitionBy("ano").parquet(dir)
+    val updates = (0L until 20L).map(i => (i, i.toInt, s"u$i")).toDF("k", "ano", "v")
+    val e = intercept[IllegalStateException] {
+      Sinks.upsertParquet(spark, dir, updates, keyCols = Seq("k"),
+        partitionCol = "ano", maxAffectedPartitions = 5)
+    }
+    assert(e.getMessage.contains("maxAffectedPartitions"), e.getMessage)
+    // cap fires BEFORE anything destructive: target unchanged, staging cleaned
+    val got = spark.read.parquet(dir).select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got === (0L until 20L).map(i => (i, s"v$i")))
+    assert(!new java.io.File(s"$dir.graft-upsert-staging").exists())
+    // same update goes through with an explicit higher cap
+    Sinks.upsertParquet(spark, dir, updates, keyCols = Seq("k"),
+      partitionCol = "ano", maxAffectedPartitions = 20)
+    val after = spark.read.parquet(dir).select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(after === (0L until 20L).map(i => (i, s"u$i")))
+  }
+
   test("compaction: many small files -> few, exact count, content identical") {
     val dir = Files.createTempDirectory("graft-compact").toString + "/t"
     (0L until 1000L).toDF("id").repartition(50).write.parquet(dir)
