@@ -428,7 +428,14 @@ object Sinks {
       .option("createTableColumnTypes", columnTypeDdl(df.schema))
       .jdbc(url, table, props)
 
-  /** K4 (corrected) — MySQL-dialect upsert statement for one table. */
+  /** K4 (corrected) — MySQL-dialect upsert statement for one table
+    * (verbatim the reference's MariaDB shape, silver.py:118-139). No
+    * MySQL-dialect engine exists in this build environment (Derby and
+    * DuckDB both reject `ON DUPLICATE KEY UPDATE`; the offline dep set has
+    * no H2/MySQL driver), so SinksLiveSpec pins this pair by exact grammar,
+    * captured bind payloads, and live-MERGE equivalence instead — the only
+    * surface a real MySQL would add is its parser accepting the statement.
+    */
   def upsertSql(table: String, cols: Seq[String]): String = {
     val placeholders = cols.map(_ => "?").mkString(", ")
     val updates = cols.map(c => s"$c = VALUES($c)").mkString(", ")

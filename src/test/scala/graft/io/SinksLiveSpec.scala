@@ -115,4 +115,66 @@ class SinksLiveSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
     assert(got === Seq((10L, 1L, 9.0), (11L, 2L, 2.0), (12L, 3L, 3.0)))
   }
+
+  /** The MySQL dialect pair cannot be EXECUTED in this build environment:
+    * the only live engines are embedded Derby and DuckDB, neither of which
+    * parses `ON DUPLICATE KEY UPDATE`, and the offline dependency set has
+    * no H2/MySQL driver. What CAN be pinned without a MySQL parser:
+    *  (a) the exact statement text against MySQL 8's documented grammar,
+    *  (b) the wire payload `bindCols` would send for each row (captured
+    *      through a real PreparedStatement proxy — the same call path
+    *      `upsertPartition` drives), and
+    *  (c) dialect equivalence: replaying those captured MySQL payloads
+    *      under MySQL's documented upsert semantics lands the same final
+    *      table as the live Derby MERGE path fed the same rows.
+    * Together these mean the only untested surface is MySQL's parser
+    * accepting (a) — which is verbatim the reference's own statement shape
+    * (silver.py:118-139), known-good against MariaDB.
+    */
+  test("K4 MySQL dialect: grammar pin + captured bind payload + equivalence with live MERGE") {
+    val cols = Seq("k", "v", "n")
+    // (a) exact grammar pin
+    assert(Sinks.upsertSql("up2", cols) ===
+      "INSERT INTO up2 (k, v, n) VALUES (?, ?, ?) " +
+        "ON DUPLICATE KEY UPDATE k = VALUES(k), v = VALUES(v), n = VALUES(n)")
+
+    // (b) capture the MySQL wire payload through the PreparedStatement API
+    def capture(bind: (java.sql.PreparedStatement, org.apache.spark.sql.Row) => Unit,
+                row: org.apache.spark.sql.Row, width: Int): Seq[Any] = {
+      val vals = new Array[Any](width)
+      val ps = java.lang.reflect.Proxy.newProxyInstance(
+        getClass.getClassLoader, Array(classOf[java.sql.PreparedStatement]),
+        (_: Any, m: java.lang.reflect.Method, args: Array[AnyRef]) => m.getName match {
+          case "setObject" =>
+            vals(args(0).asInstanceOf[Integer] - 1) = args(1); null
+          case _ => null
+        }).asInstanceOf[java.sql.PreparedStatement]
+      bind(ps, row)
+      vals.toSeq
+    }
+    val incoming = Seq((2, "new-2", 21), (3, "new-3", 30), (2, "newer-2", 22))
+      .toDF("k", "v", "n")
+    val payloads = incoming.collect().toSeq.map(r => capture(Sinks.bindCols(cols), r, cols.length))
+    assert(payloads === Seq(Seq(2, "new-2", 21), Seq(3, "new-3", 30), Seq(2, "newer-2", 22)))
+
+    // (c) MySQL semantics over the captured payloads (every column set to
+    // VALUES(col) on duplicate key = last-writer-wins full-row upsert) ...
+    val mysqlFinal = payloads.foldLeft(Map(1 -> Seq[Any](1, "old-1", 10), 2 -> Seq[Any](2, "old-2", 20))) {
+      (tbl, p) => tbl + (p.head.asInstanceOf[Int] -> p)
+    }
+    // ... must equal the live Derby MERGE path fed the same rows in order
+    val conn0 = DriverManager.getConnection(url)
+    try {
+      conn0.createStatement().execute(
+        "CREATE TABLE up2 (k INT NOT NULL PRIMARY KEY, v VARCHAR(64), n INT)")
+      conn0.createStatement().execute(
+        "INSERT INTO up2 VALUES (1, 'old-1', 10), (2, 'old-2', 20)")
+      Sinks.upsertPartition(incoming.collect().iterator, conn0,
+        Sinks.upsertSqlMerge("up2", cols, keyCols = Seq("k")),
+        Sinks.bindMerge(cols, Seq("k")), batchSize = 2)
+    } finally conn0.close()
+    val derbyFinal = spark.read.jdbc(url, "up2", props).collect()
+      .map(r => r.getInt(0) -> Seq[Any](r.getInt(0), r.getString(1), r.getInt(2))).toMap
+    assert(derbyFinal === mysqlFinal)
+  }
 }
