@@ -45,14 +45,7 @@ object Components {
     // ids must be integral: a silent cast of string/UUID ids to long would
     // NULL every node, converge instantly, and report "no duplicates" —
     // the worst possible failure mode for a dedup. Fail at entry instead.
-    Seq(aCol, bCol).foreach { c =>
-      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-      val dt = edges.schema(c).dataType
-      val integral = dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
-      require(integral,
-        s"connectedComponents: $c must be an integral id column, got $dt " +
-          "(hash non-numeric ids to 64-bit first, e.g. xxhash64)")
-    }
+    requireIntegralIds(edges, Seq(aCol, bCol))
     // localCheckpoint (eager), NOT persist: an iterative join grows the
     // LOGICAL plan exponentially (every round's plan embeds the previous
     // round's whole lineage — persist caches data but never truncates the
@@ -92,8 +85,106 @@ object Components {
       throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxIter rounds — " +
           "graph diameter exceeds the dedup-cluster assumption; raise maxIter " +
-          "or use a star-contraction algorithm for this graph")
+          "or use connectedComponentsStar (O(log n) rounds on any diameter)")
     labels.select(col("node").as("doc_id"), col("label").as("component"))
+  }
+
+  private def requireIntegralIds(edges: DataFrame, cols: Seq[String]): Unit =
+    cols.foreach { c =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = edges.schema(c).dataType
+      val integral = dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
+      require(integral,
+        s"connectedComponents: $c must be an integral id column, got $dt " +
+          "(hash non-numeric ids to 64-bit first, e.g. xxhash64)")
+    }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond") — same output
+    * contract as [[connectedComponents]], but round count is O(log n) in
+    * the COMPONENT SIZE rather than proportional to graph diameter, so it
+    * handles long-chain graphs min-label propagation would reject.
+    * Propagation stays the default for dedup graphs (near-clique clusters
+    * converge in 2-3 cheaper rounds); reach for this when components can
+    * be paths/meshes — entity-resolution chains, citation graphs.
+    *
+    *  - large-star: every node links its LARGER neighbors to the minimum
+    *    of its neighborhood (incl. itself) — long tails fold in half;
+    *  - small-star: every node links its smaller-or-self neighborhood to
+    *    that minimum — stars flatten onto their centers.
+    *
+    * Both steps emit canonical (bigger → smaller) edges, preserve
+    * connectivity, and never grow the edge set beyond the symmetric
+    * original (paper, Lemmas 1-2); the fixpoint of their composition is a
+    * star forest whose centers are the component minima. Each round is two
+    * keyed aggregations + a join over (long, long) edges — 16 B/row
+    * shuffles, payload-free, same discipline as propagation. Lineage is
+    * localCheckpoint-truncated per round for the same driver-OOM reason.
+    */
+  def connectedComponentsStar(edges: DataFrame, aCol: String = "doc_a",
+                              bCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
+    requireIntegralIds(edges, Seq(aCol, bCol))
+
+    // canonical directed edges u > v, self-loops dropped, deduped
+    val canon = edges.select(
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    val originalNodes = canon.select(col("u").as("node"))
+      .union(canon.select(col("v").as("node"))).distinct()
+      .localCheckpoint(true)
+
+    // for each center: min over its (symmetric) neighborhood and itself,
+    // then re-link larger neighbors to that min
+    def largeStar(cur: DataFrame): DataFrame = {
+      val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u").as("c")).agg(min(col("v")).as("mn"))
+        .select(col("c"), least(col("mn"), col("c")).as("m"))
+      sym.join(mins, sym("u") === mins("c"))
+        .filter(col("v") > col("c")) // larger neighbors only
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // for each center: link its smaller neighbors and itself to the min of
+    // that set (directed rep means every neighbor here is already smaller)
+    def smallStar(cur: DataFrame): DataFrame = {
+      val mins = cur.groupBy("u").agg(min(col("v")).as("m"))
+      val relinked = cur.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val self = mins.select(col("u"), col("m").as("v")) // u > m always
+      relinked.union(self).distinct()
+    }
+
+    var e = canon
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // both sides are distinct canonical sets: equal counts + empty
+      // difference <=> identical edge sets (the paper's fixpoint test)
+      converged = next.count() == e.count() && next.except(e).isEmpty
+      e.unpersist()
+      e = next
+      iter += 1
+    }
+    if (!converged) {
+      e.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponentsStar: no fixpoint after $maxIter rounds — " +
+          "raise maxIter (rounds grow O(log n), so this indicates a bug or " +
+          "an adversarial id distribution, not normal data)")
+    }
+    // fixpoint = star forest: every non-center has exactly one edge to its
+    // component min; centers label themselves
+    val out = originalNodes
+      .join(e.withColumnRenamed("u", "node"), Seq("node"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("v"), col("node")).as("component"))
+    e.unpersist()
+    out
   }
 
   /** Dedup by clustering: keep exactly one representative (min id) per

@@ -60,11 +60,25 @@ object Extensions {
   private val ccCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
+  /** The near-dup pair graph is the expensive half of the ledger (jaccard
+    * prefix-filter join); built once, persisted, and shared between the
+    * propagation and star-contraction component entries.
+    */
+  private val ccPairCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def ccPairsFor(s: SparkSession, dir: String): DataFrame =
+    ccPairCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("cc_pair_graph") {
+        val p = JaccardDedup.similarPairs(Tables.documents(s, dir), threshold = 0.5).persist()
+        p.count() // materialize: consumers must not re-run the pair join
+        p
+      })
+
   private def ccFor(s: SparkSession, dir: String): DataFrame =
     ccCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
       graft.BuildTimes.timed("cc_ledger") {
-        Components.connectedComponents(
-          JaccardDedup.similarPairs(Tables.documents(s, dir), threshold = 0.5))
+        Components.connectedComponents(ccPairsFor(s, dir))
       })
 
   val queries: Map[String, Q] = Map(
@@ -172,6 +186,14 @@ object Extensions {
     // computed once per corpus (the dedup ledger a deployment persists)
     // and served from the app-scoped cache, like the IVF model state.
     "x_dedup_cc" -> ((s: SparkSession, dir: String) => ccFor(s, dir)),
+
+    // same component labels via alternating large-star/small-star
+    // contraction (O(log n) rounds on ANY diameter — the general-graph
+    // path); shares the pair graph and the recursive-CTE oracle with
+    // x_dedup_cc, so the driver checks both algorithms against the same
+    // DuckDB fixpoint
+    "x_dedup_cc_star" -> ((s: SparkSession, dir: String) =>
+      Components.connectedComponentsStar(ccPairsFor(s, dir))),
 
     // incremental dedup: a "new batch" (source src0) probed against the
     // rest of the corpus by content hash, exact text verify for candidates
@@ -453,6 +475,28 @@ object Extensions {
   private def sqlStopCount(words: Seq[String]) =
     s"len(list_filter($sqlWords, w -> w in (${words.map(w => s"'$w'").mkString(", ")})))"
 
+  /** Component fixpoint over the jaccard pair graph (DuckDB recursive-CTE
+    * walk) — shared by `x_dedup_cc` (min-label propagation) and
+    * `x_dedup_cc_star` (star contraction): one oracle, two algorithms.
+    */
+  private val ccOracleSqlRef =
+    s"""WITH RECURSIVE
+       |t AS (SELECT doc_id, source, n_chars, list_distinct($sqlWords) AS ws
+       |      FROM documents),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |      FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+       |        AND abs(a.n_chars - b.n_chars) * 5 <= a.n_chars + b.n_chars
+       |      WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+       |          len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |walk(node, label) AS (
+       |  SELECT src, src FROM e
+       |  UNION
+       |  SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node)
+       |SELECT node AS doc_id, min(label) AS component
+       |FROM walk GROUP BY node""".stripMargin
+
   /** Static oracles + the dynamically generated IVF family (the latter
     * embed the trained model's centroid literals and the written layout
     * path, which exist only after the registry entries have run —
@@ -709,23 +753,10 @@ object Extensions {
          |WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
          |    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5""".stripMargin,
 
-    "x_dedup_cc" ->
-      s"""WITH RECURSIVE
-         |t AS (SELECT doc_id, source, n_chars, list_distinct($sqlWords) AS ws
-         |      FROM documents),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |      FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
-         |        AND abs(a.n_chars - b.n_chars) * 5 <= a.n_chars + b.n_chars
-         |      WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
-         |          len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5),
-         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
-         |      UNION ALL SELECT doc_b, doc_a FROM p),
-         |walk(node, label) AS (
-         |  SELECT src, src FROM e
-         |  UNION
-         |  SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node)
-         |SELECT node AS doc_id, min(label) AS component
-         |FROM walk GROUP BY node""".stripMargin,
+    "x_dedup_cc" -> ccOracleSqlRef,
+
+    // star contraction computes the SAME fixpoint — one oracle, two algorithms
+    "x_dedup_cc_star" -> ccOracleSqlRef,
 
     "x_sim_topk_brute" ->
       """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -43,6 +43,37 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("star contraction solves a path deeper than propagation's round budget") {
+    // path 1-2-...-40: diameter 39. Propagation at maxIter=6 must refuse;
+    // star contraction converges inside its O(log n) budget and labels the
+    // whole chain with the min id.
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Components.connectedComponents(chain, maxIter = 6)
+    }
+    val got = Components.connectedComponentsStar(chain, maxIter = 10)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got === (1L to 40L).map(i => (i, 1L)))
+  }
+
+  test("star contraction matches propagation on chain/star/disjoint shapes") {
+    for (edges <- Seq(
+      Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)),
+      Seq((5L, 1L), (5L, 2L), (5L, 3L)),
+      Seq((7L, 8L)))) {
+      val df = edges.toDF("doc_a", "doc_b")
+      val prop = Components.connectedComponents(df).as[(Long, Long)].collect().sorted.toSeq
+      val star = Components.connectedComponentsStar(df).as[(Long, Long)].collect().sorted.toSeq
+      assert(star === prop, s"mismatch on $edges")
+    }
+  }
+
+  test("connectedComponentsStar rejects non-integral ids too") {
+    intercept[IllegalArgumentException] {
+      Components.connectedComponentsStar(Seq(("a", "b")).toDF("doc_a", "doc_b"))
+    }
+  }
+
   test("connectedComponents == union-find on random edge sets (sampled property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val edgeGen = Gen.listOfN(14,
@@ -64,7 +95,9 @@ class ComponentsSpec extends SparkSpec {
       val want = parent.keys.map(n => n -> find(n)).toMap
       val got = Components.connectedComponents(es.toDF("doc_a", "doc_b"))
         .as[(Long, Long)].collect().toMap
-      Prop(got == want) :| s"got $got want $want"
+      val star = Components.connectedComponentsStar(es.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      Prop(got == want && star == want) :| s"got $got star $star want $want"
     }
     val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(result.passed, result.status.toString)
