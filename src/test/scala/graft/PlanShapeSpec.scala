@@ -76,6 +76,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("isFinalPlan=true"), p.take(2000))
   }
 
+  test("silver chain fuses scan->project into a single WholeStageCodegen span") {
+    // SCALE.md's codegen claim, pinned: every expression in the silver
+    // clean chain (trim/initcap/coalesce/year/try_to_timestamp) supports
+    // codegen, so the scan-side pipeline must fuse into ONE span — a
+    // non-codegen expression slipping into the chain would split it and
+    // put an interpreted row boundary in the hot path of every scan row.
+    val df = SparkEntry.queries("ref_silver_clean")(spark, sf)
+    df.collect() // materialize THIS execution so AQE finalizes the plan
+    val p = df.queryExecution.executedPlan.toString
+    val spans = """\*\((\d+)\)\s+(\w+)""".r.findAllMatchIn(p)
+      .map(m => m.group(1) -> m.group(2)).toSeq
+    val byId = spans.groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+    assert(byId.values.exists(s => s.contains("Project") && s.contains("ColumnarToRow")),
+      s"scan->project not fused into one codegen span; spans=$byId\n${p.take(3000)}")
+  }
+
   test("REGISTRY-WIDE: no unplanned nested-loop/cartesian join in any query") {
     // the operators that are quadratic BY SPEC (exact pair scoring, or a
     // deliberate cross join against a broadcast model/query side bounded by
