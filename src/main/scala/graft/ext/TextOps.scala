@@ -120,4 +120,34 @@ object TextOps {
     patterns.foldLeft(text) { case (c, (re, repl)) =>
       regexp_replace(c, re, repl)
     }
+
+  /** Gopher-style repetition signals over word n-grams: the fraction of
+    * all n-grams taken by the single most frequent one (high → templated/
+    * spammy text) and the distinct-n-gram ratio (low → loops). Within-ROW
+    * computation — no shuffle, fuses with the scan; the inner
+    * distinct×filter scan is O(d²) in the per-document n-gram count, which
+    * is bounded by document length (a per-row constant, not a data-scale
+    * term — the explode/groupBy alternative would turn a map pass into a
+    * corpus-wide shuffle to save per-row work).
+    *
+    * Determinism: integer counts and one IEEE division — exact in any
+    * engine (same contract as the other ratios here).
+    */
+  def topNgramCount(textCol: String, n: Int = 2): Column = {
+    val gs = graft.ext.Decontaminate.ngrams(textCol, n)
+    coalesce(
+      array_max(transform(array_distinct(gs),
+        g => size(filter(gs, x => x === g)))),
+      lit(0))
+  }
+
+  def nNgrams(textCol: String, n: Int = 2): Column =
+    size(graft.ext.Decontaminate.ngrams(textCol, n))
+
+  def topNgramFraction(textCol: String, n: Int = 2): Column =
+    topNgramCount(textCol, n).cast("double") / nNgrams(textCol, n)
+
+  def distinctNgramRatio(textCol: String, n: Int = 2): Column =
+    size(array_distinct(graft.ext.Decontaminate.ngrams(textCol, n))).cast("double") /
+      nNgrams(textCol, n)
 }

@@ -48,4 +48,23 @@ object Sampling {
     */
   def byModulo(df: DataFrame, key: Column, k: Int): DataFrame =
     df.filter(pmod(key, lit(k)) === 0)
+
+  /** Stratified modulo sampling: per-stratum 1-in-k rates (corpus
+    * REBALANCING — e.g. downsample the dominant language, keep the rare
+    * ones whole). Strata missing from `rates` fall back to `defaultK`;
+    * k=1 keeps the stratum entire. Same determinism contract as
+    * [[byModulo]] (pure map pass, no shuffle, engine-portable), and the
+    * stratum column stays a column — no driver-side group enumeration, so
+    * an unexpected new stratum at 100 TB changes selectivity, not the
+    * plan.
+    */
+  def stratifiedByModulo(df: DataFrame, stratum: Column, key: Column,
+                         rates: Map[String, Int], defaultK: Int = 1): DataFrame = {
+    require(defaultK >= 1 && rates.values.forall(_ >= 1),
+      "stratifiedByModulo: every k must be >= 1")
+    val k = rates.foldLeft(lit(defaultK)) { case (acc, (s, ki)) =>
+      when(stratum === s, lit(ki)).otherwise(acc)
+    }
+    df.filter(pmod(key, k) === 0)
+  }
 }

@@ -57,6 +57,25 @@ object DataPrep {
     graft.ext.Components.keepRepresentatives(
       docs, MinHashDedup.nearDuplicates(docs, minJaccard = minJaccard))
 
+  /** Per-domain quota — corpus balancing: keep at most `k` docs per
+    * `domainCol` value, priority = quality score desc then doc_id asc (a
+    * TOTAL order, so the survivors are deterministic). The window
+    * partitions by domain — one shuffle keyed on the domain, bounded
+    * output per key; at 100 TB a skewed mega-domain is one hot partition,
+    * which AQE splits (the rank is per-domain, so splitting is safe).
+    * The standard over-represented-source cap (C4 keeps ~1 doc per URL;
+    * per-domain caps are the coarser form).
+    */
+  def domainQuota(docs: DataFrame, domainCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"domainQuota: k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(TextOps.qualityScore("text").desc, col("doc_id"))
+    docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+
   /** Full pipeline; writes `outDir/split=…` and returns the final corpus
     * with its split column.
     */

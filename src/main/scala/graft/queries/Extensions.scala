@@ -302,6 +302,44 @@ object Extensions {
         .agg((sum(coalesce(col("hit"), lit(0))) / 10.0).as("recall_at_10"))
     }),
 
+    // train/eval decontamination: docs from source 'src0' stand in for the
+    // eval benchmark; every other doc sharing a 3-gram with it is flagged.
+    // Bloom-prescreened corpus side, exact-join verify — output is exact
+    "x_decontaminate" -> ((s: SparkSession, dir: String) => {
+      val d = Tables.documents(s, dir)
+      graft.ext.Decontaminate.contaminated(
+        d.filter(col("source") =!= "src0"),
+        d.filter(col("source") === "src0"), n = 3)
+    }),
+
+    // Gopher-style repetition signals (top-2-gram fraction, distinct ratio)
+    // — within-row, no shuffle, exact integer/division arithmetic
+    "x_text_repetition" -> ((s: SparkSession, dir: String) => {
+      Tables.documents(s, dir)
+        .filter(TextOps.nNgrams("text", 2) >= 1)
+        .select(col("doc_id"),
+          TextOps.nNgrams("text", 2).as("n_2grams"),
+          TextOps.topNgramCount("text", 2).as("top2_count"),
+          TextOps.topNgramFraction("text", 2).as("top2_frac"),
+          TextOps.distinctNgramRatio("text", 2).as("distinct2_ratio"))
+    }),
+
+    // per-domain quota: ≤ 20 docs per source, quality-priority — corpus
+    // balancing (one bounded window shuffle keyed on the domain)
+    "x_domain_quota" -> ((s: SparkSession, dir: String) => {
+      graft.pipeline.DataPrep.domainQuota(Tables.documents(s, dir), "source", 20)
+        .select("doc_id", "source", "lang", "n_chars")
+    }),
+
+    // stratified rebalancing: keep 1-in-3 of the dominant 'en' stratum,
+    // 1-in-2 of 'de', everything else whole — deterministic modulo rule
+    "x_sample_stratified" -> ((s: SparkSession, dir: String) => {
+      graft.ops.Sampling.stratifiedByModulo(
+        Tables.documents(s, dir), col("lang"), col("doc_id"),
+        Map("en" -> 3, "de" -> 2))
+        .select("doc_id", "lang", "source")
+    }),
+
     // embedding-cosine near-dup pairs, exact form — quadratic by nature
     // (dimension-table scale / the oracle for the LSH form below)
     "x_dedup_embed_exact" -> ((s: SparkSession, dir: String) => {
@@ -752,6 +790,52 @@ object Extensions {
          |  AND abs(a.n_chars - b.n_chars) * 5 <= a.n_chars + b.n_chars
          |WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
          |    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5""".stripMargin,
+
+    "x_decontaminate" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |d AS (SELECT doc_id, source,
+        |    list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |                  i -> array_to_string(ws[i:i+2], ' '))) AS ngs
+        |  FROM w),
+        |t AS (SELECT doc_id, unnest(ngs) AS ng FROM d WHERE source <> 'src0'),
+        |e AS (SELECT DISTINCT unnest(ngs) AS ng FROM d WHERE source = 'src0')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |FROM t JOIN e USING (ng) GROUP BY doc_id""".stripMargin,
+
+    "x_text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |    list_transform(generate_series(1, len(ws) - 1),
+        |                   i -> array_to_string(ws[i:i+1], ' ')) AS gs
+        |  FROM w)
+        |SELECT doc_id,
+        |  CAST(len(gs) AS INT) AS n_2grams,
+        |  CAST(list_max(list_transform(list_distinct(gs),
+        |       x -> len(list_filter(gs, y -> y = x)))) AS INT) AS top2_count,
+        |  CAST(list_max(list_transform(list_distinct(gs),
+        |       x -> len(list_filter(gs, y -> y = x)))) AS DOUBLE) / len(gs) AS top2_frac,
+        |  CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs) AS distinct2_ratio
+        |FROM g WHERE len(gs) >= 1""".stripMargin,
+
+    "x_domain_quota" ->
+      s"""WITH sc AS (SELECT doc_id, source, lang, n_chars,
+         |    CAST(len($sqlWords) BETWEEN 20 AND 1000 AS INT)
+         |    + CAST(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len($sqlWords)
+         |           BETWEEN 3.0 AND 10.0 AS INT)
+         |    + CAST(CAST(${sqlStopCount(graft.ext.TextOps.DefaultStopwords)} AS DOUBLE)
+         |           / len($sqlWords) >= 0.05 AS INT)
+         |    + CAST(CAST(len(list_distinct($sqlWords)) AS DOUBLE)
+         |           / len($sqlWords) >= 0.3 AS INT) AS score
+         |  FROM documents)
+         |SELECT doc_id, source, lang, n_chars FROM (
+         |  SELECT doc_id, source, lang, n_chars,
+         |    row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rk
+         |  FROM sc)
+         |WHERE rk <= 20""".stripMargin,
+
+    "x_sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % (CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 2 ELSE 1 END) = 0""".stripMargin,
 
     "x_dedup_cc" -> ccOracleSqlRef,
 

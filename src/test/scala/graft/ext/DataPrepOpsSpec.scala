@@ -1,0 +1,78 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Units for the corpus-prep additions: decontamination, repetition
+  * signals, stratified sampling, per-domain quotas.
+  */
+class DataPrepOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ngrams: sliding windows; short docs yield empty, not a fabricated window") {
+    val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "a")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), Decontaminate.ngrams("text", 3).as("ngs"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) === Seq("a b c", "b c d"))
+    assert(got(2L) === Seq.empty) // size-2 doc, n=3: Spark sequence would DESCEND here
+    assert(got(3L) === Seq.empty)
+  }
+
+  test("contaminated: flags exactly the docs sharing an n-gram, with distinct counts") {
+    val train = Seq(
+      (10L, "the quick brown fox jumps"),      // shares "quick brown fox", "brown fox jumps"
+      (11L, "completely unrelated words here"),
+      (12L, "quick brown fox quick brown fox") // shares "quick brown fox" (counted once)
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "a quick brown fox jumps high")).toDF("doc_id", "text")
+    val got = Decontaminate.contaminated(train, eval, n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(10L -> 2L, 12L -> 1L))
+    val kept = Decontaminate.removeContaminated(train, eval, n = 3)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept === Seq(11L))
+  }
+
+  test("repetition signals: exact counts on a constructed repetitive doc") {
+    val df = Seq((1L, "x y x y x")).toDF("doc_id", "text")
+    // 2-grams: [x y, y x, x y, y x] -> top count 2, 2 distinct of 4
+    val r = df.select(
+      TextOps.nNgrams("text", 2).as("n"),
+      TextOps.topNgramCount("text", 2).as("top"),
+      TextOps.topNgramFraction("text", 2).as("frac"),
+      TextOps.distinctNgramRatio("text", 2).as("dr"))
+      .as[(Int, Int, Double, Double)].head()
+    assert(r === ((4, 2, 0.5, 0.5)))
+  }
+
+  test("stratifiedByModulo: per-stratum rates, default keeps whole") {
+    val df = (0L until 30L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
+      .toDF("doc_id", "lang")
+    val got = graft.ops.Sampling.stratifiedByModulo(
+      df, col("lang"), col("doc_id"), Map("en" -> 2, "de" -> 5))
+      .as[(Long, String)].collect().sorted.toSeq
+    val want = (0L until 30L).flatMap { i =>
+      val lang = if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"
+      val k = lang match { case "en" => 2; case "de" => 5; case _ => 1 }
+      if (i % k == 0) Some((i, lang)) else None
+    }.sorted
+    assert(got === want)
+    intercept[IllegalArgumentException] {
+      graft.ops.Sampling.stratifiedByModulo(df, col("lang"), col("doc_id"), Map("en" -> 0))
+    }
+  }
+
+  test("domainQuota: caps each domain at k, keeps highest-quality then lowest id") {
+    // high-quality: 25 words, avg word length > 3, stopwords present,
+    // diverse; low-quality: 3 short words (fails length + word-length bands)
+    def words(n: Int) = Seq.fill(n)("the quality of good text and fine words here")
+      .mkString(" ").split(" ").take(n).mkString(" ")
+    val docs = Seq(
+      (1L, "a", "a b c"), (2L, "a", words(25)), (3L, "a", words(25)), (4L, "a", "a b c"),
+      (5L, "b", words(25))).toDF("doc_id", "source", "text")
+    val got = graft.pipeline.DataPrep.domainQuota(docs, "source", 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // domain a: quality puts 2,3 first (same score -> lower ids of the high tier); b: 5
+    assert(got === Seq(2L, 3L, 5L))
+  }
+}
