@@ -11,12 +11,25 @@ package graft
 object BuildTimes {
   val times = scala.collection.concurrent.TrieMap.empty[String, Double]
 
+  // Builds nest (the CC ledger times the pair-graph build it triggers; the
+  // layout write times IVF training): each name records its EXCLUSIVE time
+  // only, so `total` equals the outermost builds' wall clock and Bench's
+  // subtraction can never exceed the elapsed time it is subtracted from.
+  // Nesting is per-thread (a build runs inside one query's thread).
+  private val childSecs = new ThreadLocal[Double] {
+    override def initialValue: Double = 0.0
+  }
+
   def timed[T](name: String)(f: => T): T = {
+    val outer = childSecs.get()
+    childSecs.set(0.0)
     val t0 = System.nanoTime()
     try f
     finally {
       val dt = (System.nanoTime() - t0) / 1e9
-      times.updateWith(name) { prev => Some(prev.getOrElse(0.0) + dt) }: Unit
+      val self = math.max(0.0, dt - childSecs.get())
+      times.updateWith(name) { prev => Some(prev.getOrElse(0.0) + self) }: Unit
+      childSecs.set(outer + dt)
     }
   }
 

@@ -45,7 +45,7 @@ object Components {
     // ids must be integral: a silent cast of string/UUID ids to long would
     // NULL every node, converge instantly, and report "no duplicates" —
     // the worst possible failure mode for a dedup. Fail at entry instead.
-    requireIntegralIds(edges, Seq(aCol, bCol))
+    requireIntegralIds("connectedComponents", edges, Seq(aCol, bCol))
     // localCheckpoint (eager), NOT persist: an iterative join grows the
     // LOGICAL plan exponentially (every round's plan embeds the previous
     // round's whole lineage — persist caches data but never truncates the
@@ -75,12 +75,12 @@ object Components {
       // drop the superseded round's checkpoint blocks NOW — waiting for the
       // ContextCleaner would pin up to maxIter copies of the label table in
       // executor storage
-      labels.unpersist()
+      freeCheckpoint(labels)
       labels = next
       converged = changed == 0
       iter += 1
     }
-    sym.unpersist()
+    freeCheckpoint(sym)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxIter rounds — " +
@@ -89,15 +89,28 @@ object Components {
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 
-  private def requireIntegralIds(edges: DataFrame, cols: Seq[String]): Unit =
+  private def requireIntegralIds(caller: String, edges: DataFrame, cols: Seq[String]): Unit =
     cols.foreach { c =>
       import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
       val dt = edges.schema(c).dataType
       val integral = dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
       require(integral,
-        s"connectedComponents: $c must be an integral id column, got $dt " +
+        s"$caller: $c must be an integral id column, got $dt " +
           "(hash non-numeric ids to 64-bit first, e.g. xxhash64)")
     }
+
+  /** Eagerly drop a superseded `localCheckpoint(true)` round's storage.
+    * `Dataset.unpersist()` is a CacheManager lookup and does NOT free a
+    * checkpoint's blocks (the materialized RDD sits under a `LogicalRDD`
+    * leaf the CacheManager never registered) — they would otherwise pin
+    * executor storage until driver GC + ContextCleaner get around to the
+    * unreferenced RDD. NEVER call this on a frame that still has consumers:
+    * a truncated lineage cannot recompute.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /** Alternating large-star/small-star connected components (Kiveris et
     * al., "Connected Components in MapReduce and Beyond") — same output
@@ -123,16 +136,19 @@ object Components {
     */
   def connectedComponentsStar(edges: DataFrame, aCol: String = "doc_a",
                               bCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
-    requireIntegralIds(edges, Seq(aCol, bCol))
+    requireIntegralIds("connectedComponentsStar", edges, Seq(aCol, bCol))
 
+    // every node of the INPUT graph — taken before self-loops are dropped,
+    // so a node appearing only as (x, x) still labels itself in the output
+    // (same contract as propagation, whose symmetric edge set keeps it)
+    val originalNodes = edges.select(col(aCol).cast("long").as("node"))
+      .union(edges.select(col(bCol).cast("long").as("node"))).distinct()
+      .localCheckpoint(true)
     // canonical directed edges u > v, self-loops dropped, deduped
     val canon = edges.select(
         greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
-    val originalNodes = canon.select(col("u").as("node"))
-      .union(canon.select(col("v").as("node"))).distinct()
       .localCheckpoint(true)
 
     // for each center: min over its (symmetric) neighborhood and itself,
@@ -166,24 +182,29 @@ object Components {
       // both sides are distinct canonical sets: equal counts + empty
       // difference <=> identical edge sets (the paper's fixpoint test)
       converged = next.count() == e.count() && next.except(e).isEmpty
-      e.unpersist()
+      freeCheckpoint(e) // superseded round: no consumers remain
       e = next
       iter += 1
     }
     if (!converged) {
-      e.unpersist()
+      freeCheckpoint(e)
+      freeCheckpoint(originalNodes)
       throw new IllegalStateException(
         s"connectedComponentsStar: no fixpoint after $maxIter rounds — " +
           "raise maxIter (rounds grow O(log n), so this indicates a bug or " +
           "an adversarial id distribution, not normal data)")
     }
     // fixpoint = star forest: every non-center has exactly one edge to its
-    // component min; centers label themselves
+    // component min; centers label themselves. Materialize BEFORE freeing
+    // the inputs the plan reads from — their lineage is truncated and
+    // cannot recompute.
     val out = originalNodes
       .join(e.withColumnRenamed("u", "node"), Seq("node"), "left")
       .select(col("node").as("doc_id"),
         coalesce(col("v"), col("node")).as("component"))
-    e.unpersist()
+      .localCheckpoint(true)
+    freeCheckpoint(e)
+    freeCheckpoint(originalNodes)
     out
   }
 

@@ -44,7 +44,12 @@ object Decontaminate {
                    expectedEvalNgrams: Long = 1000000L,
                    bloomBits: Long = 8L * 1024 * 1024): DataFrame = {
     val tg = train.select(col(idCol), explode(array_distinct(ngrams(textCol, n))).as("ng"))
-    val eg = evalSet.select(explode(array_distinct(ngrams(textCol, n))).as("ng")).distinct()
+    // persist the eval n-gram set: it is read twice (sketch build — an
+    // immediate action — then the exact-verify join) and it is benchmark-
+    // sized by assumption, so caching it is what a serving deployment does
+    // too; without it every downstream action re-explodes the eval docs
+    val eg = evalSet.select(explode(array_distinct(ngrams(textCol, n))).as("ng"))
+      .distinct().persist()
     graft.ops.BloomJoin.prefilter(tg, col("ng"), eg, col("ng"),
         expectedEvalNgrams, bloomBits)
       .join(eg, Seq("ng")) // exact verify: bloom false positives die here

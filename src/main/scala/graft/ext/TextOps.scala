@@ -133,13 +133,21 @@ object TextOps {
     * Determinism: integer counts and one IEEE division — exact in any
     * engine (same contract as the other ratios here).
     */
-  def topNgramCount(textCol: String, n: Int = 2): Column = {
-    val gs = graft.ext.Decontaminate.ngrams(textCol, n)
+  /** `*Of` variants take an ALREADY-COMPUTED n-gram array column. Compute
+    * the array once in a prior projection and reference it here — the
+    * higher-order functions are CodegenFallback, so Catalyst's
+    * common-subexpression elimination does NOT rescue duplicated subtrees,
+    * and `CollapseProject` deliberately keeps a non-cheap multi-referenced
+    * alias in its own projection (one evaluation) instead of inlining it.
+    */
+  def topNgramCountOf(gs: Column): Column =
     coalesce(
       array_max(transform(array_distinct(gs),
         g => size(filter(gs, x => x === g)))),
       lit(0))
-  }
+
+  def topNgramCount(textCol: String, n: Int = 2): Column =
+    topNgramCountOf(graft.ext.Decontaminate.ngrams(textCol, n))
 
   def nNgrams(textCol: String, n: Int = 2): Column =
     size(graft.ext.Decontaminate.ngrams(textCol, n))

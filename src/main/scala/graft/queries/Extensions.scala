@@ -313,15 +313,19 @@ object Extensions {
     }),
 
     // Gopher-style repetition signals (top-2-gram fraction, distinct ratio)
-    // — within-row, no shuffle, exact integer/division arithmetic
+    // — within-row, no shuffle, exact integer/division arithmetic. The
+    // n-gram array and the O(d²) top count are each computed ONCE in their
+    // own projection (the higher-order exprs are CodegenFallback — no CSE)
     "x_text_repetition" -> ((s: SparkSession, dir: String) => {
       Tables.documents(s, dir)
-        .filter(TextOps.nNgrams("text", 2) >= 1)
+        .withColumn("gs", graft.ext.Decontaminate.ngrams("text", 2))
+        .withColumn("top2_count", TextOps.topNgramCountOf(col("gs")))
+        .filter(size(col("gs")) >= 1)
         .select(col("doc_id"),
-          TextOps.nNgrams("text", 2).as("n_2grams"),
-          TextOps.topNgramCount("text", 2).as("top2_count"),
-          TextOps.topNgramFraction("text", 2).as("top2_frac"),
-          TextOps.distinctNgramRatio("text", 2).as("distinct2_ratio"))
+          size(col("gs")).as("n_2grams"),
+          col("top2_count"),
+          (col("top2_count").cast("double") / size(col("gs"))).as("top2_frac"),
+          (size(array_distinct(col("gs"))).cast("double") / size(col("gs"))).as("distinct2_ratio"))
     }),
 
     // per-domain quota: ≤ 20 docs per source, quality-priority — corpus

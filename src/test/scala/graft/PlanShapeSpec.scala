@@ -82,14 +82,30 @@ class PlanShapeSpec extends SparkSpec {
     // codegen, so the scan-side pipeline must fuse into ONE span — a
     // non-codegen expression slipping into the chain would split it and
     // put an interpreted row boundary in the hot path of every scan row.
+    import org.apache.spark.sql.execution.{ColumnarToRowExec, InputAdapter, ProjectExec, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val df = SparkEntry.queries("ref_silver_clean")(spark, sf)
     df.collect() // materialize THIS execution so AQE finalizes the plan
-    val p = df.queryExecution.executedPlan.toString
-    val spans = """\*\((\d+)\)\s+(\w+)""".r.findAllMatchIn(p)
-      .map(m => m.group(1) -> m.group(2)).toSeq
-    val byId = spans.groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
-    assert(byId.values.exists(s => s.contains("Project") && s.contains("ColumnarToRow")),
-      s"scan->project not fused into one codegen span; spans=$byId\n${p.take(3000)}")
+    // Walk the real plan TREE (codegen-span NUMBERS restart per AQE stage,
+    // so string-grouping by "*(n)" could merge spans from different stages
+    // and hide a broken fusion). A span's membership stops at InputAdapter
+    // — that is the codegen boundary.
+    def spans(p: SparkPlan): Seq[WholeStageCodegenExec] = p match {
+      case a: AdaptiveSparkPlanExec => spans(a.executedPlan)
+      case q: QueryStageExec => spans(q.plan)
+      case w: WholeStageCodegenExec => w +: w.children.flatMap(spans)
+      case other => other.children.flatMap(spans)
+    }
+    def members(p: SparkPlan): Seq[SparkPlan] = p match {
+      case _: InputAdapter => Seq.empty
+      case n => n +: n.children.flatMap(members)
+    }
+    val fused = spans(df.queryExecution.executedPlan).exists { w =>
+      val m = members(w.child)
+      m.exists(_.isInstanceOf[ProjectExec]) && m.exists(_.isInstanceOf[ColumnarToRowExec])
+    }
+    assert(fused,
+      s"scan->project not fused into one codegen span:\n${df.queryExecution.executedPlan.toString.take(3000)}")
   }
 
   test("REGISTRY-WIDE: no unplanned nested-loop/cartesian join in any query") {

@@ -68,6 +68,14 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("self-loop-only nodes label themselves in both algorithms") {
+    val edges = Seq((5L, 5L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val prop = Components.connectedComponents(edges).as[(Long, Long)].collect().sorted.toSeq
+    val star = Components.connectedComponentsStar(edges).as[(Long, Long)].collect().sorted.toSeq
+    assert(prop === Seq((1L, 1L), (2L, 1L), (5L, 5L)))
+    assert(star === prop)
+  }
+
   test("connectedComponentsStar rejects non-integral ids too") {
     intercept[IllegalArgumentException] {
       Components.connectedComponentsStar(Seq(("a", "b")).toDF("doc_a", "doc_b"))
