@@ -58,11 +58,14 @@ object EventsQueries {
 
     // native SESSION_WINDOW sessionization — the declarative twin of e3's
     // lag-islands form (and of the stateful streaming sessionizer): Spark
-    // merges events whose gap < 30 min into one growing window. Event
+    // merges events whose gap <= 30 min into one growing window. Event
     // times are floored to whole seconds FIRST so the gap comparisons are
     // ns-vs-µs-proof; the oracle computes the same islands with
-    // `new session iff gap >= 1800` (session_window's end is exclusive,
-    // so an exactly-1800 s gap starts a new session)
+    // `new session iff gap > 1800` — session_window MERGES a pair exactly
+    // gap apart (verified empirically on 4.1: (0 s, 1800 s) is ONE
+    // session, (0 s, 1801 s) is two; caught by an exact-boundary pair in
+    // the sf0.1 fixture that round 3's data happened not to contain, and
+    // matching e3's and the stateful sessionizer's strict-> rule)
     "e6_session_window" -> ((s: SparkSession, dir: String) => {
       Tables.events(s, dir)
         .select(col("user_id"),
@@ -166,7 +169,7 @@ object EventsQueries {
         |w AS (SELECT user_id, s,
         |        lag(s) OVER (PARTITION BY user_id ORDER BY s) AS prev FROM e),
         |m AS (SELECT user_id, s,
-        |        CASE WHEN prev IS NULL OR s - prev >= 1800 THEN 1 ELSE 0 END AS is_new
+        |        CASE WHEN prev IS NULL OR s - prev > 1800 THEN 1 ELSE 0 END AS is_new
         |      FROM w),
         |g AS (SELECT user_id, s,
         |        sum(is_new) OVER (PARTITION BY user_id ORDER BY s

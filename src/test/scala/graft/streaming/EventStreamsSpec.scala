@@ -158,6 +158,22 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window boundary: an exactly-gap pair MERGES, gap+1s splits") {
+    // Pins the inclusive-touch merge rule the e6 oracle mirrors with its
+    // strict `gap > 1800` island condition — caught live by an
+    // exactly-1800 s pair in the sf0.1 fixture (round 4): [0, 1800) and
+    // [1800, 3600) windows touch and Spark merges them.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, session_window, timestamp_seconds}
+    val df = Seq((1L, 0L), (1L, 1800L), (2L, 0L), (2L, 1801L))
+      .toDF("uid", "sec")
+      .select(col("uid"), timestamp_seconds(col("sec")).as("ts"))
+    val got = df.groupBy(session_window(col("ts"), "30 minutes"), col("uid"))
+      .agg(count(lit(1)).as("n"))
+      .select("uid", "n").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((1L, 2L), (2L, 1L), (2L, 1L)))
+  }
+
   test("session_window stream merges gap<30min events; emits when watermark closes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
