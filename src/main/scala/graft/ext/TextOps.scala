@@ -140,11 +140,23 @@ object TextOps {
     * and `CollapseProject` deliberately keeps a non-cheap multi-referenced
     * alias in its own projection (one evaluation) instead of inlining it.
     */
-  def topNgramCountOf(gs: Column): Column =
-    coalesce(
-      array_max(transform(array_distinct(gs),
-        g => size(filter(gs, x => x === g)))),
-      lit(0))
+  def topNgramCountOf(gs: Column): Column = {
+    // sort + linear run-length fold: O(d log d) per row vs the O(d²)
+    // distinct×filter scan (that form was the slowest query in the
+    // registry at 4 s warm on sf0.1). When acc.run is 0 both branches
+    // yield 1, so the sentinel empty-string prev can never miscount a
+    // legitimate first element. Empty array → best stays 0.
+    aggregate(
+      array_sort(gs),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x.eqNullSafe(acc.getField("prev")), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+  }
 
   def topNgramCount(textCol: String, n: Int = 2): Column =
     topNgramCountOf(graft.ext.Decontaminate.ngrams(textCol, n))
