@@ -21,19 +21,36 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** Word n-grams as an array column: n consecutive whitespace tokens
+  /** n-grams over an EXPLICIT token-array column: n consecutive tokens
     * re-joined with single spaces. Spark's `sequence(a, b)` DESCENDS when
-    * a > b (it would fabricate windows for short docs), so short texts are
-    * routed to an explicit empty array.
+    * a > b (it would fabricate windows for short docs), so short token
+    * lists are routed to an explicit empty array. Tokenization is the
+    * caller's choice — `split(t, ' ')` for single-spaced corpora,
+    * [[TextOps.wordsWs]] for real-world whitespace, [[normTokens]] for
+    * normalized matching.
     */
-  def ngrams(textCol: String, n: Int): Column = {
+  def ngramsOf(tokens: Column, n: Int): Column = {
     require(n >= 1, s"ngrams: n must be >= 1, got $n")
-    val ws = s"split($textCol, ' ')"
-    val gen = expr(
-      s"transform(sequence(1, size($ws) - ${n - 1}), i -> array_join(slice($ws, i, $n), ' '))")
-    when(expr(s"size($ws)") >= n, gen)
-      .otherwise(expr("array()").cast("array<string>"))
+    val gen = transform(
+      sequence(lit(1), size(tokens) - lit(n - 1)),
+      i => array_join(slice(tokens, i, lit(n)), " "))
+    when(size(tokens) >= n, gen)
+      .otherwise(array().cast("array<string>"))
   }
+
+  /** Word n-grams of a single-spaced text column (the fixture contract). */
+  def ngrams(textCol: String, n: Int): Column =
+    ngramsOf(split(col(textCol), " "), n)
+
+  /** Published decontamination pipelines match on NORMALIZED n-grams
+    * (lowercase, punctuation stripped) so that "Hello, World!" in a
+    * training doc still hits "hello world" in an eval answer: lowercase,
+    * non-alphanumeric → space, whitespace-robust tokenize. Mirrorable in
+    * DuckDB (`lower(regexp_replace(…, '[^A-Za-z0-9\s]', ' ', 'g'))` + the
+    * wordsWs mirror).
+    */
+  def normTokens(text: Column): Column =
+    TextOps.wordsWs(lower(regexp_replace(text, "[^A-Za-z0-9\\s]", " ")))
 
   /** (id, n_overlap) for every training doc sharing ≥1 distinct n-gram
     * with the eval set; clean docs are absent. `n_overlap` counts the
@@ -41,14 +58,17 @@ object Decontaminate {
     */
   def contaminated(train: DataFrame, evalSet: DataFrame, n: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text",
+                   normalize: Boolean = false,
                    expectedEvalNgrams: Long = 1000000L,
                    bloomBits: Long = 8L * 1024 * 1024): DataFrame = {
-    val tg = train.select(col(idCol), explode(array_distinct(ngrams(textCol, n))).as("ng"))
+    def grams = if (normalize) ngramsOf(normTokens(col(textCol)), n)
+                else ngrams(textCol, n)
+    val tg = train.select(col(idCol), explode(array_distinct(grams)).as("ng"))
     // persist the eval n-gram set: it is read twice (sketch build — an
     // immediate action — then the exact-verify join) and it is benchmark-
     // sized by assumption, so caching it is what a serving deployment does
     // too; without it every downstream action re-explodes the eval docs
-    val eg = evalSet.select(explode(array_distinct(ngrams(textCol, n))).as("ng"))
+    val eg = evalSet.select(explode(array_distinct(grams)).as("ng"))
       .distinct().persist()
     graft.ops.BloomJoin.prefilter(tg, col("ng"), eg, col("ng"),
         expectedEvalNgrams, bloomBits)
@@ -59,7 +79,8 @@ object Decontaminate {
 
   /** The drop step: training docs with no shared n-gram survive. */
   def removeContaminated(train: DataFrame, evalSet: DataFrame, n: Int = 3,
-                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    train.join(contaminated(train, evalSet, n, idCol, textCol).select(idCol),
+                         idCol: String = "doc_id", textCol: String = "text",
+                         normalize: Boolean = false): DataFrame =
+    train.join(contaminated(train, evalSet, n, idCol, textCol, normalize).select(idCol),
       Seq(idCol), "left_anti")
 }

@@ -17,8 +17,22 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens (reference text is single-space separated). */
+  /** Whitespace tokens (reference text is single-space separated). For
+    * real-world corpora with tabs/newlines/runs of spaces use [[wordsWs]] —
+    * a literal `' '` split turns every extra whitespace char into a phantom
+    * empty token that silently shifts word counts, quality rules, n-grams,
+    * and decontamination.
+    */
   def words(text: Column): Column = split(text, " ")
+
+  /** Whitespace-ROBUST tokens: split on runs of any whitespace, then drop
+    * the empty tokens a leading/trailing boundary emits (Spark's `split`
+    * keeps them — it splits with limit -1). All-whitespace input → empty
+    * array, not `[""]`. Mirrored in DuckDB as
+    * `list_filter(regexp_split_to_array(t, '\s+'), w -> len(w) > 0)`.
+    */
+  def wordsWs(text: Column): Column =
+    filter(split(text, "\\s+"), w => length(w) > lit(0))
 
   def nWords(text: Column): Column = size(words(text))
 
@@ -32,13 +46,13 @@ object TextOps {
   def avgWordLen(text: Column): Column =
     length(regexp_replace(text, " ", "")).cast("double") / nWords(text)
 
-  /** Lambda-based helpers take the column NAME (SQL `expr` needs a
-    * spliceable identifier; the Column DSL can't express lambdas).
+  /** Stopword hits per document. Column-API lambda, NOT an `expr` splice:
+    * the API takes arbitrary `Seq[String]`, and a stopword containing `'`
+    * (don't, l'eau) would break a spliced `w in ('…')` list at parse time —
+    * `isInCollection` builds the literal list structurally instead.
     */
-  def stopwordCount(textCol: String, stops: Seq[String]): Column = {
-    val list = stops.map(s => s"'$s'").mkString(", ")
-    expr(s"size(filter(split($textCol, ' '), w -> w in ($list)))")
-  }
+  def stopwordCount(textCol: String, stops: Seq[String]): Column =
+    size(filter(split(col(textCol), " "), w => w.isInCollection(stops)))
 
   /** Quality score features (length / stopword / diversity ratios). */
   val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "to", "in", "and")
@@ -124,11 +138,11 @@ object TextOps {
   /** Gopher-style repetition signals over word n-grams: the fraction of
     * all n-grams taken by the single most frequent one (high → templated/
     * spammy text) and the distinct-n-gram ratio (low → loops). Within-ROW
-    * computation — no shuffle, fuses with the scan; the inner
-    * distinct×filter scan is O(d²) in the per-document n-gram count, which
-    * is bounded by document length (a per-row constant, not a data-scale
-    * term — the explode/groupBy alternative would turn a map pass into a
-    * corpus-wide shuffle to save per-row work).
+    * computation — no shuffle, fuses with the scan; cost is O(d log d) in
+    * the per-document n-gram count, which is bounded by document length (a
+    * per-row constant, not a data-scale term — the explode/groupBy
+    * alternative would turn a map pass into a corpus-wide shuffle to save
+    * per-row work).
     *
     * Determinism: integer counts and one IEEE division — exact in any
     * engine (same contract as the other ratios here).
@@ -140,23 +154,13 @@ object TextOps {
     * and `CollapseProject` deliberately keeps a non-cheap multi-referenced
     * alias in its own projection (one evaluation) instead of inlining it.
     */
-  def topNgramCountOf(gs: Column): Column = {
-    // sort + linear run-length fold: O(d log d) per row vs the O(d²)
-    // distinct×filter scan (that form was the slowest query in the
-    // registry at 4 s warm on sf0.1). When acc.run is 0 both branches
-    // yield 1, so the sentinel empty-string prev can never miscount a
-    // legitimate first element. Empty array → best stays 0.
-    aggregate(
-      array_sort(gs),
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-      (acc, x) => {
-        val run = when(x.eqNullSafe(acc.getField("prev")), acc.getField("run") + 1)
-          .otherwise(lit(1))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-  }
+  def topNgramCountOf(gs: Column): Column =
+    // native sort + run-length kernel (graft.functions.TopRunLength):
+    // O(d log d) per row, codegen, zero fold-step allocation. The SQL
+    // higher-order form (`aggregate(array_sort(gs), …)`) computes the same
+    // value but is CodegenFallback-interpreted and was the slowest map-only
+    // query in the registry; equivalence is pinned in SetSizesSpec.
+    graft.functions.GraftFunctions.top_run_length(gs)
 
   def topNgramCount(textCol: String, n: Int = 2): Column =
     topNgramCountOf(graft.ext.Decontaminate.ngrams(textCol, n))

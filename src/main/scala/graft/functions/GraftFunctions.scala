@@ -35,6 +35,10 @@ object GraftFunctions {
     GraftColumnBridge.column(HyperplaneSketch(
       GraftColumnBridge.expression(vec), GraftColumnBridge.expression(seed), nPlanes))
 
+  /** Most-frequent-element count of a string array — [[TopRunLength]]. */
+  def top_run_length(arr: Column): Column =
+    GraftColumnBridge.column(TopRunLength(GraftColumnBridge.expression(arr)))
+
   private val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("pandas_title", "str - pandas-exact title case", (es: Seq[Expression]) => PandasTitle(es.head))
   )

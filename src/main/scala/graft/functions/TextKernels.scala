@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text kernels for the repetition-signal family.
+  *
+  * Rationale (measured at sf0.1): the SQL higher-order form
+  * `aggregate(array_sort(gs), struct(...), run-length fold)` is
+  * CodegenFallback — interpreted per row, with a fresh struct allocation
+  * per fold step — and made `x_text_repetition` the slowest map-only query
+  * in the registry (3-4 s warm) despite being algorithmically right. This
+  * kernel does the identical sort + run-length scan in a tight primitive
+  * loop over `UTF8String` references (no string copies, no per-step
+  * allocation) and stays inside whole-stage codegen — the same lesson as
+  * `Sketches`/`Vectors`: per-row higher-order lambdas in a hot scan column
+  * belong in a native expression.
+  */
+object TextKernels {
+
+  /** Grouping order: any total order that makes equal elements adjacent
+    * works (only run EQUALITY reaches the output); nulls sort first,
+    * non-nulls in UTF8String binary order — the same comparator family
+    * `array_sort` uses, so ties group identically.
+    */
+  private val groupOrder = new java.util.Comparator[AnyRef] {
+    override def compare(x: AnyRef, y: AnyRef): Int =
+      if (x == null) (if (y == null) 0 else -1)
+      else if (y == null) 1
+      else x.asInstanceOf[UTF8String].compareTo(y.asInstanceOf[UTF8String])
+  }
+
+  /** Count of the most frequent element of a string array (the "top n-gram
+    * count"): sort refs, then one run-length pass. Empty array → 0; a null
+    * element counts as its own group (null-safe equality, matching the SQL
+    * fold this replaces). O(d log d) per row, zero allocation beyond the
+    * ref array.
+    */
+  def topRunLength(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    if (n == 0) return 0
+    val a = new Array[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      a(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    java.util.Arrays.sort(a, groupOrder)
+    var best = 1
+    var run = 1
+    i = 1
+    while (i < n) {
+      val eq = if (a(i) == null) a(i - 1) == null else a(i).equals(a(i - 1))
+      run = if (eq) run + 1 else 1
+      if (run > best) best = run
+      i += 1
+    }
+    best
+  }
+}
+
+/** `top_run_length(array<string>)` — count of the most frequent element. */
+case class TopRunLength(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "top_run_length"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.topRunLength(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.topRunLength($c)")
+  override protected def withNewChildInternal(newChild: Expression): TopRunLength =
+    copy(child = newChild)
+}

@@ -59,21 +59,31 @@ object DataPrep {
 
   /** Per-domain quota — corpus balancing: keep at most `k` docs per
     * `domainCol` value, priority = quality score desc then doc_id asc (a
-    * TOTAL order, so the survivors are deterministic). The window
-    * partitions by domain — one shuffle keyed on the domain, bounded
-    * output per key; at 100 TB a skewed mega-domain is one hot partition,
-    * which AQE splits (the rank is per-domain, so splitting is safe).
-    * The standard over-represented-source cap (C4 keeps ~1 doc per URL;
-    * per-domain caps are the coarser form).
+    * TOTAL order, so the survivors are deterministic). The standard
+    * over-represented-source cap (C4 keeps ~1 doc per URL; per-domain caps
+    * are the coarser form).
+    *
+    * Plan shape: [[graft.ext.TopKAgg]]'s k-bounded partial aggregation,
+    * NOT `row_number().over(Window.partitionBy(domain))`. A windowed rank
+    * forces EVERY row of a domain into one task — and a skewed mega-domain
+    * is exactly what quotas exist for; AQE cannot split a window exchange
+    * (its skew optimization applies to sort-merge-join partitions only),
+    * so at 100 TB that one task is a straggler/OOM. With the bounded
+    * aggregator each map task keeps ≤ k (score, id) pairs per domain, the
+    * exchange carries ≤ k·domains·tasks summary rows instead of the
+    * corpus, and the survivors' ids (≤ k·domains) come back via a semi
+    * join AQE turns into a broadcast at any realistic domain count.
+    * Identical output (same total order); pinned in PlanShapeSpec.
     */
   def domainQuota(docs: DataFrame, domainCol: String, k: Int): DataFrame = {
     require(k >= 1, s"domainQuota: k must be >= 1, got $k")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(domainCol))
-      .orderBy(TextOps.qualityScore("text").desc, col("doc_id"))
-    docs.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .drop("rk")
+    val topk = udaf(new graft.ext.TopKAgg(k))
+    val kept = docs
+      .groupBy(col(domainCol))
+      .agg(topk(TextOps.qualityScore("text").cast("double"),
+        col("doc_id").cast("long")).as("top"))
+      .select(explode(col("top._2")).as("doc_id"))
+    docs.join(kept, Seq("doc_id"), "left_semi")
   }
 
   /** Full pipeline; writes `outDir/split=…` and returns the final corpus
