@@ -108,6 +108,22 @@ class PlanShapeSpec extends SparkSpec {
       s"scan->project not fused into one codegen span:\n${df.queryExecution.executedPlan.toString.take(3000)}")
   }
 
+  test("x_domain_quota: k-bounded partial aggregation, never a per-domain window") {
+    // the quota must NOT rank with Window.partitionBy(domain): that plan
+    // forces every row of a skewed mega-domain into one task, and AQE's
+    // skew splitting applies to join partitions, not window exchanges. The
+    // bounded TopKAgg shape puts a partial ObjectHashAggregate BELOW the
+    // exchange, so the shuffle carries ≤ k rows per domain per map task.
+    val p = plan("x_domain_quota")
+    assert(!p.contains("Window"), s"windowed rank reappeared:\n${p.take(3000)}")
+    val firstAgg = p.indexOf("ObjectHashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0, p.take(3000))
+    // tree prints final agg, exchange, then the partial agg leaf-ward
+    assert(p.lastIndexOf("ObjectHashAggregate") > exchange,
+      "no partial aggregate below the exchange")
+  }
+
   test("REGISTRY-WIDE: no unplanned nested-loop/cartesian join in any query") {
     // the operators that are quadratic BY SPEC (exact pair scoring, or a
     // deliberate cross join against a broadcast model/query side bounded by

@@ -62,6 +62,54 @@ class DataPrepOpsSpec extends SparkSpec {
     }
   }
 
+  test("wordsWs: tabs/newlines/space runs yield clean tokens, never empties") {
+    val df = Seq(
+      (1L, " \ta  b\n\nc  "),   // leading/trailing ws, runs of every kind
+      (2L, "a b c"),            // single-spaced: identical to naive split
+      (3L, "\t \n ")            // all whitespace -> empty array, not [""]
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextOps.wordsWs(col("text")).as("ws"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) === Seq("a", "b", "c"))
+    assert(got(2L) === Seq("a", "b", "c"))
+    assert(got(3L) === Seq.empty)
+    // the naive split inflates the same messy doc with phantom empty tokens
+    val naive = df.filter(col("doc_id") === 1L)
+      .select(TextOps.words(col("text"))).as[Seq[String]].head()
+    assert(naive.count(_.isEmpty) > 0)
+  }
+
+  test("ngramsOf over ws tokens: messy whitespace gives the clean doc's n-grams") {
+    val clean = Seq((1L, "a b c d")).toDF("doc_id", "text")
+      .select(Decontaminate.ngrams("text", 2)).as[Seq[String]].head()
+    val messy = Seq((1L, " a\tb  c\nd ")).toDF("doc_id", "text")
+      .select(Decontaminate.ngramsOf(TextOps.wordsWs(col("text")), 2))
+      .as[Seq[String]].head()
+    assert(messy === clean && clean === Seq("a b", "b c", "c d"))
+  }
+
+  test("contaminated(normalize): case/punctuation-perturbed leaks are found; plain match misses them") {
+    val train = Seq(
+      (10L, "the quick brown fox jumps"),
+      (11L, "completely unrelated words here")).toDF("doc_id", "text")
+    // eval answer as it appears in a benchmark: capitalized, punctuated
+    val eval = Seq((100L, "A Quick, Brown FOX; jumps!")).toDF("doc_id", "text")
+    val plain = Decontaminate.contaminated(train, eval, n = 3)
+    assert(plain.isEmpty) // surface forms share no verbatim 3-gram
+    val norm = Decontaminate.contaminated(train, eval, n = 3, normalize = true)
+      .as[(Long, Long)].collect().toMap
+    // normalized tokens: [a, quick, brown, fox, jumps] — doc 10 shares
+    // "quick brown fox" and "brown fox jumps"
+    assert(norm === Map(10L -> 2L))
+  }
+
+  test("stopwordCount: quote-bearing stopwords count (no SQL-splice parse break)") {
+    val df = Seq((1L, "don't stop l'eau don't flow")).toDF("doc_id", "text")
+    val n = df.select(TextOps.stopwordCount("text", Seq("don't", "l'eau")))
+      .as[Int].head()
+    assert(n === 3)
+  }
+
   test("domainQuota: caps each domain at k, keeps highest-quality then lowest id") {
     // high-quality: 25 words, avg word length > 3, stopwords present,
     // diverse; low-quality: 3 short words (fails length + word-length bands)

@@ -20,6 +20,21 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getLong(5) === again)
   }
 
+  test("hyperplane_sketch rejects nPlanes outside [1, 64] at construction") {
+    // the signature is one Long: `1L << 64` wraps to bit 0, so plane 64
+    // would silently alias plane 0 — must fail loudly instead
+    import org.apache.spark.sql.functions.{array, col, lit}
+    for (bad <- Seq(0, 65, -3)) {
+      val e = intercept[IllegalArgumentException] {
+        GraftFunctions.hyperplane_sketch(array(lit(1.0)), lit(0L), bad)
+      }
+      assert(e.getMessage.contains("[1, 64]"), e.getMessage)
+    }
+    // boundary values construct fine
+    GraftFunctions.hyperplane_sketch(array(lit(1.0)), lit(0L), 1)
+    GraftFunctions.hyperplane_sketch(array(lit(1.0)), lit(0L), 64): Unit
+  }
+
   test("dot_product null-propagates on length mismatch (corrupt-vector safety)") {
     val r = spark.sql(
       """SELECT dot_product(array(1.0d, 2.0d), array(3.0d)) AS mismatch,

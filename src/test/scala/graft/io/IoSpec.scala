@@ -175,6 +175,32 @@ class SinksSpec2 extends SparkSpec {
     assert(files("2010") === before2010, "untouched partition was rewritten")
   }
 
+  test("upsert into a NULL partition keeps its unchanged rows (null-safe joins)") {
+    // the writer materializes NULL partition values as
+    // __HIVE_DEFAULT_PARTITION__; plain-equality joins never match NULL, so
+    // a non-null-safe merge would rewrite that partition with ONLY the
+    // update rows, silently dropping the rest
+    val dir = Files.createTempDirectory("graft-lake-null").toString + "/t"
+    Seq((1L, Some(2010), "a"), (2L, None, "b"), (3L, None, "c"))
+      .toDF("k", "ano", "v")
+      .write.partitionBy("ano").parquet(dir)
+    // update k=2 (lives in the null partition), leave k=3 alone
+    val updates = Seq((2L, None: Option[Int], "b2")).toDF("k", "ano", "v")
+    Sinks.upsertParquet(spark, dir, updates, keyCols = Seq("k"), partitionCol = "ano")
+    val got = spark.read.parquet(dir).select("k", "ano", "v").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1), r.getString(2)))
+      .sorted.toSeq
+    assert(got === Seq((1L, 2010, "a"), (2L, -1, "b2"), (3L, -1, "c")))
+    // and a NULL KEY row in the target must also survive an unrelated upsert
+    val dir2 = Files.createTempDirectory("graft-lake-nullkey").toString + "/t"
+    Seq((Some(1L), 2010, "a"), (None: Option[Long], 2010, "nk")).toDF("k", "ano", "v")
+      .write.partitionBy("ano").parquet(dir2)
+    Sinks.upsertParquet(spark, dir2, Seq((Some(1L), 2010, "a2")).toDF("k", "ano", "v"),
+      keyCols = Seq("k"), partitionCol = "ano")
+    val got2 = spark.read.parquet(dir2).select("v").as[String].collect().sorted.toSeq
+    assert(got2 === Seq("a2", "nk"))
+  }
+
   test("upsert past the affected-partition cap fails loudly and leaves the target intact") {
     val dir = Files.createTempDirectory("graft-lake-cap").toString + "/t"
     // 20 partitions, one row each — partitioned on a (deliberately) fine column
