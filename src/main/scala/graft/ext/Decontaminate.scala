@@ -29,14 +29,14 @@ object Decontaminate {
     * [[TextOps.wordsWs]] for real-world whitespace, [[normTokens]] for
     * normalized matching.
     */
-  def ngramsOf(tokens: Column, n: Int): Column = {
-    require(n >= 1, s"ngrams: n must be >= 1, got $n")
-    val gen = transform(
-      sequence(lit(1), size(tokens) - lit(n - 1)),
-      i => array_join(slice(tokens, i, lit(n)), " "))
-    when(size(tokens) >= n, gen)
-      .otherwise(array().cast("array<string>"))
-  }
+  def ngramsOf(tokens: Column, n: Int): Column =
+    // native window-join kernel; value-identical to
+    //   when(size(ws) >= n, transform(sequence(1, size(ws)-(n-1)),
+    //        i -> array_join(slice(ws, i, n), ' '))).otherwise(array())
+    // (pinned in TextKernelsSpec) — that form is three nested
+    // CodegenFallback higher-order functions and dominated the repetition/
+    // decontamination scans once the run-length fold went native
+    graft.functions.GraftFunctions.word_ngrams(tokens, n)
 
   /** Word n-grams of a single-spaced text column (the fixture contract). */
   def ngrams(textCol: String, n: Int): Column =

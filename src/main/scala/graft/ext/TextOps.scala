@@ -25,14 +25,17 @@ object TextOps {
     */
   def words(text: Column): Column = split(text, " ")
 
-  /** Whitespace-ROBUST tokens: split on runs of any whitespace, then drop
-    * the empty tokens a leading/trailing boundary emits (Spark's `split`
-    * keeps them — it splits with limit -1). All-whitespace input → empty
-    * array, not `[""]`. Mirrored in DuckDB as
+  /** Whitespace-ROBUST tokens: split on runs of any whitespace (the Java
+    * `\s` ASCII set), empty tokens never emitted; all-whitespace input →
+    * empty array, not `[""]`. Native one-pass kernel
+    * ([[graft.functions.WsTokens]]) — value-identical to
+    * `filter(split(text, "\\s+"), w -> length(w) > 0)` (pinned in
+    * TextKernelsSpec) but codegen instead of an interpreted per-token
+    * lambda. Mirrored in DuckDB as
     * `list_filter(regexp_split_to_array(t, '\s+'), w -> len(w) > 0)`.
     */
   def wordsWs(text: Column): Column =
-    filter(split(text, "\\s+"), w => length(w) > lit(0))
+    graft.functions.GraftFunctions.ws_tokens(text)
 
   def nWords(text: Column): Column = size(words(text))
 

@@ -39,6 +39,14 @@ object GraftFunctions {
   def top_run_length(arr: Column): Column =
     GraftColumnBridge.column(TopRunLength(GraftColumnBridge.expression(arr)))
 
+  /** Whitespace-robust tokens (no empties) — [[WsTokens]]. */
+  def ws_tokens(text: Column): Column =
+    GraftColumnBridge.column(WsTokens(GraftColumnBridge.expression(text)))
+
+  /** Word n-grams of a token array — [[WordNgrams]]. */
+  def word_ngrams(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(WordNgrams(GraftColumnBridge.expression(tokens), n))
+
   private val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("pandas_title", "str - pandas-exact title case", (es: Seq[Expression]) => PandasTitle(es.head))
   )

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -60,6 +60,65 @@ object TextKernels {
     }
     best
   }
+
+  /** Byte-level whitespace test — Java regex `\s` without
+    * UNICODE_CHARACTER_CLASS is exactly this ASCII set, so the kernel
+    * matches `split(text, "\\s+")` byte for byte. ASCII bytes never occur
+    * inside a UTF-8 multibyte sequence, so scanning bytes is
+    * Unicode-safe.
+    */
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** Whitespace-robust tokenizer: one pass over the UTF-8 bytes, emitting
+    * maximal non-whitespace runs (empty tokens are never produced — the
+    * regex-split + lambda-filter form this replaces spent its time in an
+    * interpreted `filter` over every token of every row).
+    */
+  def wsTokens(s: UTF8String): ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    val out = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(b(i))) i += 1
+      val start = i
+      while (i < n && !isWs(b(i))) i += 1
+      if (i > start) out.add(UTF8String.fromBytes(b, start, i - start))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Word n-grams of a token array: n consecutive tokens joined with a
+    * single space — the same output as
+    * `transform(sequence(1, size-n+1), i -> array_join(slice(ws, i, n), ' '))`
+    * (null tokens skipped by the join, size < n → empty array), without
+    * the three nested CodegenFallback higher-order functions and their
+    * per-window slice allocations.
+    */
+  def wordNgrams(tokens: ArrayData, n: Int): ArrayData = {
+    val t = tokens.numElements()
+    val m = t - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[AnyRef])
+    val toks = new Array[UTF8String](t)
+    var i = 0
+    while (i < t) {
+      toks(i) = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
+      i += 1
+    }
+    val out = new Array[AnyRef](m)
+    val window = new Array[UTF8String](n)
+    i = 0
+    while (i < m) {
+      var j = 0
+      while (j < n) { window(j) = toks(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(Space, window: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `top_run_length(array<string>)` — count of the most frequent element. */
@@ -73,5 +132,34 @@ case class TopRunLength(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.topRunLength($c)")
   override protected def withNewChildInternal(newChild: Expression): TopRunLength =
+    copy(child = newChild)
+}
+
+/** `ws_tokens(text)` — whitespace-robust tokens, no empties. */
+case class WsTokens(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ws_tokens"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.wsTokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.wsTokens($c)")
+  override protected def withNewChildInternal(newChild: Expression): WsTokens =
+    copy(child = newChild)
+}
+
+/** `word_ngrams(tokens, n)` — n consecutive tokens joined with spaces. */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"word_ngrams: n must be >= 1, got $n")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.wordNgrams(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.wordNgrams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
     copy(child = newChild)
 }

@@ -52,6 +52,39 @@ class TextKernelsSpec extends SparkSpec {
     assert(got(2L) === None)
   }
 
+  test("ws_tokens == filter(split(\\s+)) on adversarial whitespace") {
+    val rows = Seq(
+      " \ta  b\n\nc  ", "a b c", "\t \r\n ", "", "one",
+      " verticaltab ", "precomposed  café\tend", "a\r\nb"
+    ).toDF("t")
+    val got = rows.select(
+      GraftFunctions.ws_tokens(col("t")).as("k"),
+      filter(split(col("t"), "\\s+"), w => length(w) > lit(0)).as("ref"))
+      .as[(Seq[String], Seq[String])].collect()
+    got.foreach { case (k, ref) => assert(k === ref) }
+  }
+
+  test("word_ngrams == the transform/slice/array_join form (null tokens, short arrays)") {
+    val rows = Seq(
+      Seq("a", "b", "c", "d"),
+      Seq("a", "b"),               // == n: one window
+      Seq("only"),                 // < n: empty
+      Seq.empty[String],
+      Seq("x", null, "z", "w"),    // null token skipped by the join
+      Seq("", "a", "")             // empty-string tokens are PRESERVED
+    ).toDF("ws")
+    def ref(n: Int) = when(size(col("ws")) >= n,
+      transform(sequence(lit(1), size(col("ws")) - lit(n - 1)),
+        i => array_join(slice(col("ws"), i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    for (n <- Seq(1, 2, 3)) {
+      val got = rows.select(
+        GraftFunctions.word_ngrams(col("ws"), n).as("k"), ref(n).as("r"))
+        .as[(Seq[String], Seq[String])].collect()
+      got.foreach { case (k, r) => assert(k === r, s"n=$n") }
+    }
+  }
+
   test("top_run_length stays inside whole-stage codegen (no fallback)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(GraftFunctions.top_run_length(split(col("text"), " ")).as("k"))
