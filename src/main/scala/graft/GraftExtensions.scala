@@ -45,7 +45,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es => DotProduct(es.head, es(1))),
       ("hyperplane_sketch", "graft.functions.HyperplaneSketch",
         "hyperplane_sketch(vec, seed, planes) - LSH sign sketch",
-        es => HyperplaneSketch(es.head, es(1), intArg(es(2), "hyperplane_sketch planes"))))
+        es => HyperplaneSketch(es.head, es(1), intArg(es(2), "hyperplane_sketch planes"))),
+      ("top_run_length", "graft.functions.TopRunLength",
+        "top_run_length(arr) - count of the most frequent element",
+        es => TopRunLength(es.head)),
+      ("ws_tokens", "graft.functions.WsTokens",
+        "ws_tokens(text) - whitespace-robust tokens, no empties",
+        es => WsTokens(es.head)),
+      ("word_ngrams", "graft.functions.WordNgrams",
+        "word_ngrams(tokens, n) - n consecutive tokens joined with spaces",
+        es => WordNgrams(es.head, intArg(es(1), "word_ngrams n"))))
     functions.foreach { case (name, className, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),

@@ -10,10 +10,16 @@ class SqlSurfaceSpec extends SparkSpec {
         |  size(shingle_hashes(array('a','b','c'), 2)) AS nsh,
         |  size(minhash_signature(shingle_hashes(array('a','b','c'), 2), 16)) AS nmh,
         |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
-        |  hyperplane_sketch(array(1.0d, 0.0d), 0L, 8) AS hp""".stripMargin).head()
+        |  hyperplane_sketch(array(1.0d, 0.0d), 0L, 8) AS hp,
+        |  top_run_length(array('a','b','a')) AS trl,
+        |  ws_tokens(' a\tb ') AS wt,
+        |  word_ngrams(array('a','b','c'), 2) AS ng""".stripMargin).head()
     assert(r.getString(0) === "A-B C")
     assert(r.getAs[Int]("nsh") === 2 && r.getAs[Int]("nmh") === 16)
     assert(r.getDouble(4) === 11.0)
+    assert(r.getAs[Int]("trl") === 2)
+    assert(r.getSeq[String](7) === Seq("a", "b"))
+    assert(r.getSeq[String](8) === Seq("a b", "b c"))
     // sketch is deterministic: same call, same session, same value
     val again = spark.sql(
       "SELECT hyperplane_sketch(array(1.0d, 0.0d), 0L, 8)").head().getLong(0)
