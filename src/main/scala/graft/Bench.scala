@@ -56,7 +56,6 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
     val warmTotal = results.values.map(_._2).sum
-    val errs = failed.map(n => s"\"$n\"").mkString("[", ",", "]")
     val builds = BuildTimes.times.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     // Isolated re-measure of the 10 most expensive queries (by warm
@@ -65,13 +64,17 @@ object Bench {
     // (BENCH_r04's cc_pair_graph read 41.9 s vs 3.5 s clean minutes apart)
     // doesn't masquerade as an engine regression. Medians of 5 are robust
     // to ~2 contaminated reps; round-over-round comparisons should read
-    // THIS block first.
-    val isolatedRuns = sys.env.getOrElse("SPARK_GRAFT_ISOLATED_RUNS", "5").toInt
-    val isolated = results.toSeq.sortBy(-_._2._2).take(10).map { case (name, _) =>
+    // THIS block first. A query that FAILS during its isolated reps is
+    // dropped from the block (its near-zero failure reps would fake a
+    // speedup — same rule as the main sweep) and lands in `errors`.
+    val isolatedRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_ISOLATED_RUNS", "5").toInt)
+    val isolated = results.toSeq.sortBy(-_._2._2).take(10).flatMap { case (name, _) =>
       val reps = Seq.fill(isolatedRuns)(once(name, SparkEntry.queries(name))).sorted
-      name -> reps(reps.size / 2)
+      if (failed.contains(name)) None else Some(name -> reps(reps.size / 2))
     }
     val isoObj = isolated.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    // rendered AFTER the isolated block so its failures are included
+    val errs = failed.map(n => s"\"$n\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._1)},"warm_total":$warmTotal,"warm_queries":${obj(_._2)},"warm_runs":$warmRuns,"isolated":$isoObj,"isolated_runs":$isolatedRuns,"builds":$builds,"builds_total":${BuildTimes.total},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

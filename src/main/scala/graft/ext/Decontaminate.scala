@@ -30,12 +30,18 @@ object Decontaminate {
     * normalized matching.
     */
   def ngramsOf(tokens: Column, n: Int): Column =
-    // native window-join kernel; value-identical to
+    // native window-join kernel; value-identical ON NON-NULL INPUT to
     //   when(size(ws) >= n, transform(sequence(1, size(ws)-(n-1)),
     //        i -> array_join(slice(ws, i, n), ' '))).otherwise(array())
     // (pinned in TextKernelsSpec) — that form is three nested
     // CodegenFallback higher-order functions and dominated the repetition/
-    // decontamination scans once the run-length fold went native
+    // decontamination scans once the run-length fold went native.
+    // NULL tokens (NULL text) now propagate to NULL (standard expression
+    // null semantics; the old `when` form silently mapped NULL to []) —
+    // unobservable in every consumer here, because both NULL and [] vanish
+    // identically under `explode` and under the `size(gs) >= 1` /
+    // `size(ws) >= n` guards the registry queries apply (pinned in
+    // TextKernelsSpec's null test).
     graft.functions.GraftFunctions.word_ngrams(tokens, n)
 
   /** Word n-grams of a single-spaced text column (the fixture contract). */

@@ -31,8 +31,11 @@ object TextOps {
     * ([[graft.functions.WsTokens]]) — value-identical to
     * `filter(split(text, "\\s+"), w -> length(w) > 0)` (pinned in
     * TextKernelsSpec) but codegen instead of an interpreted per-token
-    * lambda. Mirrored in DuckDB as
-    * `list_filter(regexp_split_to_array(t, '\s+'), w -> len(w) > 0)`.
+    * lambda. DuckDB mirror:
+    * `list_filter(regexp_split_to_array(t, '\s+'), w -> len(w) > 0)` —
+    * exact except on vertical tab (`\x0B`): Java's `\s` includes it, RE2's
+    * does not, so a `\x0B`-bearing corpus diverges from that mirror (not
+    * from this operator's own contract, which is the Java set).
     */
   def wordsWs(text: Column): Column =
     graft.functions.GraftFunctions.ws_tokens(text)

@@ -74,13 +74,32 @@ object DataPrep {
     * corpus, and the survivors' ids (≤ k·domains) come back via a semi
     * join AQE turns into a broadcast at any realistic domain count.
     * Identical output (same total order); pinned in PlanShapeSpec.
+    *
+    * Preconditions: `doc_id` must be an integral column with UNIQUE values
+    * — it is the priority tiebreak, and a duplicated id makes the survivor
+    * set nondeterministic under ANY implementation (the window form's
+    * row_number over tied (score, id) pairs was order-dependent too); the
+    * type is checked at entry, uniqueness is the corpus contract every
+    * dedup operator here shares. A NULL quality score (NULL text) ranks
+    * LAST — the same place the window's `desc` ordering put it.
     */
   def domainQuota(docs: DataFrame, domainCol: String, k: Int): DataFrame = {
     require(k >= 1, s"domainQuota: k must be >= 1, got $k")
+    val idType = docs.schema("doc_id").dataType
+    require(Seq[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+      .contains(idType),
+      s"domainQuota: doc_id must be an integral id column, got $idType " +
+        "(hash non-numeric ids to 64-bit first, e.g. xxhash64)")
     val topk = udaf(new graft.ext.TopKAgg(k))
+    // coalesce: the typed aggregator's (Double, Long) encoder rejects NULL
+    // fields at runtime; -Inf reproduces the window's nulls-last ranking
     val kept = docs
       .groupBy(col(domainCol))
-      .agg(topk(TextOps.qualityScore("text").cast("double"),
+      .agg(topk(
+        coalesce(TextOps.qualityScore("text").cast("double"),
+          lit(Double.NegativeInfinity)),
         col("doc_id").cast("long")).as("top"))
       .select(explode(col("top._2")).as("doc_id"))
     docs.join(kept, Seq("doc_id"), "left_semi")

@@ -375,7 +375,8 @@ object Extensions {
     }),
 
     // per-domain quota: ≤ 20 docs per source, quality-priority — corpus
-    // balancing (one bounded window shuffle keyed on the domain)
+    // balancing via TopKAgg's k-bounded partial aggregation + semi join
+    // (NO per-domain window: that plan is pinned OUT in PlanShapeSpec)
     "x_domain_quota" -> ((s: SparkSession, dir: String) => {
       graft.pipeline.DataPrep.domainQuota(Tables.documents(s, dir), "source", 20)
         .select("doc_id", "source", "lang", "n_chars")

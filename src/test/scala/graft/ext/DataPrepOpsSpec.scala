@@ -123,4 +123,25 @@ class DataPrepOpsSpec extends SparkSpec {
     // domain a: quality puts 2,3 first (same score -> lower ids of the high tier); b: 5
     assert(got === Seq(2L, 3L, 5L))
   }
+
+  test("domainQuota: NULL text ranks last (no encoder crash); non-integral ids rejected") {
+    def words(n: Int) = Seq.fill(n)("the quality of good text and fine words here")
+      .mkString(" ").split(" ").take(n).mkString(" ")
+    val docs = Seq((1L, "a", null), (2L, "a", words(25)), (3L, "a", words(25)))
+      .toDF("doc_id", "source", "text")
+    // k=2: the NULL-text doc loses to both scored docs — same outcome as
+    // the old window's desc (nulls last) ordering
+    val got = graft.pipeline.DataPrep.domainQuota(docs, "source", 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got === Seq(2L, 3L))
+    // and with room under the cap the NULL-text doc IS kept
+    val all = graft.pipeline.DataPrep.domainQuota(docs, "source", 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(all === Seq(1L, 2L, 3L))
+    val bad = Seq(("u1", "a", "x")).toDF("doc_id", "source", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.DataPrep.domainQuota(bad, "source", 1)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
 }

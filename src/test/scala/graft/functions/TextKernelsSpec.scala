@@ -85,6 +85,16 @@ class TextKernelsSpec extends SparkSpec {
     }
   }
 
+  test("word_ngrams: NULL token array propagates to NULL (not [] like the old when-form)") {
+    // the one deliberate divergence from the replaced SQL form — standard
+    // expression null semantics; unobservable in the registry because NULL
+    // and [] vanish identically under explode and the size(...) guards
+    val df = Seq((1L, Seq("a", "b")), (2L, null)).toDF("id", "ws")
+    val got = df.select(col("id"), GraftFunctions.word_ngrams(col("ws"), 2).as("g"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(got === Map(1L -> false, 2L -> true))
+  }
+
   test("top_run_length stays inside whole-stage codegen (no fallback)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(GraftFunctions.top_run_length(split(col("text"), " ")).as("k"))
