@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the training-data step after cleaning/dedup: assign
+  * documents (in a fixed, deterministic order) to consecutive
+  * fixed-token-budget training sequences. The packing rule is
+  * contiguous-fill: a document's sequence id is `tokensBefore / budget`,
+  * where `tokensBefore` is the running token total of all earlier docs —
+  * deterministic, order-stable, and exactly reproducible in SQL (the
+  * oracle is a plain `SUM OVER (ORDER BY id)` window).
+  *
+  * The interesting part is the RUNNING TOTAL at scale. The naive form —
+  * `sum(v).over(Window.orderBy(id))` with no partition spec — is a GLOBAL
+  * window: Spark moves the entire table into ONE task (the same
+  * unsplittable-exchange hazard the domain-quota rewrite removed). Here
+  * it is a textbook two-phase distributed prefix sum instead:
+  *
+  *  1. range-partition by id (contiguous, ordered id ranges per
+  *     partition) and compute PER-PARTITION running totals — a window
+  *     partitioned by `spark_partition_id()`, so every partition sums
+  *     independently in parallel;
+  *  2. per-partition TOTALS (one row per partition) get their own running
+  *     total — a global window over ≤ numPartitions rows, which is
+  *     partition-METADATA scale, not data scale — and come back as
+  *     broadcast offsets.
+  *
+  * Row cum = local cum + partition offset. The result is invariant to
+  * where the sampled range boundaries fall (cum(row) is a property of the
+  * global order, not the partitioning), so nondeterministic range
+  * sampling cannot change the output. `idCol` must be unique — it defines
+  * the packing order (the corpus contract shared by every operator here).
+  */
+object Packing {
+
+  /** (input columns) + `cum` — running total of `valCol` in `idCol` order.
+    * numPartitions ≤ 0 → the session's shuffle parallelism.
+    */
+  def runningTotal(df: DataFrame, idCol: String, valCol: String,
+                   numPartitions: Int = 0): DataFrame = {
+    val p = if (numPartitions > 0) numPartitions
+            else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val local = df.repartitionByRange(p, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__cum", sum(col(valCol)).over(
+        Window.partitionBy(col("__pid")).orderBy(col(idCol))))
+    // one row per partition; the only unpartitioned window in the plan
+    // runs over THESE rows (≤ numPartitions), never over data
+    val offsets = local.groupBy(col("__pid"))
+      .agg(sum(col(valCol)).as("__t"))
+      .withColumn("__off",
+        coalesce(sum(col("__t")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn("cum", (col("__cum") + col("__off")).cast("long"))
+      .drop("__pid", "__cum", "__off")
+  }
+
+  /** Contiguous-fill packing: doc → sequence `floor(tokensBefore/budget)`.
+    * Output: input columns + `cum_tokens` (running total INCLUDING the
+    * doc) + `seq_id`. A doc longer than the budget still gets exactly one
+    * sequence id (its tokens spill into the ids that follow — the
+    * convention that keeps every doc whole; split-and-truncate policies
+    * belong to the tokenizer stage, not the packer).
+    */
+  def packBins(df: DataFrame, idCol: String, tokenCol: String, budget: Long,
+               numPartitions: Int = 0): DataFrame = {
+    require(budget >= 1, s"packBins: budget must be >= 1, got $budget")
+    runningTotal(df, idCol, tokenCol, numPartitions)
+      .withColumnRenamed("cum", "cum_tokens")
+      .withColumn("seq_id",
+        expr(s"(cum_tokens - $tokenCol) div CAST($budget AS BIGINT)"))
+  }
+}

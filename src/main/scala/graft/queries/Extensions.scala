@@ -355,7 +355,26 @@ object Extensions {
           size(ws).as("n_words_ws"),
           size(TextOps.words(col("mt"))).as("n_words_naive"),
           size(array_distinct(ws)).as("n_distinct_ws"),
-          size(graft.ext.Decontaminate.ngramsOf(ws, 2)).as("n_2grams_ws"))
+          size(graft.ext.Decontaminate.ngramsOf(ws, 2)).as("n_2grams_ws"),
+          // n-gram CONTENT, not just counts: the first three ws 2-grams,
+          // serialized — proves the tokens recovered from the messy text
+          // are the clean ones, cross-engine
+          array_join(slice(graft.ext.Decontaminate.ngramsOf(ws, 2), 1, 3), "|")
+            .as("first_2grams"))
+    }),
+
+    // sequence packing: docs -> fixed-token-budget training sequences in
+    // doc_id order (contiguous fill). The running total is a two-phase
+    // distributed prefix sum — per-range-partition windows + broadcast
+    // partition offsets; the only unpartitioned window in the plan runs
+    // over ≤ numPartitions offset rows, never over data. Integer-exact,
+    // oracle = a plain SUM OVER (ORDER BY) window in DuckDB.
+    "x_pack_sequences" -> ((s: SparkSession, dir: String) => {
+      graft.ext.Packing.packBins(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextOps.nWords(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 2048L)
     }),
 
     // Gopher-style repetition signals (top-2-gram fraction, distinct ratio)
@@ -878,13 +897,29 @@ object Extensions {
         |  FROM documents),
         |w AS (SELECT doc_id, mt,
         |    list_filter(regexp_split_to_array(mt, '\s+'), t -> len(t) > 0) AS ws
-        |  FROM m)
+        |  FROM m),
+        |g AS (SELECT doc_id, mt, ws,
+        |    list_transform(generate_series(1, len(ws) - 1),
+        |                   i -> array_to_string(ws[i:i+1], ' ')) AS gs
+        |  FROM w)
         |SELECT doc_id,
         |  CAST(len(ws) AS INT) AS n_words_ws,
         |  CAST(len(string_split(mt, ' ')) AS INT) AS n_words_naive,
         |  CAST(len(list_distinct(ws)) AS INT) AS n_distinct_ws,
-        |  CAST(CASE WHEN len(ws) >= 2 THEN len(ws) - 1 ELSE 0 END AS INT) AS n_2grams_ws
-        |FROM w""".stripMargin,
+        |  CAST(len(gs) AS INT) AS n_2grams_ws,
+        |  array_to_string(gs[1:3], '|') AS first_2grams
+        |FROM g""".stripMargin,
+
+    "x_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, n_tokens, cum_tokens,
+        |  CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS seq_id
+        |FROM c""".stripMargin,
 
     "x_text_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

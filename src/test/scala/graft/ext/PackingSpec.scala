@@ -1,0 +1,74 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The distributed prefix sum must equal the naive global window exactly,
+  * for any partition count — the whole point is removing the global
+  * window's single-task exchange without changing one output value.
+  */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = (1L to 997L).map(i => (i, (i * 7919) % 300 + 1))
+    .toDF("doc_id", "n_tokens")
+
+  test("runningTotal == global-window cumsum at several partition counts") {
+    val naive = docs.withColumn("cum",
+      sum(col("n_tokens")).over(Window.orderBy(col("doc_id"))).cast("long"))
+      .select("doc_id", "cum").as[(Long, Long)].collect().toMap
+    for (p <- Seq(1, 3, 8, 32)) {
+      val got = Packing.runningTotal(docs, "doc_id", "n_tokens", p)
+        .select("doc_id", "cum").as[(Long, Long)].collect().toMap
+      assert(got === naive, s"numPartitions=$p")
+    }
+  }
+
+  test("packBins: contiguous fill, no sequence overfilled except by its last doc") {
+    val packed = Packing.packBins(docs, "doc_id", "n_tokens", budget = 1000L, 8)
+      .select("doc_id", "n_tokens", "cum_tokens", "seq_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // seq ids are nondecreasing in doc order and start at 0
+    assert(packed.head._4 === 0L)
+    packed.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 >= a._4 && b._4 - a._4 <= (b._3 / 1000L - a._4) + 1)
+    }
+    // the defining rule, checked row by row: seq = tokensBefore / budget
+    packed.foreach { case (_, n, cum, seq) => assert(seq === (cum - n) / 1000L) }
+    // every sequence's docs START inside its budget window (contiguous fill)
+    packed.groupBy(_._4).foreach { case (seq, rows) =>
+      rows.foreach { case (_, n, cum, _) =>
+        assert(cum - n >= seq * 1000L && cum - n < (seq + 1) * 1000L)
+      }
+    }
+  }
+
+  test("a doc longer than the budget keeps ONE seq_id; budget validated") {
+    val d = Seq((1L, 10L), (2L, 5000L), (3L, 10L)).toDF("doc_id", "n_tokens")
+    val got = Packing.packBins(d, "doc_id", "n_tokens", budget = 100L, 2)
+      .select("doc_id", "seq_id").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 50L)) // doc 3 starts at 5010/100
+    intercept[IllegalArgumentException] {
+      Packing.packBins(d, "doc_id", "n_tokens", budget = 0L)
+    }
+  }
+
+  test("the only unpartitioned window runs over partition offsets, not data") {
+    val df = Packing.runningTotal(docs, "doc_id", "n_tokens", 8)
+    df.collect()
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    val (partitioned, global) = windows.partition(_.partitionSpec.nonEmpty)
+    assert(partitioned.nonEmpty, "data-side window lost its partition spec")
+    // the global one (offsets) must sit above the per-partition AGGREGATE,
+    // i.e. its child tree contains the groupBy — never the raw scan alone
+    global.foreach { g =>
+      assert(g.child.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty, "global window not over the partition-totals aggregate")
+    }
+  }
+}
