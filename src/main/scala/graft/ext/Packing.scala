@@ -60,6 +60,29 @@ object Packing {
       .drop("__pid", "__cum", "__off")
   }
 
+  /** Chunk OVERSIZED documents to the token budget BEFORE packing: each
+    * doc explodes into ⌈n/budget⌉ chunks of ≤ `budget` consecutive
+    * tokens, re-joined with single spaces (the max_seq_len chunking every
+    * tokenizer stage applies; [[packBins]] then never sees a doc that
+    * can't fit a sequence). Within-row explode — no shuffle; chunk count
+    * is bounded by document length. In-budget docs pass through as their
+    * own chunk 0, byte-identical.
+    */
+  def splitOversized(df: DataFrame, idCol: String, textCol: String,
+                     budget: Int): DataFrame = {
+    require(budget >= 1, s"splitOversized: budget must be >= 1, got $budget")
+    val ws = split(col(textCol), " ")
+    df.withColumn("__ws", ws)
+      .withColumn("chunk_id",
+        explode(sequence(lit(0),
+          expr(s"(size(__ws) - 1) div $budget").cast("int"))))
+      .withColumn("chunk_text",
+        array_join(slice(col("__ws"), col("chunk_id") * budget + 1, lit(budget)), " "))
+      .withColumn("chunk_tokens",
+        least(lit(budget), size(col("__ws")) - col("chunk_id") * budget).cast("int"))
+      .drop("__ws", textCol)
+  }
+
   /** Contiguous-fill packing: doc → sequence `floor(tokensBefore/budget)`.
     * Output: input columns + `cum_tokens` (running total INCLUDING the
     * doc) + `seq_id`. A doc longer than the budget still gets exactly one

@@ -363,6 +363,16 @@ object Extensions {
             .as("first_2grams"))
     }),
 
+    // max_seq_len chunking: oversized docs explode into <=64-token chunks
+    // (within-row, shuffle-free); chunk TEXT itself is in the output, so
+    // the oracle checks content reassembly, not just counts
+    "x_pack_chunks" -> ((s: SparkSession, dir: String) => {
+      graft.ext.Packing.splitOversized(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", budget = 64)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"), col("chunk_text"))
+    }),
+
     // sequence packing: docs -> fixed-token-budget training sequences in
     // doc_id order (contiguous fill). The running total is a two-phase
     // distributed prefix sum — per-range-partition windows + broadcast
@@ -909,6 +919,17 @@ object Extensions {
         |  CAST(len(gs) AS INT) AS n_2grams_ws,
         |  array_to_string(gs[1:3], '|') AS first_2grams
         |FROM g""".stripMargin,
+
+    "x_pack_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, ws,
+        |    unnest(generate_series(0, (len(ws) - 1) // 64)) AS chunk_id
+        |  FROM w)
+        |SELECT doc_id,
+        |  CAST(chunk_id AS INT) AS chunk_id,
+        |  CAST(least(64, len(ws) - chunk_id * 64) AS INT) AS chunk_tokens,
+        |  array_to_string(ws[chunk_id * 64 + 1 : chunk_id * 64 + 64], ' ') AS chunk_text
+        |FROM c""".stripMargin,
 
     "x_pack_sequences" ->
       """WITH t AS (SELECT doc_id,

@@ -54,6 +54,28 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("splitOversized: chunk texts reassemble the doc exactly; in-budget docs untouched") {
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens, budget 4
+      (2L, "a b c"),                                   // in budget
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val got = Packing.splitOversized(d, "doc_id", "text", budget = 4)
+      .select("doc_id", "chunk_id", "chunk_tokens", "chunk_text")
+      .as[(Long, Int, Int, String)].collect().sortBy(r => (r._1, r._2))
+    assert(got.filter(_._1 == 1L).map(_._4).toSeq ===
+      Seq("w1 w2 w3 w4", "w5 w6 w7 w8", "w9 w10"))
+    assert(got.filter(_._1 == 1L).map(_._3).toSeq === Seq(4, 4, 2))
+    assert(got.filter(_._1 == 2L).toSeq === Seq((2L, 0, 3, "a b c")))
+    assert(got.filter(_._1 == 3L).toSeq === Seq((3L, 0, 1, "solo")))
+    // reassembly: joining a doc's chunks with ' ' restores the original
+    val back = got.filter(_._1 == 1L).map(_._4).mkString(" ")
+    assert(back === (1 to 10).map(i => s"w$i").mkString(" "))
+    intercept[IllegalArgumentException] {
+      Packing.splitOversized(d, "doc_id", "text", budget = 0)
+    }
+  }
+
   test("the only unpartitioned window runs over partition offsets, not data") {
     val df = Packing.runningTotal(docs, "doc_id", "n_tokens", 8)
     df.collect()
