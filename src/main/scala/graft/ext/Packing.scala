@@ -83,6 +83,34 @@ object Packing {
       .drop("__ws", textCol)
   }
 
+  /** OVERLAPPING context windows — the eval/inference-time counterpart of
+    * [[splitOversized]]: windows of `budget` tokens starting every
+    * `stride` tokens (stride < budget ⇒ consecutive windows share
+    * `budget - stride` tokens of context, the sliding-window rule long-doc
+    * QA/perplexity pipelines use). Window count is
+    * `1 + ⌈(n - budget) / stride⌉` for n > budget, else 1 — the last
+    * window is the first one that covers the document's end, so every
+    * token is covered and no fully-redundant trailing window is emitted.
+    * Within-row explode, shuffle-free; `stride == budget` degenerates to
+    * the disjoint chunking of [[splitOversized]].
+    */
+  def slidingWindows(df: DataFrame, idCol: String, textCol: String,
+                     budget: Int, stride: Int): DataFrame = {
+    require(budget >= 1, s"slidingWindows: budget must be >= 1, got $budget")
+    require(stride >= 1 && stride <= budget,
+      s"slidingWindows: stride must be in [1, budget=$budget], got $stride")
+    df.withColumn("__ws", split(col(textCol), " "))
+      .withColumn("__last",
+        when(size(col("__ws")) <= budget, lit(0)).otherwise(
+          expr(s"(size(__ws) - $budget + $stride - 1) div $stride")).cast("int"))
+      .withColumn("win_id", explode(sequence(lit(0), col("__last"))))
+      .withColumn("win_text",
+        array_join(slice(col("__ws"), col("win_id") * stride + 1, lit(budget)), " "))
+      .withColumn("win_tokens",
+        least(lit(budget), size(col("__ws")) - col("win_id") * stride).cast("int"))
+      .drop("__ws", "__last", textCol)
+  }
+
   /** Contiguous-fill packing: doc → sequence `floor(tokensBefore/budget)`.
     * Output: input columns + `cum_tokens` (running total INCLUDING the
     * doc) + `seq_id`. A doc longer than the budget still gets exactly one

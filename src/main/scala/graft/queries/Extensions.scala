@@ -387,6 +387,16 @@ object Extensions {
         "doc_id", "n_tokens", budget = 2048L)
     }),
 
+    // sliding context windows: budget-64 windows every 32 tokens (50%
+    // overlap), the eval-time long-doc rule. Window TEXT is in the output
+    // so the oracle checks overlap content, not just counts
+    "x_pack_windows" -> ((s: SparkSession, dir: String) => {
+      graft.ext.Packing.slidingWindows(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", budget = 64, stride = 32)
+        .select(col("doc_id"), col("win_id"), col("win_tokens"), col("win_text"))
+    }),
+
     // Gopher-style repetition signals (top-2-gram fraction, distinct ratio)
     // — within-row, no shuffle, exact integer/division arithmetic. The
     // n-gram array and the O(d²) top count are each computed ONCE in their
@@ -940,6 +950,19 @@ object Extensions {
         |  FROM t)
         |SELECT doc_id, n_tokens, cum_tokens,
         |  CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS seq_id
+        |FROM c""".stripMargin,
+
+    "x_pack_windows" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, ws,
+        |    unnest(generate_series(0,
+        |      CASE WHEN len(ws) <= 64 THEN 0
+        |           ELSE (len(ws) - 64 + 31) // 32 END)) AS win_id
+        |  FROM w)
+        |SELECT doc_id,
+        |  CAST(win_id AS INT) AS win_id,
+        |  CAST(least(64, len(ws) - win_id * 32) AS INT) AS win_tokens,
+        |  array_to_string(ws[win_id * 32 + 1 : win_id * 32 + 64], ' ') AS win_text
         |FROM c""".stripMargin,
 
     "x_text_repetition" ->

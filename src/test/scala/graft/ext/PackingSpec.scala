@@ -76,6 +76,48 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("slidingWindows: overlap, full coverage, last window reaches the end") {
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                   // in budget
+      (3L, (1 to 11).map(i => s"w$i").mkString(" "))  // stride doesn't divide
+    ).toDF("doc_id", "text")
+    val got = Packing.slidingWindows(d, "doc_id", "text", budget = 4, stride = 2)
+      .select("doc_id", "win_id", "win_tokens", "win_text")
+      .as[(Long, Int, Int, String)].collect().sortBy(r => (r._1, r._2))
+    // n=10: 1 + ceil((10-4)/2) = 4 windows starting at tokens 1,3,5,7
+    assert(got.filter(_._1 == 1L).map(_._4).toSeq ===
+      Seq("w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9 w10"))
+    assert(got.filter(_._1 == 1L).map(_._3).toSeq === Seq(4, 4, 4, 4))
+    // in-budget doc: exactly one window, verbatim
+    assert(got.filter(_._1 == 2L).toSeq === Seq((2L, 0, 3, "a b c")))
+    // n=11: 1 + ceil(7/2) = 5 windows; last starts at token 9, 3 tokens
+    assert(got.filter(_._1 == 3L).map(_._4).last === "w9 w10 w11")
+    assert(got.filter(_._1 == 3L).map(_._3).toSeq === Seq(4, 4, 4, 4, 3))
+    // every consecutive pair overlaps by budget - stride tokens
+    got.filter(_._1 == 1L).map(_._4.split(' ').toSeq).sliding(2).foreach {
+      case Array(a, b) => assert(a.takeRight(2) === b.take(2))
+    }
+    intercept[IllegalArgumentException] {
+      Packing.slidingWindows(d, "doc_id", "text", budget = 4, stride = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.slidingWindows(d, "doc_id", "text", budget = 4, stride = 0)
+    }
+  }
+
+  test("slidingWindows with stride == budget equals splitOversized chunking") {
+    val d = Seq((1L, (1 to 23).map(i => s"t$i").mkString(" ")), (2L, "x y"))
+      .toDF("doc_id", "text")
+    val wins = Packing.slidingWindows(d, "doc_id", "text", budget = 5, stride = 5)
+      .select(col("doc_id"), col("win_id"), col("win_tokens"), col("win_text"))
+      .as[(Long, Int, Int, String)].collect().toSet
+    val chunks = Packing.splitOversized(d, "doc_id", "text", budget = 5)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"), col("chunk_text"))
+      .as[(Long, Int, Int, String)].collect().toSet
+    assert(wins === chunks)
+  }
+
   test("the only unpartitioned window runs over partition offsets, not data") {
     val df = Packing.runningTotal(docs, "doc_id", "n_tokens", 8)
     df.collect()
