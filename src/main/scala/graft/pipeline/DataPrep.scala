@@ -105,6 +105,46 @@ object DataPrep {
     docs.join(kept, Seq("doc_id"), "left_semi")
   }
 
+  /** Per-LANGUAGE percentile quality gate: keep documents whose quality
+    * score is at or above their own language's `p`-quantile. Absolute
+    * thresholds are wrong across languages — tokenization density, stopword
+    * coverage, and length norms all differ, so a single cutoff silently
+    * skews the language mix; ranking each doc against its language's score
+    * distribution is the standard fix.
+    *
+    * Scale shape: thresholds are one row per language (a tiny aggregate)
+    * broadcast back; the gate itself is a map-side filter. The quantile
+    * aggregation is the only interesting part:
+    *  - `exact = false` (default, the 100 TB path) uses
+    *    `approx_percentile` — a mergeable bounded-memory sketch with
+    *    map-side partials, so a mega-language never concentrates its score
+    *    list in one reducer.
+    *  - `exact = true` uses exact `percentile` (per-group value-count
+    *    state — unbounded in distinct scores; fine at oracle/test scale,
+    *    and the DuckDB `quantile_cont` twin, which is how the gate is
+    *    oracle-checked).
+    * Comparisons against an interpolated threshold are cross-engine-safe:
+    * when `(n-1)·p` is integral both engines return an order statistic
+    * bit-exactly; otherwise the interpolated value lies strictly between
+    * two adjacent data points, so a last-ulp difference cannot flip any
+    * `score ≥ thr` outcome.
+    *
+    * A NULL `langCol` forms its own group (null-safe join) — those docs
+    * gate against the null-language population rather than vanishing.
+    * NULL scores are ignored by the quantile and never pass the gate.
+    */
+  def languageQualityGate(docs: DataFrame, langCol: String, scoreCol: String,
+                          p: Double, exact: Boolean = false): DataFrame = {
+    require(p > 0.0 && p < 1.0, s"languageQualityGate: p must be in (0,1), got $p")
+    val agg = if (exact) percentile(col(scoreCol), lit(p))
+              else approx_percentile(col(scoreCol), lit(p), lit(10000))
+    val thr = docs.groupBy(col(langCol)).agg(agg.as("__gate_thr"))
+      .withColumnRenamed(langCol, "__gate_lang")
+    docs.join(broadcast(thr), col(langCol) <=> col("__gate_lang"))
+      .filter(col(scoreCol) >= col("__gate_thr"))
+      .drop("__gate_lang", "__gate_thr")
+  }
+
   /** Full pipeline; writes `outDir/split=…` and returns the final corpus
     * with its split column.
     */

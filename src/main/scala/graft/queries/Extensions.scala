@@ -387,6 +387,31 @@ object Extensions {
         "doc_id", "n_tokens", budget = 2048L)
     }),
 
+    // corpus-boilerplate spans: doc-distinct 3-grams with document
+    // frequency >= 5 — the df shuffle carries 8-byte hashes, span text
+    // moves only for the hot sliver (ExactDedup idiom; see Boilerplate)
+    "x_text_boilerplate" -> ((s: SparkSession, dir: String) => {
+      graft.ext.Boilerplate.spans(Tables.documents(s, dir), n = 3, minDf = 5L)
+    }),
+
+    // per-document boilerplate coverage: distinct spans, boilerplate hits,
+    // and their ratio (exact-integer division — bit-identical cross-engine)
+    "x_text_boiler_coverage" -> ((s: SparkSession, dir: String) => {
+      graft.ext.Boilerplate.coverage(Tables.documents(s, dir), n = 3, minDf = 5L)
+    }),
+
+    // per-LANGUAGE p25 quality gate on the distinct-token ratio: keep docs
+    // at/above their own language's quantile (exact mode = the oracle twin;
+    // approx_percentile is the default 100 TB path, pinned equal on small
+    // data in DataPrepOpsSpec)
+    "x_quality_gate_lang" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        (TextOps.nDistinctWords(col("text")).cast("double") /
+          TextOps.nWords(col("text"))).as("score"))
+      graft.pipeline.DataPrep
+        .languageQualityGate(docs, "lang", "score", 0.25, exact = true)
+    }),
+
     // sliding context windows: budget-64 windows every 32 tokens (50%
     // overlap), the eval-time long-doc rule. Window TEXT is in the output
     // so the oracle checks overlap content, not just counts
@@ -951,6 +976,41 @@ object Extensions {
         |SELECT doc_id, n_tokens, cum_tokens,
         |  CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS seq_id
         |FROM c""".stripMargin,
+
+    "x_text_boilerplate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |l AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(ws) - 2),
+        |    i -> array_to_string(ws[i:i+2], ' '))) AS gl FROM w),
+        |e AS (SELECT doc_id, unnest(gl) AS gram FROM l)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS df
+        |FROM e GROUP BY gram HAVING count(*) >= 5""".stripMargin,
+
+    "x_text_boiler_coverage" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |l AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(ws) - 2),
+        |    i -> array_to_string(ws[i:i+2], ' '))) AS gl FROM w),
+        |e AS (SELECT doc_id, unnest(gl) AS gram FROM l),
+        |b AS (SELECT gram FROM e GROUP BY gram HAVING count(*) >= 5),
+        |m AS (SELECT doc_id, count(*) AS nb FROM e JOIN b USING(gram)
+        |      GROUP BY doc_id)
+        |SELECT l.doc_id,
+        |  CAST(len(gl) AS INT) AS n_spans,
+        |  CAST(coalesce(m.nb, 0) AS INT) AS n_boiler,
+        |  CAST(coalesce(m.nb, 0) AS DOUBLE) / len(gl) AS boiler_ratio
+        |FROM l LEFT JOIN m USING(doc_id)
+        |WHERE len(gl) >= 1""".stripMargin,
+
+    "x_quality_gate_lang" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS score
+        |  FROM documents),
+        |t AS (SELECT lang, quantile_cont(score, 0.25) AS thr
+        |      FROM s GROUP BY lang)
+        |SELECT s.doc_id, s.lang, s.score
+        |FROM s JOIN t USING(lang) WHERE s.score >= t.thr""".stripMargin,
 
     "x_pack_windows" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

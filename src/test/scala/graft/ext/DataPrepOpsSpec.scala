@@ -144,4 +144,39 @@ class DataPrepOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("integral"), e.getMessage)
   }
+
+  test("languageQualityGate: each language gated against its OWN distribution") {
+    // en scores 1..8, fr 101..104 — any GLOBAL p25 would pass all of fr
+    val df = ((1 to 8).map(i => (i.toLong, "en", i.toDouble)) ++
+      (101 to 104).map(i => (i.toLong, "fr", i.toDouble)))
+      .toDF("doc_id", "lang", "score")
+    val kept = graft.pipeline.DataPrep
+      .languageQualityGate(df, "lang", "score", 0.25, exact = true)
+      .select("doc_id").as[Long].collect().toSet
+    // en p25 = 2.75 → keep 3..8; fr p25 = 101.75 → keep 102..104
+    assert(kept === ((3 to 8).map(_.toLong) ++ (102 to 104).map(_.toLong)).toSet)
+  }
+
+  test("languageQualityGate: NULL lang is its own population; approx agrees on-point; p validated") {
+    // group sizes of 5 put (n-1)·p on an exact order statistic, where the
+    // approx sketch and exact interpolation must return the same element
+    val df = ((1 to 5).map(i => (i.toLong, null.asInstanceOf[String], i.toDouble)) ++
+      (101 to 105).map(i => (i.toLong, "en", i.toDouble)))
+      .toDF("doc_id", "lang", "score")
+    val exact = graft.pipeline.DataPrep
+      .languageQualityGate(df, "lang", "score", 0.25, exact = true)
+      .select("doc_id").as[Long].collect().toSet
+    // NULL-lang p25 = 2 → keep 2..5 (not dropped, not mixed into en)
+    assert(exact === Set(2L, 3L, 4L, 5L, 102L, 103L, 104L, 105L))
+    val approx = graft.pipeline.DataPrep
+      .languageQualityGate(df, "lang", "score", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(approx === exact)
+    intercept[IllegalArgumentException] {
+      graft.pipeline.DataPrep.languageQualityGate(df, "lang", "score", 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.DataPrep.languageQualityGate(df, "lang", "score", 1.0)
+    }
+  }
 }
