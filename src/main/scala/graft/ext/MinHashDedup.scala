@@ -89,4 +89,52 @@ object MinHashDedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Incremental near-dup — the daily-ingest fuzzy flow: which docs of a
+    * NEW batch near-duplicate (shingle Jaccard ≥ `minJaccard`) NOTHING in
+    * the existing corpus? The exact-content twin is
+    * [[ExactDedup.newAgainstCorpus]]; this one catches the re-crawled page
+    * with a changed date stamp. History is never re-deduped, and
+    * within-batch near-dups are deliberately retained (compose with
+    * [[nearDuplicates]] for that half).
+    *
+    * Shape: both sides sketch independently (narrow, fused with their
+    * scans); ONE keyed shuffle joins batch band keys against corpus band
+    * keys — `(band_key, id)` rows only, never shingle arrays — and only
+    * band-collided candidates fetch shingle sets for the exact-Jaccard
+    * verify. At steady state the corpus re-sketch is replaced by
+    * precomputed tables ([[signatures]] output written once, band keys
+    * bucketed by `band_key`) with the batch-side plan unchanged. A true
+    * near-dup that LSH banding misses stays "novel" — recall is the
+    * banding curve (see the object doc), which is the operator's contract.
+    * Batch docs too short to shingle (< k words) carry no near-dup
+    * evidence and are returned as novel.
+    */
+  def newAgainstCorpus(batch: DataFrame, corpus: DataFrame,
+                       minJaccard: Double = 0.7,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       h: Int = 128, bands: Int = 32): DataFrame = {
+    val r = h / bands
+    def banded(sigs: DataFrame, as: String) = sigs
+      .select(col(idCol).as(as),
+        explode(expr(s"""transform(sequence(0, ${bands - 1}),
+          b -> hash(b, slice(sig, b * $r + 1, $r)))""")).as("band_key"))
+    // each side's sketch feeds banding AND verify — persist, same
+    // lifetime-scoped reasoning as nearDuplicates
+    val bs = signatures(batch, idCol, textCol, h)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cs = signatures(corpus, idCol, textCol, h)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = banded(bs, "batch_id")
+      .join(banded(cs, "corpus_id"), Seq("band_key"))
+      .select("batch_id", "corpus_id")
+      .dropDuplicates("batch_id", "corpus_id")
+    val matched = candidates
+      .join(bs.select(col(idCol).as("batch_id"), col("shingles").as("sh_a")), "batch_id")
+      .join(cs.select(col(idCol).as("corpus_id"), col("shingles").as("sh_b")), "corpus_id")
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))) >= minJaccard)
+      .select(col("batch_id").as(idCol)).distinct()
+    batch.select(col(idCol)).join(matched, Seq(idCol), "left_anti")
+  }
 }

@@ -238,6 +238,17 @@ object Extensions {
       MinHashDedup.nearDuplicates(Tables.documents(s, dir), minJaccard = 0.2)
     }),
 
+    // incremental FUZZY dedup: new-batch docs near-duplicating nothing in
+    // the corpus (cross-source MinHash banding + exact-Jaccard verify;
+    // sketch math not SQL-expressible → rows-only, planted-dup unit)
+    "x_dedup_minhash_incr" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir)
+      MinHashDedup.newAgainstCorpus(
+        batch = docs.filter(col("source") === "src0"),
+        corpus = docs.filter(col("source") =!= "src0"),
+        minJaccard = 0.2)
+    }),
+
     "x_dedup_simhash_sigs" -> ((s: SparkSession, dir: String) => {
       SimHash.signatures(Tables.documents(s, dir))
     }),

@@ -22,6 +22,20 @@ class MinHashDedupSpec extends SparkSpec {
     val r = MinHashDedup.nearDuplicates(docs, minJaccard = 0.99).head()
     assert(r.getDouble(2) === 1.0)
   }
+
+  test("newAgainstCorpus: batch near-dups of corpus dropped; novel, short, and batch-internal dups kept") {
+    val corpus = Seq((100L, base), (101L, other)).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, nearDup),          // near-dup of corpus 100 → dropped
+      (2L, base),             // exact dup of corpus 100 → dropped
+      (3L, (200 to 260).map(i => s"u$i").mkString(" ")), // novel → kept
+      (4L, (200 to 260).map(i => s"u$i").mkString(" ")), // batch-internal dup of 3 → kept
+      (5L, "too short")       // < k words, no shingles → kept as novel
+    ).toDF("doc_id", "text")
+    val kept = MinHashDedup.newAgainstCorpus(batch, corpus, minJaccard = 0.5)
+      .as[Long].collect().sorted.toSeq
+    assert(kept === Seq(3L, 4L, 5L))
+  }
 }
 
 class SimHashSpec extends SparkSpec {
