@@ -52,6 +52,62 @@ object Boilerplate {
       .filter(col("df") >= minDf)
   }
 
+  /** Line-level boilerplate REMOVAL — the C4-style cleaning rule: a LINE
+    * (text between `sep` occurrences) that appears in ≥ `minDf` distinct
+    * documents is chrome (footer, nav, license banner), and every
+    * occurrence of it is excised from every document; what remains is
+    * re-joined with `sep` in original order. Complements [[spans]]/
+    * [[coverage]] (which measure n-gram overlap): lines are the
+    * granularity at which web boilerplate actually repeats, so removal at
+    * line level never tears a sentence in half.
+    *
+    * Rules: document frequency is doc-distinct (a line repeated 50× in ONE
+    * page counts once); empty lines are never candidates (blank separators
+    * are structure, not content) and always survive; removal drops ALL
+    * occurrences in a doc, not just the first.
+    *
+    * Scale shape: the df shuffle is hash-first (8-byte `xxhash64(line)`),
+    * line TEXT moves only for the hot sliver and is re-counted by the
+    * string itself (collision-safe, see the object doc); removal is an
+    * anti join of exploded lines against that sliver (AQE broadcasts it)
+    * and ONE reassembly shuffle keyed by doc id.
+    *
+    * Output: `(idCol, clean_text, n_lines, n_removed)` — docs whose every
+    * line was boilerplate come back with `clean_text = ""`.
+    */
+  def removeLines(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", minDf: Long = 5L,
+                  sep: String = "\n"): DataFrame = {
+    require(minDf >= 1, s"removeLines: minDf must be >= 1, got $minDf")
+    require(sep.nonEmpty, "removeLines: sep must be non-empty")
+    val ls = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val lines = docs.select(col(idCol).as("id"),
+        explode(array_distinct(ls)).as("line"))
+      .filter(length(col("line")) > 0)
+    val hot = lines.select(xxhash64(col("line")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("h"))
+    val boiler = lines.select(col("line"), xxhash64(col("line")).as("h"))
+      .join(hot, Seq("h"), "left_semi")
+      .groupBy(col("line")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("line"))
+    val el = docs.select(col(idCol).as("id"), posexplode(ls).as(Seq("pos", "line")))
+    val rebuilt = el.join(boiler, Seq("line"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), sep).as("clean_text"),
+        count(lit(1)).as("__kept"))
+    docs.select(col(idCol).as("id"), size(ls).cast("int").as("n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("__kept"), lit(0L))).cast("int").as("n_removed"))
+  }
+
   /** Per-document boilerplate coverage: `(idCol, n_spans, n_boiler,
     * boiler_ratio)` — distinct spans, how many are corpus-boilerplate
     * (df ≥ `minDf`), and their ratio (one exact-integer IEEE division —

@@ -192,6 +192,55 @@ object Similarity {
     ivfProbe(ivfAssign(corpus, model, idCol, vecCol), model, queries, k, nprobe, idCol, vecCol)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    * by k-means clustering + WITHIN-CLUSTER cosine pruning. Embedding-space
+    * near-duplicates land in the same cluster (for thresholds near 1 a pair
+    * can only straddle a cluster boundary if both members sit on it), so
+    * the quadratic pair scoring runs per cluster instead of per corpus —
+    * the cluster count is the knob that bounds the blowup: the per-cluster
+    * join is keyed on `cid` (a real shuffle key, never a cross join), and
+    * at 100 TB the paper-scale configuration (~100k clusters) makes each
+    * cluster's pair set a few thousand rows in one task. Reuses the IVF
+    * machinery: [[ivfTrain]] is the clustering, [[ivfAssign]] the
+    * membership pass, and a persisted assignment serves both ANN probes
+    * and semantic dedup from the same build.
+    *
+    * Keep rule: within a qualifying pair the SMALLER id survives — a doc is
+    * dropped iff some same-cluster doc with a smaller id is ≥ `threshold`
+    * cosine-similar (the pairwise greedy convention the rest of the dedup
+    * family uses; the paper keeps low-centroid-similarity members instead,
+    * which is a scoring heuristic, not a correctness property — the id rule
+    * is deterministic and engine-portable, so the whole operator is
+    * SQL-oracle-checkable given the trained centroids).
+    *
+    * Input: an assignment (cid, n_id, n_vec) from [[ivfAssign]]. Output:
+    * the KEPT set (vec_id, cid).
+    */
+  def semDedup(assigned: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val c = assigned.withColumn("nrm", sqrt(dot(col("n_vec"), col("n_vec"))))
+    val a = c.select(col("cid"), col("n_id").as("va"), col("n_vec").as("wa"), col("nrm").as("na"))
+    val b = c.select(col("cid"), col("n_id").as("vb"), col("n_vec").as("wb"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("va") < col("vb"))
+      .select(col("vb"),
+        cosinePre(dot(col("wa"), col("wb")), col("na"), col("nb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("vb").as("n_id")).distinct()
+    assigned.join(dropped, Seq("n_id"), "left_anti")
+      .select(col("n_id").as("vec_id"), col("cid"))
+  }
+
+  /** Train + assign + prune in one call (one-shot/library use; pipelines
+    * that also serve ANN should share the model/assignment and call
+    * [[semDedup]] directly).
+    */
+  def semDedupAll(corpus: DataFrame, threshold: Double = 0.9,
+                  nlist: Int = 16, iters: Int = 3,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val model = ivfTrain(corpus, nlist, iters, idCol, vecCol)
+    semDedup(ivfAssign(corpus, model, idCol, vecCol), threshold)
+  }
+
   /** Exact embedding-cosine similarity pair join (vec_a < vec_b, cosine ≥
     * threshold) — the embedding-space member of the dedup family, and the
     * ORACLE for [[embedPairsLsh]]. The self-join is inherently quadratic

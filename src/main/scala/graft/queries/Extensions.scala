@@ -328,6 +328,15 @@ object Extensions {
         .agg((sum(coalesce(col("hit"), lit(0))) / 10.0).as("recall_at_10"))
     }),
 
+    // SemDeDup: k-means cluster (the cached IVF model — clustering and ANN
+    // share one build), then within-cluster cosine pruning; the pair join
+    // is KEYED on cid, which is the algorithm's whole scale story. Oracle
+    // is generated with the trained centroid literals (semOracle below)
+    "x_dedup_semantic" -> ((s: SparkSession, dir: String) => {
+      val (_, assigned) = ivfFor(s, dir)
+      Similarity.semDedup(assigned, threshold = 0.4)
+    }),
+
     // train/eval decontamination: docs from source 'src0' stand in for the
     // eval benchmark; every other doc sharing a 3-gram with it is flagged.
     // Bloom-prescreened corpus side, exact-join verify — output is exact
@@ -409,6 +418,19 @@ object Extensions {
     // and their ratio (exact-integer division — bit-identical cross-engine)
     "x_text_boiler_coverage" -> ((s: SparkSession, dir: String) => {
       graft.ext.Boilerplate.coverage(Tables.documents(s, dir), n = 3, minDf = 5L)
+    }),
+
+    // line-level boilerplate REMOVAL: the fixture text is single-line, so
+    // the query plants the structure removal must recover — a footer every
+    // doc carries TWICE, a per-source banner (shared by ~1/5 of docs), and
+    // a unique DOC line; cleaning must excise both repeated lines from all
+    // docs and keep content + unique lines byte-identical, in order
+    "x_text_boiler_remove" -> ((s: SparkSession, dir: String) => {
+      val mt = concat(col("text"), lit("\nCOPYRIGHT FOOTER\nSRC "), col("source"),
+        lit("\nDOC "), col("doc_id").cast("string"), lit("\nCOPYRIGHT FOOTER"))
+      graft.ext.Boilerplate.removeLines(
+        Tables.documents(s, dir).withColumn("mt", mt),
+        textCol = "mt", minDf = 10L)
     }),
 
     // per-LANGUAGE p25 quality gate on the distinct-token ratio: keep docs
@@ -744,7 +766,20 @@ object Extensions {
              |  CAST(sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) / 10.0 AS recall_at_10
              |FROM brute b LEFT JOIN ivf i ON b.q_id = i.q_id AND b.n_id = i.n_id
              |GROUP BY b.q_id""".stripMargin
-        val base = Map("x_sim_ann_ivf" -> annIvf, "x_sim_ivf_recall" -> recall)
+        // SemDeDup: same centroids + assignment CTEs; a doc is dropped iff
+        // a same-cluster doc with a SMALLER id is >= 0.4 cosine-similar
+        // (0.4 is the corpus's near-dup level — x_dedup_embed_exact's
+        // threshold; the fixture has no pairs above 0.52)
+        val sem =
+          s"""$prefix,
+             |$ivfAssignCte,
+             |pairs AS (SELECT a2.n_id AS vb
+             |  FROM a a1 JOIN a a2 ON a1.cid = a2.cid AND a1.n_id < a2.n_id
+             |  WHERE round(list_cosine_similarity(a1.n_vec, a2.n_vec), 6) >= 0.4)
+             |SELECT n_id AS vec_id, cid FROM a
+             |WHERE n_id NOT IN (SELECT vb FROM pairs)""".stripMargin
+        val base = Map("x_sim_ann_ivf" -> annIvf, "x_sim_ivf_recall" -> recall,
+          "x_dedup_semantic" -> sem)
         // layout oracle only when the cid-partitioned parquet was written
         // this run: DuckDB reads the SERVED FILES themselves, so the check
         // covers the on-disk layout, not just the arithmetic
@@ -996,6 +1031,23 @@ object Extensions {
         |e AS (SELECT doc_id, unnest(gl) AS gram FROM l)
         |SELECT gram, CAST(count(*) AS BIGINT) AS df
         |FROM e GROUP BY gram HAVING count(*) >= 5""".stripMargin,
+
+    "x_text_boiler_remove" ->
+      """WITH m AS (SELECT doc_id,
+        |    text || chr(10) || 'COPYRIGHT FOOTER' || chr(10) || 'SRC ' || source ||
+        |    chr(10) || 'DOC ' || CAST(doc_id AS VARCHAR) || chr(10) || 'COPYRIGHT FOOTER' AS mt
+        |  FROM documents),
+        |el AS (SELECT doc_id, unnest(list_distinct(string_split(mt, chr(10)))) AS line FROM m),
+        |boiler AS (SELECT line FROM el WHERE len(line) > 0
+        |  GROUP BY line HAVING count(*) >= 10),
+        |bl AS (SELECT coalesce(list(line), []) AS bs FROM boiler)
+        |SELECT m.doc_id,
+        |  array_to_string(list_filter(string_split(m.mt, chr(10)),
+        |    x -> NOT list_contains(bl.bs, x)), chr(10)) AS clean_text,
+        |  CAST(len(string_split(m.mt, chr(10))) AS INT) AS n_lines,
+        |  CAST(len(string_split(m.mt, chr(10))) -
+        |       len(list_filter(string_split(m.mt, chr(10)), x -> NOT list_contains(bl.bs, x))) AS INT) AS n_removed
+        |FROM m CROSS JOIN bl""".stripMargin,
 
     "x_text_boiler_coverage" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

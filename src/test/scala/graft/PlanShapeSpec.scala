@@ -124,6 +124,20 @@ class PlanShapeSpec extends SparkSpec {
       "no partial aggregate below the exchange")
   }
 
+  test("semDedup pair join is keyed on cid, never a cross join") {
+    // over a plain assignment relation (no IVF lineage) the within-cluster
+    // pair scoring must plan a keyed join on the cluster id — that bound
+    // is SemDeDup's entire scale argument
+    import spark.implicits._
+    val assigned = Seq((0, 1L, Seq(1.0, 0.0)), (0, 2L, Seq(1.0, 0.1)),
+      (1, 3L, Seq(0.0, 1.0))).toDF("cid", "n_id", "n_vec")
+    val p = graft.ext.Similarity.semDedup(assigned, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(p.contains("cid"), p.take(3000))
+  }
+
   test("REGISTRY-WIDE: no unplanned nested-loop/cartesian join in any query") {
     // the operators that are quadratic BY SPEC (exact pair scoring, or a
     // deliberate cross join against a broadcast model/query side bounded by
@@ -135,7 +149,10 @@ class PlanShapeSpec extends SparkSpec {
       "x_sim_ivf_layout",    // same probe shape over the partitioned layout
       "x_sim_ivf_recall",    // includes the brute-force reference
       "x_sim_ann_lsh",       // queries broadcast into buckets
-      "x_text_search")       // broadcast single-row corpus count (N for idf)
+      "x_text_search",       // broadcast single-row corpus count (N for idf)
+      "x_dedup_semantic")    // inherits the nlist-bounded assignment cross
+                             // join from the cached IVF lineage; the pair
+                             // join itself is keyed on cid (pinned below)
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(quadraticBySpec)
       .flatMap { name =>

@@ -60,5 +60,49 @@ class BoilerplateSpec extends SparkSpec {
   test("parameter validation") {
     intercept[IllegalArgumentException] { Boilerplate.spans(docs, n = 0) }
     intercept[IllegalArgumentException] { Boilerplate.spans(docs, minDf = 0L) }
+    intercept[IllegalArgumentException] { Boilerplate.removeLines(docs, minDf = 0L) }
+    intercept[IllegalArgumentException] { Boilerplate.removeLines(docs, sep = "") }
+  }
+
+  // 3 docs share the FOOTER line (doc 1 carries it twice); every doc has a
+  // unique content line; doc 4 has only the footer; blank lines survive
+  private def lineDocs = Seq(
+    (1L, "alpha content\nFOOTER\nmore alpha\nFOOTER"),
+    (2L, "beta content\n\nFOOTER"),
+    (3L, "gamma content\nFOOTER"),
+    (4L, "FOOTER")
+  ).toDF("doc_id", "text")
+
+  test("removeLines: shared footer excised everywhere (all occurrences), unique lines kept in order") {
+    val got = Boilerplate.removeLines(lineDocs, minDf = 3L)
+      .as[(Long, String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, "alpha content\nmore alpha", 4, 2)))
+    assert(got(2L) === ((2L, "beta content\n", 3, 1))) // blank line survives
+    assert(got(3L) === ((3L, "gamma content", 2, 1)))
+    assert(got(4L) === ((4L, "", 1, 1))) // all-boilerplate doc: empty, not dropped
+  }
+
+  test("removeLines: df is doc-distinct — a line repeated inside ONE doc is not boilerplate") {
+    val d = Seq(
+      (1L, "x\nx\nx\nx\nx"), // 5 in-doc repeats: df = 1
+      (2L, "y\nz")
+    ).toDF("doc_id", "text")
+    val got = Boilerplate.removeLines(d, minDf = 2L)
+      .as[(Long, String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, "x\nx\nx\nx\nx", 5, 0)))
+    assert(got(2L) === ((2L, "y\nz", 2, 0)))
+  }
+
+  test("removeLines: custom separator, threshold boundary at exactly minDf") {
+    val d = Seq(
+      (1L, "a|SHARED|b"),
+      (2L, "c|SHARED"),
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val got = Boilerplate.removeLines(d, minDf = 2L, sep = "|")
+      .as[(Long, String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, "a|b", 3, 1))) // df == minDf fires
+    assert(got(2L) === ((2L, "c", 2, 1)))
+    assert(got(3L) === ((3L, "solo", 1, 0)))
   }
 }

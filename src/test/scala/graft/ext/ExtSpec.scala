@@ -397,6 +397,39 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh === exact, s"missed ${exact -- lsh}")
   }
 
+  test("semDedup: planted within-cluster near-dup dropped, smaller id survives") {
+    // random 16-d vectors are pairwise near-orthogonal (cos far below the
+    // threshold); id 40 is a near-copy of id 0 (cos ≈ 1) — near-identical
+    // vectors share a nearest centroid, so the pair is within-cluster by
+    // construction and 40 (the larger id) must be the one dropped
+    val rnd = new scala.util.Random(3)
+    val noise = (0 until 24).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val copy = noise.head._2.clone(); copy(0) += 0.001f
+    val corpus = (noise :+ (40L, copy)).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedupAll(corpus, threshold = 0.99, nlist = 4, iters = 2)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(40L), "near-copy of id 0 must be dropped")
+    assert(kept.contains(0L), "the smaller id of the dup pair survives")
+    assert((0L until 24L).forall(kept.contains), s"only the planted dup may drop: $kept")
+  }
+
+  test("semDedup with one cluster == pairwise rule over exact pair join") {
+    val rnd = new scala.util.Random(7)
+    val corpus = ((0 until 30).map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      :+ (30L, Array.fill(8)(0.5f)) :+ (31L, Array.fill(8)(0.5001f)))
+      .toDF("vec_id", "embedding")
+    // nlist=1 ⇒ every pair is within-cluster, so the kept set must equal
+    // "corpus minus every vec_b of the exact pair join" — the clustered
+    // form's only approximation is cross-cluster pairs, removed here
+    val exactDrop = Similarity.embedPairsExact(corpus, threshold = 0.98)
+      .select($"vec_b").collect().map(_.getLong(0)).toSet
+    val kept = Similarity.semDedupAll(corpus, threshold = 0.98, nlist = 1, iters = 1)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val all = (0L to 31L).toSet
+    assert(kept === (all -- exactDrop))
+    assert(exactDrop.contains(31L)) // the planted near-identical pair fired
+  }
+
   test("LSH bucketing keeps identical-direction vectors together") {
     val got = Similarity.lshTopK(corpus, corpus.filter($"vec_id" === 0), k = 3, nPlanes = 4)
       .collect().map(_.getLong(1)).toSet
