@@ -39,13 +39,23 @@ object Packing {
     * numPartitions ≤ 0 → the session's shuffle parallelism.
     */
   def runningTotal(df: DataFrame, idCol: String, valCol: String,
-                   numPartitions: Int = 0): DataFrame = {
+                   numPartitions: Int = 0): DataFrame =
+    runningTotalBy(df, Seq(col(idCol)), valCol, numPartitions)
+
+  /** [[runningTotal]] over an arbitrary ordering (e.g. `priority DESC, id`
+    * — the token-budget selection order). The ordering must be TOTAL
+    * (include a unique tiebreak column): range partitioning and the
+    * per-partition windows both key on it, and a total order is what makes
+    * `cum` a property of the data rather than of partition boundaries.
+    */
+  def runningTotalBy(df: DataFrame, orderBy: Seq[Column], valCol: String,
+                     numPartitions: Int = 0): DataFrame = {
     val p = if (numPartitions > 0) numPartitions
             else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val local = df.repartitionByRange(p, col(idCol))
+    val local = df.repartitionByRange(p, orderBy: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__cum", sum(col(valCol)).over(
-        Window.partitionBy(col("__pid")).orderBy(col(idCol))))
+        Window.partitionBy(col("__pid")).orderBy(orderBy: _*)))
     // one row per partition; the only unpartitioned window in the plan
     // runs over THESE rows (≤ numPartitions), never over data
     val offsets = local.groupBy(col("__pid"))

@@ -105,6 +105,35 @@ object DataPrep {
     docs.join(kept, Seq("doc_id"), "left_semi")
   }
 
+  /** Token-budget corpus selection: take documents in priority order
+    * (`priorityCol` DESC, `idCol` ASC — a total order) until the token
+    * budget fills. Greedy fill: a doc is selected iff the running token
+    * total BEFORE it is under `budget`, so the doc that crosses the line
+    * is INCLUDED and the selection overshoots by less than one document —
+    * the convention that makes "select N tokens of the best data" a pure
+    * prefix of the priority order (published data-mixing recipes state
+    * budgets this way: take the top-quality prefix, not a knapsack).
+    *
+    * Scale shape: the running total is [[graft.ext.Packing]]'s two-phase
+    * distributed prefix sum over the priority order — range partition +
+    * per-partition windows + broadcast partition offsets. No global
+    * `Window.orderBy` over data (one unsplittable task), and no
+    * driver-side iteration: the budget line is found by arithmetic on the
+    * distributed cum column.
+    *
+    * Output: the selected docs with `cum_tokens` (running total INCLUDING
+    * the doc — ≥ budget only for the crossing doc). Ties: `idCol` must be
+    * unique (the corpus contract); equal priorities resolve by id.
+    */
+  def tokenBudgetSelect(docs: DataFrame, budget: Long, priorityCol: String,
+                        tokensCol: String, idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 1, s"tokenBudgetSelect: budget must be >= 1, got $budget")
+    graft.ext.Packing
+      .runningTotalBy(docs, Seq(col(priorityCol).desc, col(idCol)), tokensCol)
+      .withColumnRenamed("cum", "cum_tokens")
+      .filter(col("cum_tokens") - col(tokensCol) < budget)
+  }
+
   /** Per-LANGUAGE percentile quality gate: keep documents whose quality
     * score is at or above their own language's `p`-quantile. Absolute
     * thresholds are wrong across languages — tokenization density, stopword

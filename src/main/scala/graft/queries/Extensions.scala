@@ -445,6 +445,18 @@ object Extensions {
         .languageQualityGate(docs, "lang", "score", 0.25, exact = true)
     }),
 
+    // token-budget selection: the best-quality 10k-token prefix of the
+    // corpus (score desc, id tiebreak); the running total is the
+    // distributed prefix sum, never a global data window. Selection is
+    // decided by integer token sums — the float score only orders
+    "x_budget_select" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        (TextOps.nDistinctWords(col("text")).cast("double") /
+          TextOps.nWords(col("text"))).as("score"),
+        TextOps.nWords(col("text")).cast("long").as("n_tokens"))
+      graft.pipeline.DataPrep.tokenBudgetSelect(docs, 10000L, "score", "n_tokens")
+    }),
+
     // sliding context windows: budget-64 windows every 32 tokens (50%
     // overlap), the eval-time long-doc rule. Window TEXT is in the output
     // so the oracle checks overlap content, not just counts
@@ -1074,6 +1086,18 @@ object Extensions {
         |      FROM s GROUP BY lang)
         |SELECT s.doc_id, s.lang, s.score
         |FROM s JOIN t USING(lang) WHERE s.score >= t.thr""".stripMargin,
+
+    "x_budget_select" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS score,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, score, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, score, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens - n_tokens < 10000""".stripMargin,
 
     "x_pack_windows" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

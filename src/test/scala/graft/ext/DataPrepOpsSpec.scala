@@ -145,6 +145,28 @@ class DataPrepOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("integral"), e.getMessage)
   }
 
+  test("tokenBudgetSelect: greedy priority-order fill; crossing doc included, next excluded") {
+    val docs = Seq(
+      (1L, 5.0, 40L),  // rank 1: cum 40
+      (2L, 4.0, 40L),  // rank 2: cum 80
+      (3L, 4.0, 40L),  // rank 3 (tie -> id): cum 120, crosses budget=100 -> INCLUDED
+      (4L, 3.0, 40L),  // rank 4: prefix 120 >= 100 -> excluded
+      (5L, 2.0, 1L)
+    ).toDF("doc_id", "score", "n_tokens")
+    val got = graft.pipeline.DataPrep
+      .tokenBudgetSelect(docs, budget = 100L, "score", "n_tokens")
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((1L, 40L), (2L, 80L), (3L, 120L)))
+    // budget larger than the corpus selects everything
+    val all = graft.pipeline.DataPrep
+      .tokenBudgetSelect(docs, budget = 1000L, "score", "n_tokens")
+      .count()
+    assert(all === 5L)
+    intercept[IllegalArgumentException] {
+      graft.pipeline.DataPrep.tokenBudgetSelect(docs, 0L, "score", "n_tokens")
+    }
+  }
+
   test("languageQualityGate: each language gated against its OWN distribution") {
     // en scores 1..8, fr 101..104 — any GLOBAL p25 would pass all of fr
     val df = ((1 to 8).map(i => (i.toLong, "en", i.toDouble)) ++

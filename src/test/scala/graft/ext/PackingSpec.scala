@@ -25,6 +25,20 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("runningTotalBy (desc priority order) == global-window cumsum at several partition counts") {
+    val scored = docs.withColumn("score", (col("doc_id") * 31 % 97).cast("double"))
+    val naive = scored.withColumn("cum",
+      sum(col("n_tokens")).over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "cum").as[(Long, Long)].collect().toMap
+    for (p <- Seq(1, 3, 8, 32)) {
+      val got = Packing.runningTotalBy(scored,
+        Seq(col("score").desc, col("doc_id")), "n_tokens", p)
+        .select("doc_id", "cum").as[(Long, Long)].collect().toMap
+      assert(got === naive, s"numPartitions=$p")
+    }
+  }
+
   test("packBins: contiguous fill, no sequence overfilled except by its last doc") {
     val packed = Packing.packBins(docs, "doc_id", "n_tokens", budget = 1000L, 8)
       .select("doc_id", "n_tokens", "cum_tokens", "seq_id")
