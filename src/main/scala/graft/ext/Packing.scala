@@ -70,6 +70,33 @@ object Packing {
       .drop("__pid", "__cum", "__off")
   }
 
+  /** Deterministic EPOCH SHUFFLE — the training-order permutation that
+    * precedes packing: `posCol` = rank of `md5(epoch ":" id)` (id as the
+    * tiebreak). Hash-derived, never `rand()` (the [[graft.ops.Sampling]]
+    * contract): reproducible across runs/retries/speculative re-execution,
+    * and each epoch is an independent pseudo-random permutation, so
+    * consecutive epochs decorrelate batch composition without any state.
+    * md5 (not xxhash64) is deliberate: every engine has it, which makes
+    * the permutation itself SQL-oracle-checkable.
+    *
+    * Scale shape: the rank is the two-phase distributed prefix sum over a
+    * constant-1 column ([[runningTotalBy]] keyed on the shuffle key) —
+    * a global `row_number()` window would be one unsplittable task. The
+    * downstream writer typically range-partitions by `posCol`, giving
+    * sequential trainers contiguous position ranges per file.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+                   posCol: String = "epoch_pos",
+                   numPartitions: Int = 0): DataFrame = {
+    require(epoch >= 0, s"epochShuffle: epoch must be >= 0, got $epoch")
+    df.withColumn("__skey", md5(concat(lit(s"$epoch:"), col(idCol).cast("string"))))
+      .withColumn("__one", lit(1L))
+      .transform(d => runningTotalBy(d, Seq(col("__skey"), col(idCol)), "__one",
+        numPartitions))
+      .withColumnRenamed("cum", posCol)
+      .drop("__skey", "__one")
+  }
+
   /** Chunk OVERSIZED documents to the token budget BEFORE packing: each
     * doc explodes into ⌈n/budget⌉ chunks of ≤ `budget` consecutive
     * tokens, re-joined with single spaces (the max_seq_len chunking every

@@ -407,6 +407,15 @@ object Extensions {
         "doc_id", "n_tokens", budget = 2048L)
     }),
 
+    // deterministic epoch-3 training-order shuffle: positions are the
+    // rank of md5("3:" || doc_id) — an exact permutation both engines
+    // compute identically; the rank is the distributed prefix sum, never
+    // a global row_number window
+    "x_shuffle_epoch" -> ((s: SparkSession, dir: String) => {
+      graft.ext.Packing.epochShuffle(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id", epoch = 3)
+    }),
+
     // corpus-boilerplate spans: doc-distinct 3-grams with document
     // frequency >= 5 — the df shuffle carries 8-byte hashes, span text
     // moves only for the hot sliver (ExactDedup idiom; see Boilerplate)
@@ -1034,6 +1043,13 @@ object Extensions {
         |SELECT doc_id, n_tokens, cum_tokens,
         |  CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS seq_id
         |FROM c""".stripMargin,
+
+    "x_shuffle_epoch" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('3:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |    AS epoch_pos
+        |FROM documents""".stripMargin,
 
     "x_text_boilerplate" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

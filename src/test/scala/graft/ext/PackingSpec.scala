@@ -39,6 +39,24 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("epochShuffle: exact permutation, reproducible, epochs decorrelate, == global row_number") {
+    val ids = docs.select("doc_id")
+    val e3 = Packing.epochShuffle(ids, "doc_id", epoch = 3, numPartitions = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(e3.values.toSeq.sorted === (1L to 997L).toSeq) // bijection onto 1..N
+    val again = Packing.epochShuffle(ids, "doc_id", epoch = 3, numPartitions = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(again === e3) // run-to-run deterministic
+    val e4 = Packing.epochShuffle(ids, "doc_id", epoch = 4, numPartitions = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(e4 !== e3) // a different epoch is a different permutation
+    val naive = ids
+      .withColumn("k", md5(concat(lit("3:"), col("doc_id").cast("string"))))
+      .withColumn("p", row_number().over(Window.orderBy(col("k"), col("doc_id"))).cast("long"))
+      .select("doc_id", "p").as[(Long, Long)].collect().toMap
+    assert(e3 === naive)
+  }
+
   test("packBins: contiguous fill, no sequence overfilled except by its last doc") {
     val packed = Packing.packBins(docs, "doc_id", "n_tokens", budget = 1000L, 8)
       .select("doc_id", "n_tokens", "cum_tokens", "seq_id")
