@@ -47,6 +47,61 @@ object JaccardDedup {
     }
   }
 
+  /** Asymmetric CONTAINMENT pairs: C(A,B) = |A∩B| / |A| ≥ `threshold`,
+    * with A the SMALLER n-gram set (|A| < |B|; ties broken by id). This is
+    * the partial-copy/quotation detector symmetric Jaccard structurally
+    * misses: a document embedded verbatim in one 10× larger has
+    * J ≤ 0.1 — below any sane Jaccard threshold — but containment 1.0.
+    *
+    * Candidate rule (the asymmetric prefix filter): order each set by the
+    * global canonical order (ascending df, rarest first). If C(A,B) ≥ t
+    * then |A∩B| ≥ ⌈t·|A|⌉; were A's first p(A) = |A| − ⌈t·|A|⌉ + 1 tokens
+    * all absent from B, overlap ≤ ⌈t·|A|⌉ − 1 — contradiction. So A's
+    * PREFIX must hit B — but B gets no prefix (t bounds nothing about how
+    * much of B is missed), so candidates are A-prefix tokens joined
+    * against B's FULL token list. Still keyed on the 8-byte token hash,
+    * still lossless (collisions only add candidates; exact verify
+    * removes them), and the ppjoin positional bound applies unchanged:
+    * the first common token gives overlap ≤ 1 + min(|A|−rn_a, |B|−rn_b),
+    * required ≥ ⌈t·|A|⌉. The B-side lists make this heavier than the
+    * symmetric join — use n-gram ≥ 2 sets (selective tokens) at corpus
+    * scale; word-level containment on a small vocabulary degenerates.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.5,
+                       ngram: Int = 3): DataFrame = {
+    val t = docs.select(col("doc_id"), ngramSet("text", ngram).as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .persist()
+    val toks = t.select(col("doc_id"), size(col("ws")).as("sz"),
+      explode(col("ws")).as("tok"))
+      .withColumn("th", xxhash64(col("tok")))
+    val freq = toks.groupBy(col("th")).agg(count(lit(1)).as("df"))
+    val tDec = lit(new java.math.BigDecimal(java.lang.Double.toString(threshold)))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("th"), col("tok"))
+    val ranked = toks.join(freq, "th")
+      .withColumn("rn", row_number().over(byDoc))
+    val prefixLen = col("sz") - ceil(tDec * col("sz")) + lit(1)
+    val cand = ranked.filter(col("rn") <= prefixLen)
+      .select(col("th"), col("doc_id").as("doc_a"), col("rn").as("ra"), col("sz").as("sa"))
+      .join(ranked.select(col("th"), col("doc_id").as("doc_b"),
+        col("rn").as("rb"), col("sz").as("sb")), Seq("th"))
+      .filter(col("sa") < col("sb") ||
+        (col("sa") === col("sb") && col("doc_a") < col("doc_b")))
+      .filter(lit(1) + least(col("sa") - col("ra"), col("sb") - col("rb")) >=
+        ceil(tDec * col("sa")))
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val sets = t.select(col("doc_id"), col("ws"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("wa")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("wb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("wa"), col("wb"))).cast("double") /
+          size(col("wa"))).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Pairs (doc_a < doc_b, same source) with Jaccard(n-gram sets) ≥
     * `threshold`, restricted to |Δn_chars|·5 ≤ n_chars sum (the ≤1.5×
     * length-ratio prefilter that is part of this operator's round-1 spec,

@@ -226,6 +226,13 @@ object Extensions {
       JaccardDedup.similarPairs(Tables.documents(s, dir), threshold = 0.2, ngram = 3)
     }),
 
+    // asymmetric containment |A∩B|/|A| on trigram sets, corpus-wide: the
+    // partial-copy detector — finds the planted near-dup family even
+    // where symmetric Jaccard dilutes below threshold
+    "x_dedup_containment" -> ((s: SparkSession, dir: String) => {
+      JaccardDedup.containmentPairs(Tables.documents(s, dir), threshold = 0.4, ngram = 3)
+    }),
+
     // MinHash signatures (deterministic; the LSH pair search is asserted in
     // MinHashDedupSpec with planted near-duplicates — approximate by nature)
     "x_dedup_minhash_sigs" -> ((s: SparkSession, dir: String) => {
@@ -900,6 +907,18 @@ object Extensions {
          |  AND abs(a.n_chars - b.n_chars) * 5 <= a.n_chars + b.n_chars
          |WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
          |    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.2""".stripMargin,
+
+    "x_dedup_containment" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_distinct(list_transform(generate_series(1, len($sqlWords) - 2),
+         |    i -> $sqlWords[i] || ' ' || $sqlWords[i+1] || ' ' || $sqlWords[i+2])) AS ws
+         |  FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / len(a.ws) AS containment
+         |FROM t a JOIN t b
+         |  ON (len(a.ws) < len(b.ws) OR (len(a.ws) = len(b.ws) AND a.doc_id < b.doc_id))
+         |WHERE len(a.ws) >= 1
+         |  AND CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / len(a.ws) >= 0.4""".stripMargin,
 
     "x_text_quality" ->
       s"""SELECT doc_id,

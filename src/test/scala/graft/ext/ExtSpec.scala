@@ -216,6 +216,51 @@ class JaccardDedupSpec extends SparkSpec {
     assert(tri === Set((100L, 101L)))
   }
 
+  test("containment: verbatim quote found at 1.0 where Jaccard misses; output == naive all-pairs") {
+    // doc 10 is six words quoted verbatim inside the 30-word doc 11:
+    // containment(10→11) = 1.0, but J ≈ 6/30 — below any 0.5 threshold
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val host = quote + " " + (1 to 24).map(i => s"w$i").mkString(" ")
+    val other = (30 to 60).map(i => s"v$i").mkString(" ")
+    val docs = Seq((10L, quote), (11L, host), (12L, other))
+      .toDF("doc_id", "text")
+    val got = JaccardDedup.containmentPairs(docs, threshold = 0.9, ngram = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === Seq((10L, 11L, 1.0)))
+    // Jaccard at the same threshold finds nothing for this pair
+    val j = JaccardDedup.similarPairs(
+      docs.withColumn("source", lit("s1")).withColumn("n_chars", length($"text")),
+      threshold = 0.9, ngram = 3).count()
+    assert(j === 0L)
+  }
+
+  test("containment prefix-filter == naive all-pairs (seeded corpus, several thresholds)") {
+    val rnd = new scala.util.Random(13)
+    val vocab = (0 until 40).map(i => s"t$i")
+    val docs = (0L until 50L).map { id =>
+      val words = Seq.fill(5 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size)))
+      (id, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    docs.cache().count()
+    def naive(t: Double, n: Int) = {
+      val d = docs.select($"doc_id", JaccardDedup.ngramSet("text", n).as("ws"))
+        .filter(size($"ws") >= 1)
+      val a = d.select($"doc_id".as("doc_a"), $"ws".as("wa"))
+      val b = d.select($"doc_id".as("doc_b"), $"ws".as("wb"))
+      a.crossJoin(b)
+        .filter(size($"wa") < size($"wb") ||
+          (size($"wa") === size($"wb") && $"doc_a" < $"doc_b"))
+        .select($"doc_a", $"doc_b",
+          (size(array_intersect($"wa", $"wb")).cast("double") / size($"wa"))
+            .as("containment"))
+        .filter($"containment" >= t)
+    }
+    for ((t, n) <- Seq((0.5, 2), (0.7, 2), (0.9, 1), (0.4, 3)))
+      assert(asTriples(JaccardDedup.containmentPairs(docs, t, n)) ===
+        asTriples(naive(t, n)), s"threshold $t ngram $n")
+    docs.unpersist()
+  }
+
   test("lossless at t=0.9: the FP-undercount counterexample pair is found") {
     // J(A,B) = 9/10 exactly; with floor((1-0.9)*10)+1 = 1 the rarest token
     // 'unique0' is A's whole prefix, B's prefix misses it, and the pair
