@@ -70,6 +70,39 @@ object Packing {
       .drop("__pid", "__cum", "__off")
   }
 
+  /** Per-GROUP running total — the grouped variant of [[runningTotalBy]]:
+    * `cum` restarts for every `groupCol` value, in `orderBy` order within
+    * the group. NOT a `Window.partitionBy(group)` (a mega-group would be
+    * one unsplittable task — the skew hazard the domain-quota rewrite
+    * removed): range partitioning on (group, ordering) keeps a group's
+    * rows ordered ACROSS partitions, a mega-group simply spans several,
+    * and the per-(partition, group) offsets — at most `numPartitions +
+    * |groups|` rows, partition-metadata scale — chain the pieces together
+    * with their own per-group prefix sum.
+    */
+  def runningTotalByGroup(df: DataFrame, groupCol: String, orderBy: Seq[Column],
+                          valCol: String, numPartitions: Int = 0): DataFrame = {
+    val p = if (numPartitions > 0) numPartitions
+            else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val local = df.repartitionByRange(p, (col(groupCol) +: orderBy): _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__cum", sum(col(valCol)).over(
+        Window.partitionBy(col("__pid"), col(groupCol)).orderBy(orderBy: _*)))
+    val offsets = local.groupBy(col("__pid"), col(groupCol))
+      .agg(sum(col(valCol)).as("__t"))
+      .withColumn("__off",
+        coalesce(sum(col("__t")).over(
+          Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid").as("__opid"), col(groupCol).as("__grp"), col("__off"))
+    // null-safe on the group: a NULL group value is a real group here,
+    // same contract as languageQualityGate
+    local.join(broadcast(offsets),
+        col("__pid") === col("__opid") && (col(groupCol) <=> col("__grp")))
+      .withColumn("cum", (col("__cum") + col("__off")).cast("long"))
+      .drop("__pid", "__opid", "__grp", "__cum", "__off")
+  }
+
   /** Deterministic EPOCH SHUFFLE — the training-order permutation that
     * precedes packing: `posCol` = rank of `md5(epoch ":" id)` (id as the
     * tiebreak). Hash-derived, never `rand()` (the [[graft.ops.Sampling]]

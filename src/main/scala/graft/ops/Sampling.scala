@@ -49,6 +49,54 @@ object Sampling {
   def byModulo(df: DataFrame, key: Column, k: Int): DataFrame =
     df.filter(pmod(key, lit(k)) === 0)
 
+  /** Temperature-based domain mixing at α = 0.5 — the standard
+    * multilingual/multidomain rebalancing rule (sample domain d
+    * proportionally to c_d^α, α < 1, so dominant sources flatten and rare
+    * ones are boosted relative to their raw share; mT5/GPT-style mixing).
+    * Selects a deterministic `total`-row sample whose per-domain counts
+    * are n_d = ⌊total · w_d / Σw⌋ capped at c_d, with w_d = ⌊√c_d⌋.
+    *
+    * Every quantity is INTEGER-exact on purpose: ⌊√c⌋ of a correctly-
+    * rounded IEEE sqrt is the same value in any engine (a non-square c
+    * never lands within an ulp of an integer at corpus scales), and the
+    * weight sum / target division are integer arithmetic — so the whole
+    * mix, selection included, is SQL-oracle-checkable. A general-α version
+    * would ride on `pow`, which is NOT correctly rounded and can differ
+    * across engines at the last ulp — exactly where a floor flips.
+    *
+    * Within a domain the kept docs are the first n_d under the md5 order
+    * (deterministic pseudo-random, the [[graft.ext.Packing.epochShuffle]]
+    * key), ranked by the per-group distributed prefix sum — never a
+    * per-domain window, so a mega-domain (the thing mixing exists to tame)
+    * spans tasks instead of becoming one.
+    *
+    * Returns the selected rows with their domain rank `mix_rank` (1-based).
+    */
+  def temperatureMixSqrt(df: DataFrame, domainCol: String, total: Long,
+                         idCol: String = "doc_id", salt: String = "mix"): DataFrame = {
+    require(total >= 1, s"temperatureMixSqrt: total must be >= 1, got $total")
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("__cd"))
+      .withColumn("__wd", floor(sqrt(col("__cd"))).cast("long"))
+    // Σw via a single-row aggregate joined back (a tiny two-step broadcast
+    // — never a global window); n_d = min(c_d, total·w_d div Σw)
+    val sw = counts.agg(sum(col("__wd")).as("__sw"))
+    val quota = counts.crossJoin(broadcast(sw))
+      .withColumn("__nd", least(col("__cd"),
+        expr(s"CAST($total AS BIGINT) * __wd div __sw")))
+      .select(col(domainCol).as("__qdom"), col("__nd"))
+    val ranked = graft.ext.Packing.runningTotalByGroup(
+      df.withColumn("__skey",
+          md5(concat(lit(s"$salt:"), col(idCol).cast("string"))))
+        .withColumn("__one", lit(1L)),
+      domainCol, Seq(col("__skey"), col(idCol)), "__one")
+      .withColumnRenamed("cum", "mix_rank")
+      .drop("__skey", "__one")
+    ranked.join(broadcast(quota), col(domainCol) <=> col("__qdom"))
+      .filter(col("mix_rank") <= col("__nd"))
+      .drop("__qdom", "__nd")
+  }
+
   /** Stratified modulo sampling: per-stratum 1-in-k rates (corpus
     * REBALANCING — e.g. downsample the dominant language, keep the rare
     * ones whole). Strata missing from `rates` fall back to `defaultK`;

@@ -414,6 +414,16 @@ object Extensions {
         "doc_id", "n_tokens", budget = 2048L)
     }),
 
+    // sqrt-temperature domain mixing: per-source targets are integer-
+    // exact (floor-sqrt weights, integer division), selection is the
+    // first n_d per source under the md5 order via the per-group
+    // distributed prefix rank — never a per-domain window
+    "x_mix_temperature" -> ((s: SparkSession, dir: String) => {
+      graft.ops.Sampling.temperatureMixSqrt(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        "source", total = 300L)
+    }),
+
     // deterministic epoch-3 training-order shuffle: positions are the
     // rank of md5("3:" || doc_id) — an exact permutation both engines
     // compute identically; the rank is the distributed prefix sum, never
@@ -1062,6 +1072,18 @@ object Extensions {
         |SELECT doc_id, n_tokens, cum_tokens,
         |  CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS seq_id
         |FROM c""".stripMargin,
+
+    "x_mix_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS cd FROM documents GROUP BY source),
+        |w AS (SELECT source, cd, CAST(floor(sqrt(cd)) AS BIGINT) AS wd FROM c),
+        |s AS (SELECT sum(wd) AS sw FROM w),
+        |n AS (SELECT source, least(cd, (300 * wd) // sw) AS nd FROM w CROSS JOIN s),
+        |r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.doc_id, r.source, CAST(rk AS BIGINT) AS mix_rank
+        |FROM r JOIN n USING(source) WHERE rk <= nd""".stripMargin,
 
     "x_shuffle_epoch" ->
       """SELECT doc_id,

@@ -39,6 +39,24 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("runningTotalByGroup == per-group global window, incl. a mega-group, any partition count") {
+    // domain 'big' holds 80% of rows — the skew case a per-domain window
+    // would serialize; 'nul' rows carry a NULL group (a real group here)
+    val rows = (1L to 800L).map(i => (i, "big", (i * 13) % 7 + 1)) ++
+      (801L to 900L).map(i => (i, "small", (i * 13) % 7 + 1)) ++
+      (901L to 950L).map(i => (i, null.asInstanceOf[String], (i * 13) % 7 + 1))
+    val df = rows.toDF("doc_id", "dom", "v")
+    val naive = df.withColumn("cum",
+      sum(col("v")).over(
+        Window.partitionBy(col("dom")).orderBy(col("doc_id"))).cast("long"))
+      .select("doc_id", "cum").as[(Long, Long)].collect().toMap
+    for (p <- Seq(1, 3, 8, 32)) {
+      val got = Packing.runningTotalByGroup(df, "dom", Seq(col("doc_id")), "v", p)
+        .select("doc_id", "cum").as[(Long, Long)].collect().toMap
+      assert(got === naive, s"numPartitions=$p")
+    }
+  }
+
   test("epochShuffle: exact permutation, reproducible, epochs decorrelate, == global row_number") {
     val ids = docs.select("doc_id")
     val e3 = Packing.epochShuffle(ids, "doc_id", epoch = 3, numPartitions = 8)

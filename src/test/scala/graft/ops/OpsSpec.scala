@@ -142,6 +142,30 @@ class OpsSpec extends SparkSpec {
     assert(graft.ops.Sampling.byModulo(df, col("id"), 10).count() === 1000L)
   }
 
+  test("temperatureMixSqrt: sqrt-flattened per-domain counts, deterministic, dominant domain tamed") {
+    import org.apache.spark.sql.functions.col
+    // 900 'big' + 100 'small' + 25 'rare': raw shares 88/10/2 percent;
+    // sqrt weights 30/10/5 -> targets of 450: 300/100/50 (capped at c_d)
+    val rows = (1L to 900L).map((_, "big")) ++ (901L to 1000L).map((_, "small")) ++
+      (1001L to 1025L).map((_, "rare"))
+    val df = rows.toDF("doc_id", "dom")
+    val got = graft.ops.Sampling.temperatureMixSqrt(df, "dom", total = 450L)
+    val byDom = got.groupBy("dom").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom === Map("big" -> 300L, "small" -> 100L, "rare" -> 25L), byDom.toString)
+    // deterministic rerun; rank is 1..n_d within each domain
+    val a = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = graft.ops.Sampling.temperatureMixSqrt(df, "dom", total = 450L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    val ranks = got.filter(col("dom") === "small")
+      .select("mix_rank").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ranks === (1L to 100L).toSeq)
+    intercept[IllegalArgumentException] {
+      graft.ops.Sampling.temperatureMixSqrt(df, "dom", total = 0L)
+    }
+  }
+
   test("range join: bucketized equi-join == naive non-equi join, boundaries exact") {
     import org.apache.spark.sql.functions.col
     // intervals: multi-bucket span, sub-bucket, overlapping, empty
