@@ -181,6 +181,25 @@ object Packing {
       .drop("__ws", "__last", textCol)
   }
 
+  /** Per-sequence packing MANIFEST — the artifact a trainer's data loader
+    * consumes: one row per packed sequence with the docs inside it in
+    * packing order, their count, and the sequence's filled token total
+    * (`budget - seq_tokens` = padding, except where an oversized doc
+    * spills). Runs over [[packBins]] output; the aggregation is keyed on
+    * `seq_id` and each group is bounded by the budget (every doc carries
+    * ≥ 1 token), so the collected id list can never exceed `budget`
+    * entries — a safe collect_list, unlike collecting per-domain docs.
+    */
+  def packManifest(packed: DataFrame, idCol: String = "doc_id",
+                   tokenCol: String = "n_tokens"): DataFrame =
+    packed.groupBy(col("seq_id")).agg(
+      count(lit(1)).cast("int").as("n_docs"),
+      sum(col(tokenCol)).cast("long").as("seq_tokens"),
+      min(col(idCol)).as("first_doc"),
+      max(col(idCol)).as("last_doc"),
+      array_join(transform(array_sort(collect_list(struct(col(idCol).as("i")))),
+        x => x.getField("i").cast("string")), "|").as("doc_ids"))
+
   /** Contiguous-fill packing: doc → sequence `floor(tokensBefore/budget)`.
     * Output: input columns + `cum_tokens` (running total INCLUDING the
     * doc) + `seq_id`. A doc longer than the budget still gets exactly one

@@ -141,6 +141,27 @@ object TextOps {
       regexp_replace(c, re, repl)
     }
 
+  /** Encoding hygiene — the C4-style cleanup every web corpus pass runs
+    * before tokenization, as one fused regexp chain (order matters and is
+    * part of the contract, mirrored verbatim in the oracle):
+    *  1. strip C0/C1 control characters except `\t`/`\n` (they carry no
+    *     text; `\r` dies here — upstream line splitting treats `\r\n`
+    *     remnants as content otherwise);
+    *  2. strip zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) — invisible
+    *     codepoints that silently split tokens and break exact dedup;
+    *  3. normalize exotic Unicode spaces (NBSP, en/em/thin spaces,
+    *     ideographic space) to plain ' ' so whitespace tokenizers see one
+    *     space alphabet.
+    * Pure map pass, codegen regexp, fuses with the scan.
+    */
+  def cleanUnicode(text: Column): Column = {
+    val noCtrl = regexp_replace(text,
+      "[\\x00-\\x08\\x0B-\\x1F\\x7F\\x{0080}-\\x{009F}]", "")
+    val noZeroWidth = regexp_replace(noCtrl, "[\\x{200B}-\\x{200D}\\x{FEFF}]", "")
+    regexp_replace(noZeroWidth,
+      "[\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]", " ")
+  }
+
   /** Gopher-style repetition signals over word n-grams: the fraction of
     * all n-grams taken by the single most frequent one (high → templated/
     * spammy text) and the distinct-n-gram ratio (low → loops). Within-ROW

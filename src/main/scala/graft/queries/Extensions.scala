@@ -433,6 +433,30 @@ object Extensions {
         Tables.documents(s, dir).select(col("doc_id")), "doc_id", epoch = 3)
     }),
 
+    // the packing manifest a data loader consumes: per sequence, the
+    // ordered member docs, counts, and filled tokens — groups are bounded
+    // by the budget, so the collected id list is safe by construction
+    "x_pack_manifest" -> ((s: SparkSession, dir: String) => {
+      graft.ext.Packing.packManifest(graft.ext.Packing.packBins(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextOps.nWords(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 2048L))
+    }),
+
+    // encoding hygiene over adversarially-dirtied text: controls +
+    // zero-widths injected, every space swapped for NBSP — cleaning must
+    // restore the printable text byte-identically in both engines
+    "x_text_clean_unicode" -> ((s: SparkSession, dir: String) => {
+      val mt = concat(lit("\u0007bom:\uFEFF"),
+        replace(col("text"), lit(" "), lit("\u00A0")),
+        lit("\r\ttail\u0002"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.cleanUnicode(mt).as("clean_text"),
+          length(mt).cast("int").as("n_raw"),
+          length(TextOps.cleanUnicode(mt)).cast("int").as("n_clean"))
+    }),
+
     // corpus-boilerplate spans: doc-distinct 3-grams with document
     // frequency >= 5 — the df shuffle carries 8-byte hashes, span text
     // moves only for the hot sliver (ExactDedup idiom; see Boilerplate)
@@ -1091,6 +1115,42 @@ object Extensions {
         |    ORDER BY md5('3:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
         |    AS epoch_pos
         |FROM documents""".stripMargin,
+
+    "x_pack_manifest" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens
+        |  FROM t),
+        |p AS (SELECT doc_id, n_tokens,
+        |    (cum_tokens - n_tokens) // 2048 AS seq_id FROM c)
+        |SELECT seq_id, CAST(count(*) AS INT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), '|') AS doc_ids
+        |FROM p GROUP BY seq_id""".stripMargin,
+
+    "x_text_clean_unicode" ->
+      """WITH m AS (SELECT doc_id,
+        |    chr(7) || 'bom:' || chr(65279) || replace(text, ' ', chr(160)) ||
+        |    chr(13) || chr(9) || 'tail' || chr(2) AS mt
+        |  FROM documents),
+        |c AS (SELECT doc_id, mt,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(mt,
+        |        '[' || chr(1) || '-' || chr(8) || chr(11) || '-' || chr(31) ||
+        |          chr(127) || chr(128) || '-' || chr(159) || ']', '', 'g'),
+        |      '[' || chr(8203) || '-' || chr(8205) || chr(65279) || ']', '', 'g'),
+        |    '[' || chr(160) || chr(5760) || chr(8192) || '-' || chr(8202) ||
+        |      chr(8239) || chr(8287) || chr(12288) || ']', ' ', 'g')
+        |    AS clean_text
+        |  FROM m)
+        |SELECT doc_id, clean_text,
+        |  CAST(len(mt) AS INT) AS n_raw,
+        |  CAST(len(clean_text) AS INT) AS n_clean
+        |FROM c""".stripMargin,
 
     "x_text_boilerplate" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

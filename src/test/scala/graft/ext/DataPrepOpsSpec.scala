@@ -62,6 +62,21 @@ class DataPrepOpsSpec extends SparkSpec {
     }
   }
 
+  test("cleanUnicode: controls stripped (tab/newline kept), zero-widths dropped, exotic spaces normalized") {
+    val df = Seq(
+      (1L, "a\u0007\u200Bb\uFEFFc"),          // control + zero-widths
+      (2L, "x\u00A0y\u2003z\u3000w"),          // NBSP, em space, ideographic
+      (3L, "keep\tthis\nline\rgone\u0002"),   // \t \n survive; \r and STX die
+      (4L, "plain text")
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextOps.cleanUnicode($"text").as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "abc")
+    assert(got(2L) === "x y z w")
+    assert(got(3L) === "keep\tthis\nlinegone")
+    assert(got(4L) === "plain text")
+  }
+
   test("wordsWs: tabs/newlines/space runs yield clean tokens, never empties") {
     val df = Seq(
       (1L, " \ta  b\n\nc  "),   // leading/trailing ws, runs of every kind

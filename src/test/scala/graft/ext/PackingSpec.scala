@@ -104,6 +104,18 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("packManifest: per-sequence docs in order, counts and token totals exact") {
+    val d = Seq((1L, 400L), (2L, 400L), (3L, 400L), (4L, 100L), (5L, 900L))
+      .toDF("doc_id", "n_tokens")
+    val m = Packing.packManifest(Packing.packBins(d, "doc_id", "n_tokens", 1000L, 4))
+      .as[(Long, Int, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    // cum: 400/800/1200/1300/2200 -> seq 0: docs 1-3 (1200 tokens, doc 3
+    // spills); seq 1: docs 4-5
+    assert(m === Seq(
+      (0L, 3, 1200L, 1L, 3L, "1|2|3"),
+      (1L, 2, 1000L, 4L, 5L, "4|5")))
+  }
+
   test("splitOversized: chunk texts reassemble the doc exactly; in-budget docs untouched") {
     val d = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens, budget 4
