@@ -141,6 +141,28 @@ object TextOps {
       regexp_replace(c, re, repl)
     }
 
+  /** Document-frequency vocabulary of a corpus: `(tok, df)`, doc-distinct
+    * (a token repeated inside one doc counts once — the df every retrieval
+    * and boilerplate rule here keys on).
+    */
+  def vocabCounts(docs: org.apache.spark.sql.DataFrame,
+                  textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    docs.select(explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+
+  /** INCREMENTAL vocabulary maintenance: fold a new document batch into an
+    * existing `(tok, df)` table without rescanning the corpus — df is
+    * additive over disjoint doc sets, so the merge is a keyed union+sum
+    * (one shuffle on the token, batch-sized not corpus-sized). The
+    * incremental path is pinned ≡ a full recompute over the combined
+    * corpus (`x_text_vocab_incr`'s oracle recomputes from scratch).
+    */
+  def mergeVocabCounts(existing: org.apache.spark.sql.DataFrame,
+                       batch: org.apache.spark.sql.DataFrame,
+                       textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    existing.unionByName(vocabCounts(batch, textCol))
+      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+
   /** Encoding hygiene — the C4-style cleanup every web corpus pass runs
     * before tokenization, as one fused regexp chain (order matters and is
     * part of the contract, mirrored verbatim in the oracle):

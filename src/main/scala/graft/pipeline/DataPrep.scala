@@ -134,6 +134,42 @@ object DataPrep {
       .filter(col("cum_tokens") - col(tokensCol) < budget)
   }
 
+  /** Curriculum ordering — phase-bucketed training order: rank the corpus
+    * by quality (`priorityCol` DESC, id ASC), cut the ranking into
+    * `phases` equal-size buckets (phase 1 = best docs — the curriculum
+    * a quality-staged training run consumes first), then give each phase
+    * an independent deterministic shuffle order (`phase_pos`, the
+    * [[graft.ext.Packing.epochShuffle]] md5 key) so within-phase batch
+    * composition is decorrelated from quality rank.
+    *
+    * The phase cut is arithmetic on the global rank — `(rank−1)·phases
+    * div N + 1` — not ntile() (whose remainder-distribution rule differs
+    * across engines); rank and within-phase positions are both
+    * distributed prefix sums ([[graft.ext.Packing.runningTotalBy]] /
+    * [[graft.ext.Packing.runningTotalByGroup]]), so there is no global
+    * or per-phase data window anywhere. N arrives as a broadcast
+    * single-row aggregate.
+    */
+  def curriculumOrder(docs: DataFrame, priorityCol: String, phases: Int,
+                      epoch: Int, idCol: String = "doc_id"): DataFrame = {
+    require(phases >= 1, s"curriculumOrder: phases must be >= 1, got $phases")
+    val ranked = graft.ext.Packing.runningTotalBy(
+      docs.withColumn("__one", lit(1L)),
+      Seq(col(priorityCol).desc, col(idCol)), "__one")
+      .withColumnRenamed("cum", "__rank")
+    val total = docs.agg(count(lit(1)).as("__n"))
+    val phased = ranked.crossJoin(broadcast(total))
+      .withColumn("phase",
+        (expr(s"((__rank - 1) * $phases) div __n") + 1).cast("int"))
+      .drop("__rank", "__n")
+    graft.ext.Packing.runningTotalByGroup(
+      phased.withColumn("__skey",
+        md5(concat(lit(s"$epoch:"), col(idCol).cast("string")))),
+      "phase", Seq(col("__skey"), col(idCol)), "__one")
+      .withColumnRenamed("cum", "phase_pos")
+      .drop("__skey", "__one")
+  }
+
   /** Per-LANGUAGE percentile quality gate: keep documents whose quality
     * score is at or above their own language's `p`-quantile. Absolute
     * thresholds are wrong across languages — tokenization density, stopword

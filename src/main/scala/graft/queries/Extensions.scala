@@ -433,6 +433,27 @@ object Extensions {
         Tables.documents(s, dir).select(col("doc_id")), "doc_id", epoch = 3)
     }),
 
+    // curriculum ordering: quality quartiles (phase 1 = best docs),
+    // each phase independently md5-shuffled; the phase cut is rank
+    // arithmetic, not ntile (remainder rules differ across engines)
+    "x_curriculum" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        (TextOps.nDistinctWords(col("text")).cast("double") /
+          TextOps.nWords(col("text"))).as("score"))
+      graft.pipeline.DataPrep.curriculumOrder(docs, "score", phases = 4, epoch = 7)
+        .select(col("doc_id"), col("phase"), col("phase_pos"))
+    }),
+
+    // incremental vocabulary maintenance: vocab(corpus minus src0) merged
+    // with the src0 batch must equal a from-scratch vocab of everything —
+    // the oracle IS the full recompute
+    "x_text_vocab_incr" -> ((s: SparkSession, dir: String) => {
+      val d = Tables.documents(s, dir)
+      TextOps.mergeVocabCounts(
+        TextOps.vocabCounts(d.filter(col("source") =!= "src0")),
+        d.filter(col("source") === "src0"))
+    }),
+
     // the packing manifest a data loader consumes: per sequence, the
     // ordered member docs, counts, and filled tokens — groups are bounded
     // by the budget, so the collected id list is safe by construction
@@ -1115,6 +1136,27 @@ object Extensions {
         |    ORDER BY md5('3:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
         |    AS epoch_pos
         |FROM documents""".stripMargin,
+
+    "x_curriculum" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS score
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM t),
+        |n AS (SELECT count(*) AS cnt FROM t),
+        |p AS (SELECT doc_id,
+        |    CAST((rk - 1) * 4 // cnt AS INT) + 1 AS phase FROM r CROSS JOIN n)
+        |SELECT doc_id, phase,
+        |  CAST(row_number() OVER (PARTITION BY phase
+        |    ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |    AS phase_pos
+        |FROM p""".stripMargin,
+
+    "x_text_vocab_incr" ->
+      """WITH e AS (SELECT unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY tok""".stripMargin,
 
     "x_pack_manifest" ->
       """WITH t AS (SELECT doc_id,

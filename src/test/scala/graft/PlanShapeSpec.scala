@@ -151,6 +151,7 @@ class PlanShapeSpec extends SparkSpec {
       "x_sim_ann_lsh",       // queries broadcast into buckets
       "x_text_search",       // broadcast single-row corpus count (N for idf)
       "x_mix_temperature",   // single-row Σw aggregate broadcast back
+      "x_curriculum",        // single-row N aggregate broadcast back
       "x_dedup_semantic")    // inherits the nlist-bounded assignment cross
                              // join from the cached IVF lineage; the pair
                              // join itself is keyed on cid (pinned below)

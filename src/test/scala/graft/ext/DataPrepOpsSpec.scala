@@ -182,6 +182,36 @@ class DataPrepOpsSpec extends SparkSpec {
     }
   }
 
+  test("curriculumOrder: equal phase cuts by quality rank; within-phase positions are a shuffled bijection") {
+    val docs = (1L to 100L).map(i => (i, (100 - i).toDouble)) // quality = reverse id
+      .toDF("doc_id", "score")
+    val got = graft.pipeline.DataPrep.curriculumOrder(docs, "score", phases = 4, epoch = 1)
+      .select("doc_id", "phase", "phase_pos")
+      .as[(Long, Int, Long)].collect()
+    // quality desc == id asc here: phase 1 is exactly ids 1..25, etc.
+    val byPhase = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byPhase(1) === (1L to 25L).toSet)
+    assert(byPhase(4) === (76L to 100L).toSet)
+    // positions within each phase are 1..25, and NOT the id order (shuffled)
+    val p1 = got.filter(_._2 === 1).sortBy(_._3)
+    assert(p1.map(_._3).toSeq === (1L to 25L).toSeq)
+    assert(p1.map(_._1).toSeq !== (1L to 25L).toSeq)
+    intercept[IllegalArgumentException] {
+      graft.pipeline.DataPrep.curriculumOrder(docs, "score", phases = 0, epoch = 1)
+    }
+  }
+
+  test("mergeVocabCounts: incremental fold == full recompute; df stays doc-distinct") {
+    val old = Seq((1L, "a b b c"), (2L, "a d")).toDF("doc_id", "text")
+    val batch = Seq((3L, "a c c e")).toDF("doc_id", "text")
+    val merged = TextOps.mergeVocabCounts(TextOps.vocabCounts(old), batch)
+      .as[(String, Long)].collect().toMap
+    val full = TextOps.vocabCounts(old.unionByName(batch))
+      .as[(String, Long)].collect().toMap
+    assert(merged === full)
+    assert(merged === Map("a" -> 3L, "b" -> 1L, "c" -> 2L, "d" -> 1L, "e" -> 1L))
+  }
+
   test("languageQualityGate: each language gated against its OWN distribution") {
     // en scores 1..8, fr 101..104 — any GLOBAL p25 would pass all of fr
     val df = ((1 to 8).map(i => (i.toLong, "en", i.toDouble)) ++
