@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Connected components over a near-duplicate pair graph — the step that
@@ -220,4 +220,47 @@ object Components {
       .select(col("doc_id").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** Cluster decisions with a QUALITY rule: per component, keep the doc
+    * maximizing (`score` desc, id asc) — the production choice when dedup
+    * runs after quality scoring (keep the best copy, not the lowest id; a
+    * min-id rule happily keeps the one truncated or boilerplate-ridden
+    * member of a cluster). Docs absent from `labels` are their own
+    * singleton component and survive by definition.
+    *
+    * One row PER COMPONENT: (component, kept_id, csize, best_score) — the
+    * dedup ledger a deployment joins back to the corpus (`left_semi` on
+    * kept_id) to materialize the survivors.
+    *
+    * Scale shape: the only shuffle is the component-keyed aggregation, and
+    * the argmax is a `min(struct(-score, id))` — a partially-aggregatable
+    * scalar, so a mega-cluster's rows combine map-side and the exchange
+    * carries one row per (partition, component). Never a window over the
+    * component key.
+    */
+  def keepBestInCluster(docs: DataFrame, labels: DataFrame, score: Column,
+                        idCol: String = "doc_id"): DataFrame = {
+    requireIntegralIds("keepBestInCluster", docs, Seq(idCol))
+    val labeled = docs
+      .join(labels.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .select(
+        coalesce(col("component"), col(idCol).cast("long")).as("component"),
+        col(idCol).cast("long").as("id"),
+        score.cast("double").as("s"))
+    labeled.groupBy(col("component"))
+      .agg(
+        min(struct((-col("s")).as("ns"), col("id"))).as("w"),
+        count(lit(1)).as("csize"),
+        max(col("s")).as("best_score"))
+      .select(col("component"), col("w.id").as("kept_id"),
+        col("csize"), col("best_score"))
+  }
+
+  /** [[keepBestInCluster]] applied: the surviving documents themselves. */
+  def keepBest(docs: DataFrame, edges: DataFrame, score: Column,
+               idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      keepBestInCluster(docs, connectedComponents(edges), score, idCol)
+        .select(col("kept_id").as(idCol)),
+      Seq(idCol), "left_semi")
 }

@@ -83,6 +83,34 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Per-doc contamination SEVERITY: (id, n_grams, n_overlap, frac) for
+    * EVERY training doc — clean docs appear with 0 / 0.0, so the output is
+    * directly thresholdable (published pipelines drop at frac ≳ 0.05-0.8
+    * depending on benchmark; [[contaminated]]'s any-overlap rule is the
+    * frac > 0 special case). `frac` is one IEEE division of two exact
+    * integers, so it cross-engine hash-matches.
+    *
+    * Scale shape: the denominators are a map-only pass over the corpus
+    * (no shuffle); the numerators come from [[contaminated]]'s bloom-
+    * prescreened sliver; the final join is id-keyed.
+    */
+  def contaminationFraction(train: DataFrame, evalSet: DataFrame, n: Int = 3,
+                            idCol: String = "doc_id", textCol: String = "text",
+                            normalize: Boolean = false): DataFrame = {
+    def grams = if (normalize) ngramsOf(normTokens(col(textCol)), n)
+                else ngrams(textCol, n)
+    val totals = train.select(col(idCol),
+      size(array_distinct(grams)).cast("long").as("n_grams"))
+    totals
+      .join(contaminated(train, evalSet, n, idCol, textCol, normalize),
+        Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        when(col("n_grams") > 0,
+          coalesce(col("n_overlap"), lit(0L)).cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)).as("frac"))
+  }
+
   /** The drop step: training docs with no shared n-gram survive. */
   def removeContaminated(train: DataFrame, evalSet: DataFrame, n: Int = 3,
                          idCol: String = "doc_id", textCol: String = "text",

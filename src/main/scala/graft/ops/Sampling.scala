@@ -49,6 +49,28 @@ object Sampling {
   def byModulo(df: DataFrame, key: Column, k: Int): DataFrame =
     df.filter(pmod(key, lit(k)) === 0)
 
+  /** Deterministic IMPORTANCE sampling: keep each row with probability
+    * `weight` (a per-row column in [0,1]; ≥1 always keeps, ≤0 never) — the
+    * quality-/domain-weighted resampling step of data-selection pipelines
+    * (DSIR-style: acceptance ∝ importance weight), made reproducible by
+    * deciding acceptance from a hash, never `rand()`: a retry, speculative
+    * task, or re-run selects the identical corpus.
+    *
+    * Mechanism is cross-engine on purpose: the uniform is the first 4 hex
+    * chars of `md5(salt ":" key)` and the threshold is `⌊weight·65536⌋` as
+    * a zero-padded 4-char hex literal — comparing equal-length lowercase
+    * hex strings IS the numeric compare, and every engine has md5, so the
+    * exact selected set (weight quantized to 1/65536) is SQL-oracle-
+    * checkable. Map-side filter; no shuffle, no state.
+    */
+  def byWeight(df: DataFrame, key: Column, weight: Column,
+               salt: String = "w"): DataFrame = {
+    val u = substring(md5(concat(lit(s"$salt:"), key.cast("string"))), 1, 4)
+    val thr = lpad(lower(hex(greatest(lit(0L), floor(weight * 65536).cast("long")))),
+      4, "0")
+    df.filter(weight >= 1 || u < thr)
+  }
+
   /** Temperature-based domain mixing at α = 0.5 — the standard
     * multilingual/multidomain rebalancing rule (sample domain d
     * proportionally to c_d^α, α < 1, so dominant sources flatten and rare

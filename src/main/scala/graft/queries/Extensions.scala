@@ -157,6 +157,27 @@ object Extensions {
         .orderBy(col("score").desc, col("doc_id")).limit(10)
     }),
 
+    // tf-WEIGHTED retrieval: score = Σ_t tf(t,d) · ⌊N/df_t⌋ — the tf·idf
+    // shape with the same integer-exact idf surrogate as x_text_search
+    // (libm log weights can't cross-engine hash-match). df counts DISTINCT
+    // docs; tf counts every occurrence, so the scoring join reuses the raw
+    // token explode and the only non-broadcast shuffle is the final
+    // doc-keyed aggregation. Query = 3 rarest terms, fully tiebroken.
+    "x_text_tfidf" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir)
+      val all = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val dfreq = all.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val q = dfreq.orderBy(col("df"), col("term")).limit(3).select(col("term"), col("df"))
+      val n = docs.agg(count(lit(1)).as("n_total"))
+      all.join(broadcast(q), Seq("term"))
+        .crossJoin(broadcast(n))
+        .groupBy(col("doc_id"))
+        .agg(sum(expr("n_total div df")).as("tf_score"),
+          count(lit(1)).as("n_term_hits"))
+        .orderBy(col("tf_score").desc, col("doc_id")).limit(10)
+    }),
+
     // PII / boilerplate scrub: URL → <URL>, email → <EMAIL>, digit runs →
     // <NUM> (regexp_replace chain, RE2-compatible patterns — fused with
     // the scan, mirrored verbatim in the oracle)
@@ -209,6 +230,18 @@ object Extensions {
     // DuckDB fixpoint; served from its own once-built ledger like the
     // propagation twin
     "x_dedup_cc_star" -> ((s: SparkSession, dir: String) => ccStarFor(s, dir)),
+
+    // cluster decisions with a QUALITY rule: per near-dup cluster keep the
+    // highest-quality member (score desc, id asc) — the production form of
+    // the dedup ledger (a min-id rule happily keeps a cluster's truncated
+    // copy). Singletons survive by definition. Serves from the cached CC
+    // labels; the argmax is a partially-aggregatable min(struct), so a
+    // mega-cluster combines map-side — never a window over the cluster key
+    "x_dedup_keep_best" -> ((s: SparkSession, dir: String) => {
+      Components.keepBestInCluster(
+        Tables.documents(s, dir), ccFor(s, dir),
+        TextOps.qualityScore("text"))
+    }),
 
     // incremental dedup: a "new batch" (source src0) probed against the
     // rest of the corpus by content hash, exact text verify for candidates
@@ -350,6 +383,17 @@ object Extensions {
     "x_decontaminate" -> ((s: SparkSession, dir: String) => {
       val d = Tables.documents(s, dir)
       graft.ext.Decontaminate.contaminated(
+        d.filter(col("source") =!= "src0"),
+        d.filter(col("source") === "src0"), n = 3)
+    }),
+
+    // contamination FRACTION: per-train-doc overlap severity (shared
+    // distinct 3-grams / total distinct 3-grams) with clean docs at 0.0 —
+    // the thresholdable form of x_decontaminate (same bloom-prescreened
+    // numerator; denominator is a map-only pass)
+    "x_decontam_fraction" -> ((s: SparkSession, dir: String) => {
+      val d = Tables.documents(s, dir)
+      graft.ext.Decontaminate.contaminationFraction(
         d.filter(col("source") =!= "src0"),
         d.filter(col("source") === "src0"), n = 3)
     }),
@@ -615,6 +659,18 @@ object Extensions {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // deterministic IMPORTANCE sampling: keep each doc with probability
+    // quality_score/4 (DSIR-style acceptance ∝ importance weight), decided
+    // by an md5-hex compare — reproducible under retries AND SQL-oracle-
+    // checkable (the engine-portable member of the weighted family, like
+    // x_sample_mod is for Bernoulli). Map-side filter; no shuffle.
+    "x_sample_importance" -> ((s: SparkSession, dir: String) => {
+      val scored = Tables.documents(s, dir)
+        .withColumn("score", TextOps.qualityScore("text"))
+      graft.ops.Sampling.byWeight(scored, col("doc_id"), col("score") / 4.0)
+        .select(col("doc_id"), col("lang"), col("source"), col("score"))
+    }),
+
     // deterministic hash split sizes (engine-specific hash -> rows-only;
     // partition/determinism/proportion properties pinned in SamplingSpec)
     "x_sample_split" -> ((s: SparkSession, dir: String) => {
@@ -744,11 +800,24 @@ object Extensions {
   private def sqlStopCount(words: Seq[String]) =
     s"len(list_filter($sqlWords, w -> w in (${words.map(w => s"'$w'").mkString(", ")})))"
 
+  /** DuckDB mirror of `TextOps.qualityScore("text")` (the Gopher/C4 rule
+    * battery summed) — identical text to the `x_text_quality` /
+    * `x_quality_gate_lang` oracles.
+    */
+  private def sqlQualityScore =
+    s"""CAST(len($sqlWords) BETWEEN 20 AND 1000 AS INT)
+       |    + CAST(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len($sqlWords)
+       |           BETWEEN 3.0 AND 10.0 AS INT)
+       |    + CAST(CAST(${sqlStopCount(graft.ext.TextOps.DefaultStopwords)} AS DOUBLE)
+       |           / len($sqlWords) >= 0.05 AS INT)
+       |    + CAST(CAST(len(list_distinct($sqlWords)) AS DOUBLE)
+       |           / len($sqlWords) >= 0.3 AS INT)""".stripMargin
+
   /** Component fixpoint over the jaccard pair graph (DuckDB recursive-CTE
     * walk) — shared by `x_dedup_cc` (min-label propagation) and
     * `x_dedup_cc_star` (star contraction): one oracle, two algorithms.
     */
-  private val ccOracleSqlRef =
+  private val ccWalkCtes =
     s"""WITH RECURSIVE
        |t AS (SELECT doc_id, source, n_chars, list_distinct($sqlWords) AS ws
        |      FROM documents),
@@ -762,7 +831,10 @@ object Extensions {
        |walk(node, label) AS (
        |  SELECT src, src FROM e
        |  UNION
-       |  SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node)
+       |  SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node)""".stripMargin
+
+  private val ccOracleSqlRef =
+    s"""$ccWalkCtes
        |SELECT node AS doc_id, min(label) AS component
        |FROM walk GROUP BY node""".stripMargin
 
@@ -931,6 +1003,19 @@ object Extensions {
          |GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
+    "x_text_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($sqlWords) AS term FROM documents),
+         |d AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |      FROM toks GROUP BY term),
+         |q AS (SELECT term, df FROM d ORDER BY df, term LIMIT 3),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+         |SELECT doc_id,
+         |  CAST(sum(n_total // df) AS BIGINT) AS tf_score,
+         |  ${sqlCount()} AS n_term_hits
+         |FROM toks JOIN q USING (term), n
+         |GROUP BY doc_id
+         |ORDER BY tf_score DESC, doc_id LIMIT 10""".stripMargin,
+
     "x_text_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(text,
@@ -1057,6 +1142,24 @@ object Extensions {
         |e AS (SELECT DISTINCT unnest(ngs) AS ng FROM d WHERE source = 'src0')
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
         |FROM t JOIN e USING (ng) GROUP BY doc_id""".stripMargin,
+
+    "x_decontam_fraction" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |d AS (SELECT doc_id, source,
+        |    list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |                  i -> array_to_string(ws[i:i+2], ' '))) AS ngs
+        |  FROM w),
+        |t AS (SELECT doc_id, unnest(ngs) AS ng FROM d WHERE source <> 'src0'),
+        |e AS (SELECT DISTINCT unnest(ngs) AS ng FROM d WHERE source = 'src0'),
+        |o AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |      FROM t JOIN e USING (ng) GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.ngs) AS BIGINT) AS n_grams,
+        |  coalesce(o.n_overlap, 0) AS n_overlap,
+        |  CASE WHEN len(d.ngs) > 0
+        |       THEN CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / len(d.ngs)
+        |       ELSE 0.0 END AS frac
+        |FROM d LEFT JOIN o USING (doc_id)
+        |WHERE d.source <> 'src0'""".stripMargin,
 
     "x_decontaminate_normalized" ->
       """WITH raw AS (SELECT doc_id, source,
@@ -1306,10 +1409,42 @@ object Extensions {
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id % (CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 2 ELSE 1 END) = 0""".stripMargin,
 
+    // mirrors Sampling.byWeight: uniform = first 4 md5 hex chars,
+    // threshold = floor(weight*65536) as zero-padded lowercase hex —
+    // equal-length hex string compare IS the numeric compare
+    "x_sample_importance" ->
+      s"""WITH sc AS (SELECT doc_id, lang, source,
+         |    $sqlQualityScore AS score
+         |  FROM documents)
+         |SELECT doc_id, lang, source, CAST(score AS INT) AS score FROM sc
+         |WHERE score / 4.0 >= 1
+         |   OR substr(md5('w:' || CAST(doc_id AS VARCHAR)), 1, 4)
+         |      < lpad(lower(to_hex(greatest(0, CAST(floor(score / 4.0 * 65536) AS BIGINT)))),
+         |             4, '0')""".stripMargin,
+
     "x_dedup_cc" -> ccOracleSqlRef,
 
     // star contraction computes the SAME fixpoint — one oracle, two algorithms
     "x_dedup_cc_star" -> ccOracleSqlRef,
+
+    // the CC walk labels extended over the full corpus (absent node = own
+    // singleton component), then per-component argmax on the quality score
+    "x_dedup_keep_best" ->
+      s"""$ccWalkCtes,
+         |lab AS (SELECT node AS doc_id, min(label) AS component
+         |        FROM walk GROUP BY node),
+         |sc AS (SELECT doc_id, $sqlQualityScore AS score
+         |       FROM documents),
+         |f AS (SELECT s.doc_id, coalesce(l.component, s.doc_id) AS component, s.score
+         |      FROM sc s LEFT JOIN lab l ON l.doc_id = s.doc_id)
+         |SELECT component, kept_id, csize, best_score FROM (
+         |  SELECT component, doc_id AS kept_id,
+         |    CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS csize,
+         |    CAST(max(score) OVER (PARTITION BY component) AS DOUBLE) AS best_score,
+         |    row_number() OVER (PARTITION BY component
+         |                       ORDER BY score DESC, doc_id) AS rk
+         |  FROM f)
+         |WHERE rk = 1""".stripMargin,
 
     "x_sim_topk_brute" ->
       """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -29,6 +29,31 @@ class ComponentsSpec extends SparkSpec {
     assert(kept === Seq(1L, 4L, 9L)) // 2,3 collapse into 1's cluster
   }
 
+  test("keepBestInCluster: quality argmax per cluster, id tiebreak, singletons survive") {
+    // cluster {1,2,3}: scores 1,5,5 → kept 2 (best score, lower id);
+    // cluster {10,11}: scores 0,2 → kept 11 (min-id rule would keep 10);
+    // 9 is pairless → its own component, kept regardless of score
+    val docs = Seq((1L, 1), (2L, 5), (3L, 5), (9L, 0), (10L, 0), (11L, 2))
+      .toDF("doc_id", "q")
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val ledger = Components.keepBestInCluster(
+        docs, Components.connectedComponents(edges), col("q"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(ledger === Seq((1L, 2L, 3L, 5.0), (9L, 9L, 1L, 0.0), (10L, 11L, 2L, 2.0)))
+    val kept = Components.keepBest(docs, edges, col("q"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(2L, 9L, 11L))
+  }
+
+  test("keepBestInCluster plans a partial aggregation, not a window over the cluster key") {
+    val docs = Seq((1L, 1), (2L, 5)).toDF("doc_id", "q")
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "component")
+    val plan = Components.keepBestInCluster(docs, labels, col("q"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial"), plan) // map-side combine below the exchange
+  }
+
   test("chain longer than maxIter rounds fails loudly instead of mislabeling") {
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     intercept[IllegalStateException] {

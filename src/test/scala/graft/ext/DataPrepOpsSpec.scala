@@ -33,6 +33,50 @@ class DataPrepOpsSpec extends SparkSpec {
     assert(kept === Seq(11L))
   }
 
+  test("contaminationFraction: clean docs at 0.0, short docs never divide by zero") {
+    val train = Seq(
+      (10L, "the quick brown fox jumps"),      // 3 distinct 3-grams, 2 shared
+      (11L, "completely unrelated words here"),
+      (12L, "too short")                       // 0 3-grams
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "a quick brown fox jumps high")).toDF("doc_id", "text")
+    val got = Decontaminate.contaminationFraction(train, eval, n = 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(10L) === ((10L, 3L, 2L, 2.0 / 3.0)))
+    assert(got(11L) === ((11L, 2L, 0L, 0.0))) // clean but PRESENT, frac 0
+    assert(got(12L) === ((12L, 0L, 0L, 0.0))) // no n-grams: 0, not NaN
+    assert(got.size === 3)
+  }
+
+  test("byWeight: weight 0 drops all, 1 keeps all, intermediate matches the hex rule") {
+    val df = (0L until 1000L).map(i => (i, (i % 5).toInt)).toDF("doc_id", "score")
+    val w = col("score") / 4.0
+    assert(graft.ops.Sampling.byWeight(df.filter(col("score") === 0), col("doc_id"), w)
+      .count() === 0L)
+    assert(graft.ops.Sampling.byWeight(df.filter(col("score") === 4), col("doc_id"), w)
+      .count() === df.filter(col("score") === 4).count())
+    val kept = graft.ops.Sampling.byWeight(df, col("doc_id"), w)
+      .select("doc_id").as[Long].collect().toSet
+    // deterministic: a re-run selects the identical set
+    val kept2 = graft.ops.Sampling.byWeight(df, col("doc_id"), w)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === kept2)
+    // acceptance rate of the score-2 band ≈ 1/2 (binomial, 200 draws)
+    val mid = kept.count(i => i % 5 == 2)
+    assert(mid > 60 && mid < 140, s"score-2 band kept $mid of 200")
+    // the hex-threshold rule, recomputed row by row on the driver
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u4(id: Long): String = {
+      md.reset()
+      md.digest(s"w:$id".getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+    }
+    val want = (0L until 1000L).filter { i =>
+      val s = i % 5
+      s == 4 || u4(i) < "%04x".format(s * 16384)
+    }.toSet
+    assert(kept === want)
+  }
+
   test("repetition signals: exact counts on a constructed repetitive doc") {
     val df = Seq((1L, "x y x y x")).toDF("doc_id", "text")
     // 2-grams: [x y, y x, x y, y x] -> top count 2, 2 distinct of 4
