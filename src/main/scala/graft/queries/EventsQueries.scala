@@ -149,10 +149,40 @@ object EventsQueries {
       grid.join(counts, Seq("event_type", "hour"), "left")
         .select(col("event_type"), col("hour"),
           coalesce(col("n"), lit(0L)).as("n"))
+    }),
+
+    // SCD-2 history: per-user event_type validity intervals — consecutive
+    // same-type events collapse into one run, open runs flagged current
+    // (graft.ops.Scd). Ordered on (whole seconds, event_id), the
+    // engine-portable total order; valid_from/to are formatted strings
+    // per the object scaladoc's timestamp-determinism rule.
+    "e7_scd2_history" -> ((s: SparkSession, dir: String) => {
+      graft.ops.Scd.type2(
+        Tables.events(s, dir),
+        keyCol = "user_id", stateCol = "event_type",
+        orderCols = Seq(unix_timestamp(col("ts")), col("event_id")),
+        fromCol = date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "e7_scd2_history" ->
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY floor(epoch(ts)), event_id) AS rn,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY floor(epoch(ts)), event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, event_type, ts, event_id FROM o
+        |      WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  lead(strftime(ts, '%Y-%m-%d %H:%M:%S')) OVER (PARTITION BY user_id
+        |    ORDER BY floor(epoch(ts)), event_id) AS valid_to,
+        |  CASE WHEN lead(event_id) OVER (PARTITION BY user_id
+        |    ORDER BY floor(epoch(ts)), event_id) IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM c""".stripMargin,
+
     "e5_gap_fill" ->
       """WITH c AS (
         |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,

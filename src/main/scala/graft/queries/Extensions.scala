@@ -243,6 +243,19 @@ object Extensions {
         TextOps.qualityScore("text"))
     }),
 
+    // duplication-profile analytics over the same ledger: how big are the
+    // near-dup clusters (singletons included — the honest denominator)?
+    // Two tiny keyed aggregations on (16 B/row) labels; the report every
+    // dedup run ships alongside its decisions
+    "x_dedup_cluster_sizes" -> ((s: SparkSession, dir: String) => {
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(ccFor(s, dir), Seq("doc_id"), "left")
+        .select(coalesce(col("component"), col("doc_id")).as("component"))
+        .groupBy(col("component")).agg(count(lit(1)).as("csize"))
+        .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("csize") * col("n_clusters"))
+    }),
+
     // incremental dedup: a "new batch" (source src0) probed against the
     // rest of the corpus by content hash, exact text verify for candidates
     "x_dedup_incremental" -> ((s: SparkSession, dir: String) => {
@@ -1426,6 +1439,18 @@ object Extensions {
 
     // star contraction computes the SAME fixpoint — one oracle, two algorithms
     "x_dedup_cc_star" -> ccOracleSqlRef,
+
+    "x_dedup_cluster_sizes" ->
+      s"""$ccWalkCtes,
+         |lab AS (SELECT node AS doc_id, min(label) AS component
+         |        FROM walk GROUP BY node),
+         |f AS (SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component
+         |      FROM documents d LEFT JOIN lab l USING (doc_id)),
+         |cs AS (SELECT component, CAST(count(*) AS BIGINT) AS csize
+         |       FROM f GROUP BY component)
+         |SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  csize * CAST(count(*) AS BIGINT) AS n_docs
+         |FROM cs GROUP BY csize""".stripMargin,
 
     // the CC walk labels extended over the full corpus (absent node = own
     // singleton component), then per-component argmax on the quality score
