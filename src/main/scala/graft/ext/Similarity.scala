@@ -230,14 +230,32 @@ object Similarity {
       .select(col("n_id").as("vec_id"), col("cid"))
   }
 
+  /** The SemDeDup production knob: cluster count scaled WITH the corpus so
+    * the expected cluster size — the base of the within-cluster quadratic
+    * term — stays constant as data grows (Abbas et al. use k ∝ n; a fixed
+    * nlist makes per-cluster pair work grow quadratically with corpus
+    * growth, which is exactly what the round-5 sf1 scaling table measured
+    * for the pinned-nlist oracle entry). Capped because centroids are
+    * nlist × dim driver/broadcast state.
+    */
+  def autoNlist(corpusSize: Long, targetClusterSize: Long = 1024L,
+                maxNlist: Int = 1 << 16): Int = {
+    require(targetClusterSize >= 1, s"targetClusterSize >= 1, got $targetClusterSize")
+    math.min(maxNlist.toLong, math.max(1L, corpusSize / targetClusterSize)).toInt
+  }
+
   /** Train + assign + prune in one call (one-shot/library use; pipelines
     * that also serve ANN should share the model/assignment and call
-    * [[semDedup]] directly).
+    * [[semDedup]] directly). `nlist = 0` (the default) scales the cluster
+    * count with the corpus via [[autoNlist]] — pass an explicit nlist only
+    * when centroids must stay comparable across differently-sized corpora
+    * (e.g. the pinned oracle entries).
     */
   def semDedupAll(corpus: DataFrame, threshold: Double = 0.9,
-                  nlist: Int = 16, iters: Int = 3,
+                  nlist: Int = 0, iters: Int = 3,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val model = ivfTrain(corpus, nlist, iters, idCol, vecCol)
+    val k = if (nlist > 0) nlist else autoNlist(corpus.count())
+    val model = ivfTrain(corpus, k, iters, idCol, vecCol)
     semDedup(ivfAssign(corpus, model, idCol, vecCol), threshold)
   }
 

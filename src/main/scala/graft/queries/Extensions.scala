@@ -692,6 +692,30 @@ object Extensions {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
     }),
 
+    // vocabulary COVERAGE curve: cumulative token-occurrence share by
+    // frequency rank — the "how many vocab entries cover 90% of the
+    // corpus" question every tokenizer-size decision starts from. Both
+    // windows run on the AGGREGATED vocab (x_text_vocab's global-window
+    // precedent); share = one IEEE division of exact longs.
+    "x_text_vocab_coverage" -> ((s: SparkSession, dir: String) => {
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .orderBy(col("tf").desc, col("tok"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+        .select(col("tok"), col("tf"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("tf").desc, col("tok"))).as("rank"),
+          sum(col("tf")).over(wOrd).as("cum"),
+          sum(col("tf")).over(wAll).as("total"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("tok"), col("tf"),
+          (col("cum").cast("double") / col("total")).as("cum_share"))
+    }),
+
     // vocabulary building: global token ranks by (df desc, token). The
     // final rank runs on the AGGREGATED vocab (|vocab| << corpus) — the
     // one place a global window is the right call.
@@ -764,6 +788,26 @@ object Extensions {
         .groupBy(col("l_returnflag"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_orders"),
           sum(col("n")).as("n_rows"))
+    }),
+
+    // Count-Min frequency estimates for the 5 commonest tokens, next to
+    // their exact counts (est ≥ exact always; bound pinned in
+    // CountMinAggSpec). The sketch is d·w longs of driver model state —
+    // same bounded-.collect() class as the IVF centroids — built in one
+    // mergeable pass; rows-only (MurmurHash rows aren't SQL-expressible)
+    "x_approx_cms" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val sk = toks.as[String]
+        .select(new graft.ext.CountMinAgg(4, 4096).toColumn).head()
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("tok")).limit(5)
+        .as[(String, Long)]
+        .map { case (tok, exact) =>
+          (tok, exact, graft.ext.CountMinAgg.estimate(sk, 4, 4096, tok))
+        }
+        .toDF("tok", "exact", "cms_estimate")
     }),
 
     // ---- multimodal plumbing ------------------------------------------
@@ -1107,6 +1151,18 @@ object Extensions {
          |SELECT tok, df,
          |  CAST(row_number() OVER (ORDER BY df DESC, tok) AS INT) AS token_id
          |FROM v""".stripMargin,
+
+    "x_text_vocab_coverage" ->
+      s"""WITH t AS (SELECT unnest($sqlWords) AS tok FROM documents),
+         |v AS (SELECT tok, ${sqlCount()} AS tf FROM t GROUP BY tok),
+         |r AS (SELECT tok, tf,
+         |    CAST(row_number() OVER (ORDER BY tf DESC, tok) AS INT) AS rank,
+         |    CAST(sum(tf) OVER (ORDER BY tf DESC, tok
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |    CAST(sum(tf) OVER () AS BIGINT) AS total
+         |  FROM v)
+         |SELECT rank, tok, tf, CAST(cum AS DOUBLE) / total AS cum_share
+         |FROM r WHERE rank <= 20""".stripMargin,
 
     "x_pipeline_train_corpus" ->
       s"""WITH scored AS (SELECT doc_id, text, n_chars,

@@ -458,6 +458,24 @@ class SimilaritySpec extends SparkSpec {
     assert((0L until 24L).forall(kept.contains), s"only the planted dup may drop: $kept")
   }
 
+  test("autoNlist scales cluster count with the corpus, keeping cluster size flat") {
+    // 10× corpus → 10× clusters (same expected cluster size = same
+    // per-cluster pair work), floored at 1, capped at maxNlist
+    assert(Similarity.autoNlist(10_000L, targetClusterSize = 1000L) === 10)
+    assert(Similarity.autoNlist(100_000L, targetClusterSize = 1000L) === 100)
+    assert(Similarity.autoNlist(10L, targetClusterSize = 1000L) === 1)
+    assert(Similarity.autoNlist(Long.MaxValue, targetClusterSize = 1L) === (1 << 16))
+    intercept[IllegalArgumentException](Similarity.autoNlist(10L, targetClusterSize = 0L))
+    // default path (nlist = 0) still finds the planted near-dup
+    val rnd = new scala.util.Random(11)
+    val noise = (0 until 24).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val copy = noise.head._2.clone(); copy(0) += 0.001f
+    val corpus = (noise :+ (40L, copy)).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedupAll(corpus, threshold = 0.99, iters = 2)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(40L) && kept.contains(0L))
+  }
+
   test("semDedup with one cluster == pairwise rule over exact pair join") {
     val rnd = new scala.util.Random(7)
     val corpus = ((0 until 30).map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
