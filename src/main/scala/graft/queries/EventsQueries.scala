@@ -162,6 +162,45 @@ object EventsQueries {
         keyCol = "user_id", stateCol = "event_type",
         orderCols = Seq(unix_timestamp(col("ts")), col("event_id")),
         fromCol = date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+    }),
+
+    // ordered funnel with a conversion window: first view → first click
+    // within 1h of it → first purchase within 1h of that. Each stage is a
+    // user-keyed min-aggregate joined to the next stage's candidate events
+    // — stage counts fall monotonically by construction. Whole-second
+    // arithmetic per the object scaladoc.
+    "e8_funnel" -> ((s: SparkSession, dir: String) => {
+      val e = Tables.events(s, dir).select(
+        col("user_id"), col("event_type"),
+        expr("unix_timestamp(ts)").as("sec"))
+      val t1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("sec")).as("t1"))
+      val t2 = e.filter(col("event_type") === "click")
+        .join(t1, Seq("user_id"))
+        .filter(col("sec") > col("t1") && col("sec") - col("t1") <= 3600)
+        .groupBy(col("user_id")).agg(min(col("sec")).as("t2"))
+      val t3 = e.filter(col("event_type") === "purchase")
+        .join(t2, Seq("user_id"))
+        .filter(col("sec") > col("t2") && col("sec") - col("t2") <= 3600)
+        .groupBy(col("user_id")).agg(min(col("sec")).as("t3"))
+      t1.agg(count(lit(1)).as("n_users")).select(lit(1).as("stage"), col("n_users"))
+        .unionByName(t2.agg(count(lit(1)).as("n_users"))
+          .select(lit(2).as("stage"), col("n_users")))
+        .unionByName(t3.agg(count(lit(1)).as("n_users"))
+          .select(lit(3).as("stage"), col("n_users")))
+    }),
+
+    // weekly cohort retention: cohort = a user's first active epoch-day,
+    // cells = distinct users active (cohort, weeks-since-cohort) — the
+    // engagement matrix; exact distinct count, two-phase keyed aggregation
+    "e9_retention" -> ((s: SparkSession, dir: String) => {
+      val d = Tables.events(s, dir).select(
+        col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+      val f = d.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      d.join(f, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          expr("(day - cohort_day) div 7").as("week_off"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
     })
   )
 
@@ -182,6 +221,30 @@ object EventsQueries {
         |  CASE WHEN lead(event_id) OVER (PARTITION BY user_id
         |    ORDER BY floor(epoch(ts)), event_id) IS NULL THEN 1 ELSE 0 END AS is_current
         |FROM c""".stripMargin,
+
+    "e8_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |t1 AS (SELECT user_id, min(sec) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(sec) AS t2 FROM e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND sec > t1 AND sec - t1 <= 3600
+        |       GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(sec) AS t3 FROM e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND sec > t2 AND sec - t2 <= 3600
+        |       GROUP BY e.user_id)
+        |SELECT 1 AS stage, CAST(count(*) AS BIGINT) AS n_users FROM t1
+        |UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM t2
+        |UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM t3""".stripMargin,
+
+    "e9_retention" ->
+      """WITH d AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+        |SELECT cohort_day, (day - cohort_day) // 7 AS week_off,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM d JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "e5_gap_fill" ->
       """WITH c AS (
