@@ -165,9 +165,10 @@ object EventsQueries {
     }),
 
     // ordered funnel with a conversion window: first view → first click
-    // within 1h of it → first purchase within 1h of that. Each stage is a
-    // user-keyed min-aggregate joined to the next stage's candidate events
-    // — stage counts fall monotonically by construction. Whole-second
+    // within 24h of it → first purchase within 24h of that. Each stage is
+    // a user-keyed min-aggregate joined to the next stage's candidate
+    // events — stage counts fall monotonically by construction (150/60/25
+    // on the sf0.01 fixture, so every stage discriminates). Whole-second
     // arithmetic per the object scaladoc.
     "e8_funnel" -> ((s: SparkSession, dir: String) => {
       val e = Tables.events(s, dir).select(
@@ -177,11 +178,11 @@ object EventsQueries {
         .groupBy(col("user_id")).agg(min(col("sec")).as("t1"))
       val t2 = e.filter(col("event_type") === "click")
         .join(t1, Seq("user_id"))
-        .filter(col("sec") > col("t1") && col("sec") - col("t1") <= 3600)
+        .filter(col("sec") > col("t1") && col("sec") - col("t1") <= 86400)
         .groupBy(col("user_id")).agg(min(col("sec")).as("t2"))
       val t3 = e.filter(col("event_type") === "purchase")
         .join(t2, Seq("user_id"))
-        .filter(col("sec") > col("t2") && col("sec") - col("t2") <= 3600)
+        .filter(col("sec") > col("t2") && col("sec") - col("t2") <= 86400)
         .groupBy(col("user_id")).agg(min(col("sec")).as("t3"))
       t1.agg(count(lit(1)).as("n_users")).select(lit(1).as("stage"), col("n_users"))
         .unionByName(t2.agg(count(lit(1)).as("n_users"))
@@ -228,10 +229,10 @@ object EventsQueries {
         |t1 AS (SELECT user_id, min(sec) AS t1 FROM e
         |       WHERE event_type = 'view' GROUP BY user_id),
         |t2 AS (SELECT e.user_id, min(sec) AS t2 FROM e JOIN t1 USING (user_id)
-        |       WHERE event_type = 'click' AND sec > t1 AND sec - t1 <= 3600
+        |       WHERE event_type = 'click' AND sec > t1 AND sec - t1 <= 86400
         |       GROUP BY e.user_id),
         |t3 AS (SELECT e.user_id, min(sec) AS t3 FROM e JOIN t2 USING (user_id)
-        |       WHERE event_type = 'purchase' AND sec > t2 AND sec - t2 <= 3600
+        |       WHERE event_type = 'purchase' AND sec > t2 AND sec - t2 <= 86400
         |       GROUP BY e.user_id)
         |SELECT 1 AS stage, CAST(count(*) AS BIGINT) AS n_users FROM t1
         |UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM t2
