@@ -161,6 +161,25 @@ object Breadth {
         nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
     }),
 
+    // fuzzy (edit-distance) join — record linkage against a deliberately
+    // DIRTIED copy of the customer names (the perturbed-twin fixture
+    // pattern): '#'→'-' everywhere (1 edit) plus a trailing 'x' on even
+    // keys (2 edits). Blocking key = the trailing digit field at its fixed
+    // offset — the substring the planted corruption cannot touch — so the
+    // block join is keyed, candidates stay per-block, and the levenshtein
+    // verify runs inside the block (graft.ops.FuzzyJoin).
+    "b14_fuzzy_join" -> ((s: SparkSession, dir: String) => {
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+      val dirty = c.select(col("c_custkey").as("d_custkey"),
+        concat(regexp_replace(col("c_name"), "#", "-"),
+          when(col("c_custkey") % 2 === 0, lit("x")).otherwise(lit("")))
+          .as("d_name"))
+      graft.ops.FuzzyJoin.byEditDistance(c, dirty, "c_name", "d_name",
+          substring(col("c_name"), 14, 5), substring(col("d_name"), 14, 5),
+          maxDist = 2)
+        .select(col("c_custkey"), col("d_custkey"), col("dist"))
+    }),
+
     // math scalar breadth (IEEE-deterministic ops only)
     "b6_math_funcs" -> ((s: SparkSession, dir: String) => {
       Tables.orders(s, dir).select(
@@ -266,6 +285,18 @@ object Breadth {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus
         |             ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+
+    "b14_fuzzy_join" ->
+      """WITH d AS (SELECT c_custkey AS d_custkey,
+        |    replace(c_name, '#', '-') ||
+        |      CASE WHEN c_custkey % 2 = 0 THEN 'x' ELSE '' END AS d_name
+        |  FROM customer)
+        |SELECT c.c_custkey, d.d_custkey,
+        |  CAST(levenshtein(c.c_name, d.d_name) AS INT) AS dist
+        |FROM customer c JOIN d
+        |  ON substr(c.c_name, 14, 5) = substr(d.d_name, 14, 5)
+        |WHERE abs(length(c.c_name) - length(d.d_name)) <= 2
+        |  AND levenshtein(c.c_name, d.d_name) <= 2""".stripMargin,
 
     "b6_math_funcs" ->
       """SELECT o_orderkey, abs(o_totalprice - 200000) AS centered,
