@@ -243,6 +243,43 @@ object Extensions {
         TextOps.qualityScore("text"))
     }),
 
+    // n-gram NOVELTY score — the self-decontamination/diversity signal:
+    // what fraction of a doc's distinct 3-grams appear in NO other doc
+    // (df = 1)? High novelty = unique content; near-zero = assembled from
+    // corpus boilerplate. One ngram-keyed shuffle (df build + join), then
+    // a doc-keyed aggregation; docs with <3 words have no n-grams and are
+    // absent, like the jaccard family
+    "x_text_novelty" -> ((s: SparkSession, dir: String) => {
+      val grams = Tables.documents(s, dir).select(col("doc_id"),
+        explode(array_distinct(graft.ext.Decontaminate.ngrams("text", 3))).as("ng"))
+      val dfreq = grams.groupBy(col("ng")).agg(count(lit(1)).as("df"))
+      grams.join(dfreq, Seq("ng"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .withColumn("novelty",
+          col("n_unique").cast("double") / col("n_grams"))
+    }),
+
+    // cross-source PHRASE overlap matrix: distinct 3-grams each SOURCE
+    // PAIR shares — the provenance report that tells you which feeds echo
+    // each other (whole-doc mirrors would show up in the exact/near-dup
+    // family; phrase overlap catches partial copying and shared
+    // boilerplate below those thresholds). The self-join is keyed on the
+    // n-gram; (ng, source) is pre-distincted so the shuffle carries one
+    // row per phrase per source, never per occurrence
+    "x_source_ngram_overlap" -> ((s: SparkSession, dir: String) => {
+      val t = Tables.documents(s, dir)
+        .select(explode(array_distinct(
+          graft.ext.Decontaminate.ngrams("text", 3))).as("ng"), col("source"))
+        .distinct()
+      t.select(col("ng"), col("source").as("source_a"))
+        .join(t.select(col("ng"), col("source").as("source_b")), Seq("ng"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+    }),
+
     // duplication-profile analytics over the same ledger: how big are the
     // near-dup clusters (singletons included — the honest denominator)?
     // Two tiny keyed aggregations on (16 B/row) labels; the report every
@@ -1495,6 +1532,31 @@ object Extensions {
 
     // star contraction computes the SAME fixpoint — one oracle, two algorithms
     "x_dedup_cc_star" -> ccOracleSqlRef,
+
+    "x_text_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |d AS (SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |                  i -> array_to_string(ws[i:i+2], ' '))) AS ngs
+        |  FROM w),
+        |t AS (SELECT doc_id, unnest(ngs) AS ng FROM d),
+        |f AS (SELECT ng, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY ng)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
+        |FROM t JOIN f USING (ng) GROUP BY doc_id""".stripMargin,
+
+    "x_source_ngram_overlap" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+        |d AS (SELECT source,
+        |    list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |                  i -> array_to_string(ws[i:i+2], ' '))) AS ngs
+        |  FROM w),
+        |t AS (SELECT DISTINCT source, unnest(ngs) AS ng FROM d)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM t a JOIN t b ON a.ng = b.ng AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
 
     "x_dedup_cluster_sizes" ->
       s"""$ccWalkCtes,
