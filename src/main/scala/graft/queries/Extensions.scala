@@ -96,6 +96,19 @@ object Extensions {
         Components.connectedComponentsStar(ccPairsFor(s, dir))
       })
 
+  /** Trained BPE merge list per corpus — train-once model state like the
+    * IVF centroids (numMerges driver-side entries); the pair-count and
+    * tokenize entries serve from it.
+    */
+  private val bpeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[(String, String, Long)]]
+
+  private def bpeFor(s: SparkSession, dir: String): Seq[(String, String, Long)] =
+    bpeCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("bpe_train") {
+        graft.ext.Bpe.train(Tables.documents(s, dir), "text", numMerges = 10)
+      })
+
   val queries: Map[String, Q] = Map(
     // ---- text analysis -------------------------------------------------
     "x_text_stats" -> ((s: SparkSession, dir: String) => {
@@ -729,6 +742,35 @@ object Extensions {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
     }),
 
+    // BPE training, round-1 signal: adjacent symbol-pair counts over the
+    // symbolized word-frequency vocab (chars + </w>), top 20 fully
+    // tiebroken — the aggregation every merge round of tokenizer training
+    // re-runs; oracle-checked (characters + correlated generate_series)
+    "x_bpe_pairs" -> ((s: SparkSession, dir: String) => {
+      graft.ext.Bpe.pairCounts(
+          graft.ext.Bpe.symbolized(Tables.documents(s, dir), "text"))
+        .orderBy(col("cnt").desc, col("sym_a"), col("sym_b")).limit(20)
+    }),
+
+    // full BPE TRAINING (10 merges on the corpus vocab) — the merge list
+    // IS the tokenizer model; deterministic (count desc, lexicographic
+    // tiebreak) but iterative, so rows-only with the algorithm pinned
+    // against hand-computed merges in BpeSpec
+    "x_bpe_merges" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      bpeFor(s, dir).zipWithIndex
+        .map { case ((a, b, c), i) => (i + 1, a, b, c) }
+        .toDF("rank", "sym_a", "sym_b", "cnt")
+    }),
+
+    // encoding with the trained merges: per-doc token counts + the first
+    // word's tokens (spot-checkable); per-row greedy encode loop is the
+    // tokenizer hot path (rows-only; round-trip property in BpeSpec)
+    "x_bpe_tokenize" -> ((s: SparkSession, dir: String) => {
+      graft.ext.Bpe.tokenize(Tables.documents(s, dir), "doc_id", "text",
+        bpeFor(s, dir))
+    }),
+
     // vocabulary COVERAGE curve: cumulative token-occurrence share by
     // frequency rank — the "how many vocab entries cover 90% of the
     // corpus" question every tokenizer-size decision starts from. Both
@@ -1188,6 +1230,22 @@ object Extensions {
          |SELECT tok, df,
          |  CAST(row_number() OVER (ORDER BY df DESC, tok) AS INT) AS token_id
          |FROM v""".stripMargin,
+
+    // symbol pairs: for i in 1..len, (char_i, char_{i+1}) with the last
+    // pair closing on the end-of-word marker; weighted by word frequency
+    "x_bpe_pairs" ->
+      """WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) > 0 GROUP BY word),
+        |p AS (SELECT substr(word, i, 1) AS sym_a,
+        |    CASE WHEN i < length(word) THEN substr(word, i + 1, 1)
+        |         ELSE '</w>' END AS sym_b,
+        |    freq
+        |  FROM w, generate_series(1, 32) t(i)
+        |  WHERE i <= length(word))
+        |SELECT sym_a, sym_b, CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1, 2
+        |ORDER BY cnt DESC, sym_a, sym_b LIMIT 20""".stripMargin,
 
     "x_text_vocab_coverage" ->
       s"""WITH t AS (SELECT unnest($sqlWords) AS tok FROM documents),
