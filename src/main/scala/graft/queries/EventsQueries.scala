@@ -191,6 +191,24 @@ object EventsQueries {
           .select(lit(3).as("stage"), col("n_users")))
     }),
 
+    // 7-day ROLLING DISTINCT active users — the windowed-distinct metric a
+    // RANGE window cannot express (count(DISTINCT) over a moving frame):
+    // each (user, active-day) fans out to the 7 window anchors it belongs
+    // to (map-side ×7 explode of the DISTINCTED day grid, not raw events),
+    // then one anchor-keyed exact-distinct aggregation; anchors restricted
+    // to observed days by a keyed semi join
+    "e10_rolling_active" -> ((s: SparkSession, dir: String) => {
+      val d = Tables.events(s, dir)
+        .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+        .distinct()
+      val anchors = d.select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("anchor"))
+      anchors
+        .join(d.select(col("day").as("anchor")).distinct(), Seq("anchor"), "left_semi")
+        .groupBy(col("anchor"))
+        .agg(countDistinct(col("user_id")).as("n_active_7d"))
+    }),
+
     // weekly cohort retention: cohort = a user's first active epoch-day,
     // cells = distinct users active (cohort, weeks-since-cohort) — the
     // engagement matrix; exact distinct count, two-phase keyed aggregation
@@ -237,6 +255,15 @@ object EventsQueries {
         |SELECT 1 AS stage, CAST(count(*) AS BIGINT) AS n_users FROM t1
         |UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM t2
         |UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM t3""".stripMargin,
+
+    "e10_rolling_active" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+        |a AS (SELECT user_id, day + i AS anchor FROM d, generate_series(0, 6) t(i)),
+        |obs AS (SELECT DISTINCT day AS anchor FROM d)
+        |SELECT anchor, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_7d
+        |FROM a JOIN obs USING (anchor)
+        |GROUP BY anchor""".stripMargin,
 
     "e9_retention" ->
       """WITH d AS (SELECT user_id,

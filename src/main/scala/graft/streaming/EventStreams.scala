@@ -24,6 +24,12 @@ object EventStreams {
 
   final case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
 
+  final case class ScdState(curType: String, fromSec: Long,
+                            lastSec: Long, lastId: Long)
+
+  final case class ScdRun(user_id: Long, event_type: String,
+                          from_sec: Long, to_sec: Long)
+
   /** Tumbling 1-hour windowed counts with a 2-hour watermark (bounds the
     * aggregation state; late events beyond it are dropped).
     */
@@ -101,6 +107,47 @@ object EventStreams {
     *                    (e.g. `.trigger(Trigger.ProcessingTime("1 minute"))`)
     *                    or the empty timeout-evaluation batches spin hot.
     */
+  /** Streaming twin of the batch SCD-2 build (`graft.ops.Scd.type2` /
+    * `e7_scd2_history`): per-entity state runs maintained incrementally,
+    * with each CLOSED run emitted the moment the entity's state changes
+    * (Append semantics — a closed interval is immutable, so it can ship
+    * to a downstream dimension table as it closes; the open run lives in
+    * the state store, never in the output). With in-event-time-order
+    * feeds the emitted runs equal the batch form's `valid_to IS NOT NULL`
+    * rows — pinned in EventStreamsSpec.
+    *
+    * Ordering contract: events are sorted (event-time second, event_id)
+    * within each micro-batch, and an event older than the state's
+    * processed frontier is DROPPED — emitted intervals are immutable, so
+    * a late state change cannot retro-split a closed run (same
+    * no-rewind discipline as [[sessionize]]; feed through a watermark
+    * upstream if late data must instead delay processing).
+    */
+  def scd2Stream(events: Dataset[EventRow]): Dataset[ScdRun] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ScdState, ScdRun](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[ScdState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime / 1000, e.event_id))
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[ScdRun]
+          sorted.foreach { e =>
+            val sec = e.ts.getTime / 1000
+            if (st == null) st = ScdState(e.event_type, sec, sec, e.event_id)
+            else if (sec > st.lastSec || (sec == st.lastSec && e.event_id > st.lastId)) {
+              if (e.event_type != st.curType) {
+                out += ScdRun(userId, st.curType, st.fromSec, sec)
+                st = ScdState(e.event_type, sec, sec, e.event_id)
+              } else st = st.copy(lastSec = sec, lastId = e.event_id)
+            } // else: behind the frontier — dropped (see ordering contract)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   def sessionize(events: Dataset[EventRow], gapSec: Long = 1800,
                  evictAfter: Option[String] = None): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._

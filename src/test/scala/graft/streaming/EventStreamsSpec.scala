@@ -10,6 +10,50 @@ class EventStreamsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("scd2Stream: closed runs emitted on state change == batch type2's closed rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val q = scd2Stream(input.toDS())
+      .writeStream.format("memory").queryName("scd2_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: user 7 A A B -> run A[.. :00, .. :20) closes when B arrives
+      input.addData(
+        EventRow(1, ts("2024-01-01 10:00:00"), 7, "A", 1.0),
+        EventRow(2, ts("2024-01-01 10:00:10"), 7, "A", 1.0),
+        EventRow(3, ts("2024-01-01 10:00:20"), 7, "B", 1.0))
+      q.processAllAvailable()
+      // batch 2: state carries across batches — B closes on the next A;
+      // a late event behind the frontier is dropped, not a retro-split
+      input.addData(
+        EventRow(4, ts("2024-01-01 10:01:00"), 7, "A", 1.0),
+        EventRow(0, ts("2024-01-01 10:00:05"), 7, "Z", 1.0)) // late: dropped
+      q.processAllAvailable()
+      val got = spark.table("scd2_test").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._3).toSeq
+      val base = ts("2024-01-01 10:00:00").getTime / 1000
+      assert(got === Seq(
+        (7L, "A", base, base + 20),
+        (7L, "B", base + 20, base + 60)))
+      // batch equivalence: the same events through ops.Scd.type2 yield the
+      // same CLOSED intervals (the open A run exists only in batch output)
+      val batch = graft.ops.Scd.type2(
+          Seq((7L, base, 1L, "A"), (7L, base + 10, 2L, "A"),
+            (7L, base + 20, 3L, "B"), (7L, base + 60, 4L, "A"))
+            .toDF("user_id", "sec", "event_id", "event_type"),
+          "user_id", "event_type",
+          Seq(org.apache.spark.sql.functions.col("sec"),
+            org.apache.spark.sql.functions.col("event_id")),
+          org.apache.spark.sql.functions.col("sec"))
+        .filter("valid_to IS NOT NULL")
+        .as[(Long, String, Long, Long, Int)].collect()
+        .map(r => (r._1, r._2, r._3, r._4)).sortBy(_._3).toSeq
+      assert(batch === got)
+    } finally q.stop()
+  }
+
   test("watermarked hourly counts over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
