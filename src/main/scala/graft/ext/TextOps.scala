@@ -52,6 +52,41 @@ object TextOps {
   def avgWordLen(text: Column): Column =
     length(regexp_replace(text, " ", "")).cast("double") / nWords(text)
 
+  /** Compression-ratio quality signal (deflate level 6):
+    * compressed/raw bytes per document — the repetitiveness proxy
+    * published pipelines (Gopher-family) gate on: boilerplate and
+    * template spam compress far below natural prose. Deflate is a JVM
+    * codec, not SQL — so this runs as `mapPartitions` with ONE reused
+    * Deflater per partition (the Multimodal codec discipline; a per-row
+    * allocation would thrash), and registry exposure is rows-only with
+    * the orderings pinned in unit tests. Map-only, no shuffle, linear in
+    * bytes. Deflate output for a fixed input/level is deterministic on a
+    * given zlib build — run-stable here; pin level/library if ratios
+    * must compare across clusters.
+    */
+  def compressionStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val raw = if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          val ratio = if (raw.length == 0) 1.0 else n.toDouble / raw.length
+          (id, raw.length.toLong, n, ratio)
+        }
+      }
+      .toDF(idCol, "n_raw", "n_compressed", "compress_ratio")
+  }
+
   /** Stopword hits per document. Column-API lambda, NOT an `expr` splice:
     * the API takes arbitrary `Seq[String]`, and a stopword containing `'`
     * (don't, l'eau) would break a spliced `w in ('…')` list at parse time —

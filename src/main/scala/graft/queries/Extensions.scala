@@ -742,6 +742,14 @@ object Extensions {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
     }),
 
+    // compression-ratio quality signal (deflate level 6, one codec per
+    // partition): the repetitiveness proxy Gopher-family pipelines gate
+    // on — rows-only (a JVM codec has no SQL mirror; orderings pinned in
+    // TextOpsSpec)
+    "x_text_compress" -> ((s: SparkSession, dir: String) => {
+      TextOps.compressionStats(Tables.documents(s, dir), "doc_id", "text")
+    }),
+
     // BPE training, round-1 signal: adjacent symbol-pair counts over the
     // symbolized word-frequency vocab (chars + </w>), top 20 fully
     // tiebroken — the aggregation every merge round of tokenizer training

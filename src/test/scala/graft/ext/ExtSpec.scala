@@ -579,6 +579,24 @@ class MultimodalSpec extends SparkSpec {
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("compressionStats: repetitive text compresses below prose; exact byte accounting") {
+    val prose = (1 to 60).map(i => s"w${i * 7919 % 997}x${i}").mkString(" ")
+    val df = Seq(
+      (1L, "spam " * 200),                 // highly repetitive
+      (2L, prose),                         // diverse tokens
+      (3L, "")).toDF("doc_id", "text")     // empty: ratio 1.0, never NaN
+    val got = TextOps.compressionStats(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 === 1000L)           // raw bytes exact
+    assert(got(1L)._4 < 0.1, s"repetitive ratio ${got(1L)._4}")
+    assert(got(2L)._4 > got(1L)._4 * 3, "prose must compress far worse than spam")
+    assert(got(3L) === ((3L, 0L, got(3L)._3, 1.0)))
+    // deterministic: identical on a re-run
+    val again = TextOps.compressionStats(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(again === got)
+  }
+
   test("scrub replaces urls, emails, digit runs; url digits not double-tagged") {
     val df = Seq(
       (1L, "visit https://ex.com/p?id=99 or mail a.b@ex.org now"),
