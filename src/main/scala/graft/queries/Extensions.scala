@@ -742,6 +742,25 @@ object Extensions {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
     }),
 
+    // token CO-OCCURRENCE counts — the PMI / embedding-prep primitive:
+    // document-level co-occurrence of the 10 globally-commonest tokens
+    // (tf desc, token tiebreak). The vocabulary restriction comes FIRST
+    // (broadcast semi join), so per-doc pair fan-out is bounded at
+    // C(10,2)=45 — never quadratic in document length; pair counting is
+    // one keyed aggregation over (tok_a < tok_b) pairs
+    "x_text_cooccur" -> ((s: SparkSession, dir: String) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("tok")).limit(10).select(col("tok"))
+      val kept = toks.join(broadcast(top), Seq("tok"))
+      kept.select(col("doc_id"), col("tok").as("tok_a"))
+        .join(kept.select(col("doc_id"), col("tok").as("tok_b")), Seq("doc_id"))
+        .filter(col("tok_a") < col("tok_b"))
+        .groupBy(col("tok_a"), col("tok_b"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // compression-ratio quality signal (deflate level 6, one codec per
     // partition): the repetitiveness proxy Gopher-family pipelines gate
     // on — rows-only (a JVM codec has no SQL mirror; orderings pinned in
@@ -1238,6 +1257,16 @@ object Extensions {
          |SELECT tok, df,
          |  CAST(row_number() OVER (ORDER BY df DESC, tok) AS INT) AS token_id
          |FROM v""".stripMargin,
+
+    "x_text_cooccur" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(list_distinct($sqlWords)) AS tok
+         |              FROM documents),
+         |top AS (SELECT tok FROM (SELECT tok, count(*) AS tf FROM toks GROUP BY tok)
+         |        ORDER BY tf DESC, tok LIMIT 10),
+         |k AS (SELECT doc_id, tok FROM toks JOIN top USING (tok))
+         |SELECT a.tok AS tok_a, b.tok AS tok_b, ${sqlCount()} AS n_docs
+         |FROM k a JOIN k b ON a.doc_id = b.doc_id AND a.tok < b.tok
+         |GROUP BY 1, 2""".stripMargin,
 
     // symbol pairs: for i in 1..len, (char_i, char_{i+1}) with the last
     // pair closing on the end-of-word marker; weighted by word frequency
