@@ -96,11 +96,14 @@ object Bpe {
         val prev = vocab
         vocab = vocab.map { case (syms, f) => (mergeWord(syms, a, b), f) }
           .localCheckpoint(true)
-        prev.unpersist()
+        // plain unpersist() would be a no-op on a localCheckpoint's blocks
+        // (see Components.freeCheckpoint) — without this, every round's
+        // vocab snapshot stays pinned in executor storage for the job
+        Components.freeCheckpoint(prev)
       }
       round += 1
     }
-    vocab.unpersist()
+    Components.freeCheckpoint(vocab)
     merges.toSeq
   }
 
@@ -125,8 +128,12 @@ object Bpe {
   /** Tokenize a corpus with a trained merge list: (id, word-count,
     * bpe-token count, tokens of the first word — a spot-checkable sample).
     * The merge ranks broadcast with the closure (numMerges entries); the
-    * per-row encode loop is the tokenizer hot path — mapPartitions-class
-    * compute by nature, linear in text length.
+    * greedy encode loop is the tokenizer hot path, so it runs under
+    * `mapPartitions` with a per-partition word→tokens memo (Zipf corpora
+    * re-encode the same few thousand words constantly; the memo is
+    * bounded to the partition's distinct words, the same amortize-per-
+    * partition discipline as the Multimodal codecs and
+    * `TextOps.compressionStats`).
     */
   def tokenize(docs: DataFrame, idCol: String, textCol: String,
                merges: Seq[(String, String, Long)]): DataFrame = {
@@ -136,11 +143,14 @@ object Bpe {
       merges.zipWithIndex.map { case ((a, b, _), i) => (a, b) -> i }.toMap
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
-      .map { case (id, text) =>
-        val words = text.split(" ").filter(_.nonEmpty)
-        val toks = words.flatMap(w => encodeWord(w, ranks))
-        (id, words.length, toks.length, words.headOption.map(w =>
-          encodeWord(w, ranks).mkString("|")).getOrElse(""))
+      .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap.empty[String, Seq[String]]
+        it.map { case (id, text) =>
+          val words = text.split(" ").filter(_.nonEmpty)
+          val encoded = words.map(w => memo.getOrElseUpdate(w, encodeWord(w, ranks)))
+          (id, words.length, encoded.iterator.map(_.length).sum,
+            encoded.headOption.map(_.mkString("|")).getOrElse(""))
+        }
       }
       .toDF(idCol, "n_words", "n_bpe_tokens", "first_word_tokens")
   }

@@ -107,7 +107,7 @@ object Components {
     * unreferenced RDD. NEVER call this on a frame that still has consumers:
     * a truncated lineage cannot recompute.
     */
-  private def freeCheckpoint(df: DataFrame): Unit =
+  private[ext] def freeCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit =
     df.queryExecution.logical.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
@@ -249,7 +249,14 @@ object Components {
         score.cast("double").as("s"))
     labeled.groupBy(col("component"))
       .agg(
-        min(struct((-col("s")).as("ns"), col("id"))).as("w"),
+        // NULL scores must LOSE the argmax, not win it: Spark's struct
+        // ordering sorts a NULL first field before every value, so a raw
+        // min(struct(-s, id)) would crown the unscorable copy. Coalescing
+        // the sort key to +∞ sends nulls last (matching the oracle's
+        // ORDER BY score DESC NULLS LAST); best_score still aggregates the
+        // raw column, so an all-null cluster reports NULL, not a sentinel.
+        min(struct(coalesce(-col("s"), lit(Double.PositiveInfinity)).as("ns"),
+          col("id"))).as("w"),
         count(lit(1)).as("csize"),
         max(col("s")).as("best_score"))
       .select(col("component"), col("w.id").as("kept_id"),

@@ -30,6 +30,13 @@ object FuzzyJoin {
                      blockL: Column, blockR: Column,
                      maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"byEditDistance: maxDist >= 0, got $maxDist")
+    // withColumn would silently REPLACE caller columns of these names
+    // (the original data vanishes via the final drop, or is shadowed by
+    // the levenshtein output) — fail loudly instead
+    Seq("__blk", "dist").foreach { c =>
+      require(!left.columns.contains(c) && !right.columns.contains(c),
+        s"byEditDistance: input already has a '$c' column — rename it first")
+    }
     val l = left.withColumn("__blk", blockL)
     val r = right.withColumn("__blk", blockR)
     l.join(r, Seq("__blk"))

@@ -54,6 +54,11 @@ object Scd {
       col(keyCol), col(stateCol),
       col("__from").as("valid_from"),
       lead(col("__from"), 1).over(w2).as("valid_to"),
-      lead(col("__from"), 1).over(w2).isNull.cast("int").as("is_current"))
+      // is_current keys off the NEXT RUN'S EXISTENCE (__ord is never
+      // null), not off lead(fromCol): a successor run whose fromCol
+      // evaluates to NULL (e.g. a null timestamp formatted to NULL) must
+      // still close this run — lead(__from).isNull would mint a second
+      // "current" row for the entity
+      lead(col("__ord"), 1).over(w2).isNull.cast("int").as("is_current"))
   }
 }

@@ -1232,13 +1232,7 @@ object Extensions {
          |       / len($sqlWords) >= 0.05 AS INT) AS r_stop,
          |  CAST(CAST(len(list_distinct($sqlWords)) AS DOUBLE)
          |       / len($sqlWords) >= 0.3 AS INT) AS r_diverse,
-         |  CAST(len($sqlWords) BETWEEN 20 AND 1000 AS INT)
-         |  + CAST(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len($sqlWords)
-         |         BETWEEN 3.0 AND 10.0 AS INT)
-         |  + CAST(CAST(${sqlStopCount(graft.ext.TextOps.DefaultStopwords)} AS DOUBLE)
-         |         / len($sqlWords) >= 0.05 AS INT)
-         |  + CAST(CAST(len(list_distinct($sqlWords)) AS DOUBLE)
-         |         / len($sqlWords) >= 0.3 AS INT) AS score
+         |  $sqlQualityScore AS score
          |FROM documents""".stripMargin,
 
     "x_topk_agg" ->
@@ -1269,7 +1263,11 @@ object Extensions {
          |GROUP BY 1, 2""".stripMargin,
 
     // symbol pairs: for i in 1..len, (char_i, char_{i+1}) with the last
-    // pair closing on the end-of-word marker; weighted by word frequency
+    // pair closing on the end-of-word marker; weighted by word frequency.
+    // generate_series is uncorrelated (DuckDB-portable), so 64 is a HARD
+    // CAP on mirrored word length: a >64-char word would lose tail pairs
+    // in the oracle only and hash-mismatch loudly. Fixture max is 8;
+    // raise the bound with the fixture, it costs only filtered rows.
     "x_bpe_pairs" ->
       """WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -1278,7 +1276,7 @@ object Extensions {
         |    CASE WHEN i < length(word) THEN substr(word, i + 1, 1)
         |         ELSE '</w>' END AS sym_b,
         |    freq
-        |  FROM w, generate_series(1, 32) t(i)
+        |  FROM w, generate_series(1, 64) t(i)
         |  WHERE i <= length(word))
         |SELECT sym_a, sym_b, CAST(sum(freq) AS BIGINT) AS cnt
         |FROM p GROUP BY 1, 2
@@ -1298,13 +1296,7 @@ object Extensions {
 
     "x_pipeline_train_corpus" ->
       s"""WITH scored AS (SELECT doc_id, text, n_chars,
-         |    CAST(len($sqlWords) BETWEEN 20 AND 1000 AS INT)
-         |    + CAST(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len($sqlWords)
-         |           BETWEEN 3.0 AND 10.0 AS INT)
-         |    + CAST(CAST(${sqlStopCount(graft.ext.TextOps.DefaultStopwords)} AS DOUBLE)
-         |           / len($sqlWords) >= 0.05 AS INT)
-         |    + CAST(CAST(len(list_distinct($sqlWords)) AS DOUBLE)
-         |           / len($sqlWords) >= 0.3 AS INT) AS score
+         |    $sqlQualityScore AS score
          |  FROM documents),
          |gated AS (SELECT * FROM scored WHERE score >= 3),
          |canon AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text)
@@ -1592,13 +1584,7 @@ object Extensions {
 
     "x_domain_quota" ->
       s"""WITH sc AS (SELECT doc_id, source, lang, n_chars,
-         |    CAST(len($sqlWords) BETWEEN 20 AND 1000 AS INT)
-         |    + CAST(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len($sqlWords)
-         |           BETWEEN 3.0 AND 10.0 AS INT)
-         |    + CAST(CAST(${sqlStopCount(graft.ext.TextOps.DefaultStopwords)} AS DOUBLE)
-         |           / len($sqlWords) >= 0.05 AS INT)
-         |    + CAST(CAST(len(list_distinct($sqlWords)) AS DOUBLE)
-         |           / len($sqlWords) >= 0.3 AS INT) AS score
+         |    $sqlQualityScore AS score
          |  FROM documents)
          |SELECT doc_id, source, lang, n_chars FROM (
          |  SELECT doc_id, source, lang, n_chars,

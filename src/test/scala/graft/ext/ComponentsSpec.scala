@@ -45,6 +45,19 @@ class ComponentsSpec extends SparkSpec {
     assert(kept === Seq(2L, 9L, 11L))
   }
 
+  test("keepBestInCluster: a NULL score loses to any scored member, never wins") {
+    val docs = Seq((1L, Option.empty[Int]), (2L, Option(3)), (10L, Option.empty[Int]),
+      (11L, Option.empty[Int])).toDF("doc_id", "q")
+    val edges = Seq((1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val ledger = Components.keepBestInCluster(
+        docs, Components.connectedComponents(edges), col("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).sortBy(_._1).toSeq
+    // cluster {1(null), 2(3)}: the scored doc wins; all-null cluster
+    // {10, 11}: lowest id, best_score NULL (not a sentinel)
+    assert(ledger === Seq((1L, 2L, Some(3.0)), (10L, 10L, None)))
+  }
+
   test("keepBestInCluster plans a partial aggregation, not a window over the cluster key") {
     val docs = Seq((1L, 1), (2L, 5)).toDF("doc_id", "q")
     val labels = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "component")

@@ -35,6 +35,30 @@ class ScdSpec extends SparkSpec {
       Seq(("A", "10", Some("10"), 0), ("B", "10", None, 1)))
   }
 
+  test("type2 == driver-side reference on random histories (sampled property)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val rows = (1 to 200).map { i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(40).toLong, i.toLong,
+          ("ABC")(rnd.nextInt(3)).toString)
+      }
+      val got = run(rows).toSet
+      // reference: sort per key, collapse runs sequentially
+      val want = rows.groupBy(_._1).flatMap { case (uid, evs) =>
+        val sorted = evs.sortBy(e => (e._2, e._3))
+        val runs = sorted.foldLeft(Vector.empty[(String, Long)]) { (acc, e) =>
+          if (acc.nonEmpty && acc.last._1 == e._4) acc
+          else acc :+ (e._4, e._2)
+        }
+        runs.zipWithIndex.map { case ((st, from), i) =>
+          val to = if (i + 1 < runs.size) Some(runs(i + 1)._2.toString) else None
+          (uid, st, from.toString, to, if (to.isEmpty) 1 else 0)
+        }
+      }.toSet
+      assert(got === want, s"trial $trial diverged")
+    }
+  }
+
   test("type2: a NULL-state run stays ONE run (lag-null vs first-row ambiguity)") {
     val df = Seq(
       (1L, 10L, 1L, Option.empty[String]),
