@@ -742,6 +742,25 @@ object Extensions {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
     }),
 
+    // key-SKEW profile — the "should this key be salted" diagnostic a
+    // shuffle-heavy deployment runs before picking join/agg strategies:
+    // per-key counts reduced to n_keys / max / max-over-mean / top-10
+    // share. One keyed aggregation; the two single-row summaries combine
+    // via a broadcast cross join (1×1, by-spec allowlisted)
+    "x_skew_profile" -> ((s: SparkSession, dir: String) => {
+      val counts = Tables.events(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val top10 = counts.orderBy(col("n").desc, col("user_id")).limit(10)
+        .agg(sum(col("n")).as("top10_n"))
+      counts.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+          max(col("n")).as("max_n"))
+        .crossJoin(broadcast(top10))
+        .select(col("n_keys"), col("n_rows"), col("max_n"),
+          (col("max_n").cast("double") * col("n_keys") / col("n_rows"))
+            .as("max_over_mean"),
+          (col("top10_n").cast("double") / col("n_rows")).as("top10_share"))
+    }),
+
     // token CO-OCCURRENCE counts — the PMI / embedding-prep primitive:
     // document-level co-occurrence of the 10 globally-commonest tokens
     // (tf desc, token tiebreak). The vocabulary restriction comes FIRST
@@ -1251,6 +1270,19 @@ object Extensions {
          |SELECT tok, df,
          |  CAST(row_number() OVER (ORDER BY df DESC, tok) AS INT) AS token_id
          |FROM v""".stripMargin,
+
+    "x_skew_profile" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS top10_n
+        |      FROM (SELECT n FROM c ORDER BY n DESC, user_id LIMIT 10)),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |        CAST(sum(n) AS BIGINT) AS n_rows,
+        |        CAST(max(n) AS BIGINT) AS max_n FROM c)
+        |SELECT n_keys, n_rows, max_n,
+        |  CAST(max_n AS DOUBLE) * n_keys / n_rows AS max_over_mean,
+        |  CAST(top10_n AS DOUBLE) / n_rows AS top10_share
+        |FROM a, t""".stripMargin,
 
     "x_text_cooccur" ->
       s"""WITH toks AS (SELECT doc_id, unnest(list_distinct($sqlWords)) AS tok
