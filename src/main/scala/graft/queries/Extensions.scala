@@ -742,6 +742,42 @@ object Extensions {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
     }),
 
+    // column PROFILE — the data-quality report (Deequ/dbt-test family):
+    // per-column null count + exact distinct count over the orders table,
+    // all columns in ONE scan (multi-distinct expands via Spark's Expand
+    // operator — the exact form; a 100 TB profiler would swap in
+    // approx_count_distinct per column, same plan shape minus Expand)
+    "x_profile_columns" -> ((s: SparkSession, dir: String) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority")
+      val aggs = cols.flatMap(c => Seq(
+        sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct")))
+      val one = Tables.orders(s, dir).agg(aggs.head, aggs.tail: _*)
+      cols.map { c =>
+        one.select(lit(c).as("column"),
+          col(s"${c}__nulls").as("n_nulls"),
+          col(s"${c}__distinct").as("n_distinct"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // constraint CHECKS — the publish gate (key uniqueness, completeness,
+    // referential integrity), each an exact count over keyed plans:
+    // duplicate keys via a hash-grouped HAVING, orphans via left_anti
+    "x_quality_checks" -> ((s: SparkSession, dir: String) => {
+      val orders = Tables.orders(s, dir)
+      val dupKeys = orders.groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+        .agg(count(lit(1)).as("v")).select(lit("dup_orderkeys").as("check"), col("v"))
+      val nullKeys = orders
+        .agg(sum(col("o_custkey").isNull.cast("long")).as("v"))
+        .select(lit("null_custkeys").as("check"), col("v"))
+      val orphans = orders.join(Tables.customer(s, dir)
+          .select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("v")).select(lit("orphan_orders").as("check"), col("v"))
+      dupKeys.unionByName(nullKeys).unionByName(orphans)
+    }),
+
     // key-SKEW profile — the "should this key be salted" diagnostic a
     // shuffle-heavy deployment runs before picking join/agg strategies:
     // per-key counts reduced to n_keys / max / max-over-mean / top-10
@@ -1270,6 +1306,33 @@ object Extensions {
          |SELECT tok, df,
          |  CAST(row_number() OVER (ORDER BY df DESC, tok) AS INT) AS token_id
          |FROM v""".stripMargin,
+
+    "x_profile_columns" ->
+      """SELECT 'o_orderkey' AS "column",
+        |  CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders
+        |UNION ALL SELECT 'o_custkey',
+        |  CAST(count(*) - count(o_custkey) AS BIGINT),
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_orderstatus',
+        |  CAST(count(*) - count(o_orderstatus) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_totalprice',
+        |  CAST(count(*) - count(o_totalprice) AS BIGINT),
+        |  CAST(count(DISTINCT o_totalprice) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_orderpriority',
+        |  CAST(count(*) - count(o_orderpriority) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders""".stripMargin,
+
+    "x_quality_checks" ->
+      """SELECT 'dup_orderkeys' AS "check", CAST(count(*) AS BIGINT) AS v
+        |FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'null_custkeys', CAST(count(*) - count(o_custkey) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'orphan_orders', CAST(count(*) AS BIGINT)
+        |FROM orders o WHERE NOT EXISTS
+        |  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""".stripMargin,
 
     "x_skew_profile" ->
       """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
