@@ -209,6 +209,38 @@ object EventsQueries {
         .agg(countDistinct(col("user_id")).as("n_active_7d"))
     }),
 
+    // time-series ANOMALY flags, integer-exact: hour h is anomalous iff
+    // |z| > 3 over the hourly count series — rewritten to avoid floats
+    // entirely: z² = (c·n − Σ)² / (n·Σc² − Σ²), so the flag is
+    // (c·n − Σ)² > 9·(n·Σc² − Σ²) with both sides exact BIGINT
+    // (counts are integers; the sums stay far below 2^63),
+    // so the flags hash-match any engine with no stddev association or
+    // rounding concerns. The fixture's hourly series is near-uniform (no
+    // natural 3σ spikes), so deterministic spikes are PLANTED — every
+    // 97th hour's count ×5, the perturbed-twin fixture pattern — and the
+    // detector must flag exactly those. Global stats ride a window over
+    // the AGGREGATED hourly series (the vocab-window precedent)
+    "e11_anomaly_hours" -> ((s: SparkSession, dir: String) => {
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      Tables.events(s, dir)
+        .select(expr("unix_timestamp(ts) div 3600").as("hour"))
+        .groupBy(col("hour")).agg(count(lit(1)).as("c0"))
+        .withColumn("c",
+          when(pmod(col("hour"), lit(97L)) === 0, col("c0") * 5).otherwise(col("c0")))
+        .select(col("hour"), col("c"),
+          count(lit(1)).over(wAll).as("n"),
+          sum(col("c")).over(wAll).as("s"),
+          sum(col("c") * col("c")).over(wAll).as("sq"))
+        .select(col("hour"), col("c"),
+          (col("c") * col("n") - col("s")).as("dev_n"),
+          ((col("c") * col("n") - col("s")) * (col("c") * col("n") - col("s")))
+            .as("dev_n_sq"),
+          (lit(9L) * (col("n") * col("sq") - col("s") * col("s")))
+            .as("thresh"))
+        .withColumn("is_anomaly",
+          (col("dev_n_sq") > col("thresh")).cast("int"))
+    }),
+
     // weekly cohort retention: cohort = a user's first active epoch-day,
     // cells = distinct users active (cohort, weeks-since-cohort) — the
     // engagement matrix; exact distinct count, two-phase keyed aggregation
@@ -255,6 +287,26 @@ object EventsQueries {
         |SELECT 1 AS stage, CAST(count(*) AS BIGINT) AS n_users FROM t1
         |UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM t2
         |UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM t3""".stripMargin,
+
+    "e11_anomaly_hours" ->
+      """WITH h0 AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+        |    CAST(count(*) AS BIGINT) AS c0
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT hour,
+        |    CASE WHEN hour % 97 = 0 THEN c0 * 5 ELSE c0 END AS c
+        |  FROM h0),
+        |t AS (SELECT hour, c,
+        |    CAST(count(*) OVER () AS BIGINT) AS n,
+        |    CAST(sum(c) OVER () AS BIGINT) AS s,
+        |    CAST(sum(c * c) OVER () AS BIGINT) AS sq
+        |  FROM h)
+        |SELECT hour, c,
+        |  c * n - s AS dev_n,
+        |  (c * n - s) * (c * n - s) AS dev_n_sq,
+        |  9 * (n * sq - s * s) AS thresh,
+        |  CAST((c * n - s) * (c * n - s) > 9 * (n * sq - s * s) AS INT)
+        |    AS is_anomaly
+        |FROM t""".stripMargin,
 
     "e10_rolling_active" ->
       """WITH d AS (SELECT DISTINCT user_id,
