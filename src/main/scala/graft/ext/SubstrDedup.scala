@@ -1,0 +1,156 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-substring duplication — the character-level dedup family of
+  * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+  * Better", ExactSubstr): a substring of length ≥ k that occurs more than
+  * once ANYWHERE in the corpus (across documents or within one) is
+  * duplicated text, and training pipelines either measure it (a quality
+  * signal) or cut every occurrence but the first. This is a different axis
+  * from every other dedup in the engine: [[ExactDedup]] is whole-document,
+  * [[JaccardDedup]]/[[MinHashDedup]] are document-level set overlap, and
+  * [[Boilerplate]] keys on document frequency (many DISTINCT docs) at
+  * token-n-gram granularity — none of them see a long passage pasted twice
+  * into two (or one) documents.
+  *
+  * Algorithm: the published implementation builds a suffix array over the
+  * concatenated corpus (8 B/char of index state). The distributed
+  * formulation here is the standard k-window reduction: every character
+  * position opens a stride-1 window of k chars, a window whose content
+  * occurs ≥ 2 times marks its position as duplicated, and runs of
+  * consecutive duplicated positions merge into maximal spans (a shared
+  * passage of length L ≥ k yields L−k+1 consecutive marked positions →
+  * exactly one span of length L). Per-position state is 20 B (hash + id +
+  * pos) — the same cost class as the suffix array, shuffled by hash
+  * instead of sorted globally.
+  *
+  * Scale shape (the [[Boilerplate]]/[[ExactDedup]] hash-first idiom): the
+  * corpus-sized shuffle carries only `xxhash64(window)` + (id, pos); window
+  * TEXT moves only for positions whose hash group reached count ≥ 2 (the
+  * duplicated sliver), where it is re-grouped by the string itself — a
+  * 64-bit collision can inflate the candidate sliver but never mark a
+  * unique span as duplicated. Island-merging windows over `id` are bounded
+  * by a single document's length, never by corpus shape. Hashing is
+  * O(k)/position; a rolling (Rabin-Karp) hash kernel is the upgrade path
+  * if window hashing ever dominates a profile.
+  */
+object SubstrDedup {
+
+  /** All stride-1 k-windows: `(id, pos, gram)` with `pos` 0-based; docs
+    * shorter than k have no windows. Cheap to re-scan (projection-pushed
+    * columnar read), so callers materialize hashes, not this frame.
+    */
+  private def windows(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame =
+    docs.filter(length(col(textCol)) >= k)
+      .select(col(idCol).as("id"),
+        explode(sequence(lit(0L), (length(col(textCol)) - k).cast("long")))
+          .as("pos"),
+        col(textCol))
+      .select(col("id"), col("pos"),
+        col(textCol).substr(col("pos").cast("int") + 1, lit(k)).as("gram"))
+
+  /** Duplicated positions `(id, pos, is_first)`: the k-window at `pos`
+    * occurs ≥ 2 times corpus-wide, and `is_first` marks the corpus-first
+    * occurrence of its content (ids then positions ascending). Two passes —
+    * count by 8-byte hash, then re-verify the hot sliver by window text
+    * (collision-safe; see the object doc). The candidate sliver is
+    * persisted internally: it feeds both the verify aggregation and the
+    * final occurrence join, and its size is bounded by the corpus's actual
+    * duplicated content (+ hash collisions), never the corpus — the same
+    * bounded-ledger discipline as the CC pair graph. This is the
+    * once-per-corpus scan; callers serving repeatedly should cache the
+    * returned frame (the query registry does).
+    */
+  def dupOccurrences(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", k: Int = 40): DataFrame = {
+    require(k >= 1, s"dup substrings: k must be >= 1, got $k")
+    val w = windows(docs, idCol, textCol, k)
+    val hot = w.select(xxhash64(col("gram")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("h"))
+    val cand = w.withColumn("h", xxhash64(col("gram")))
+      .join(hot, Seq("h"), "left_semi")
+      .select(col("id"), col("pos"), col("gram"))
+      .persist()
+    val dup = cand.groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("id"), col("pos"))).as("first"))
+      .filter(col("cnt") >= 2)
+    cand.join(dup, Seq("gram"))
+      .select(col("id"), col("pos"),
+        (col("first.id") === col("id") && col("first.pos") === col("pos"))
+          .as("is_first"))
+  }
+
+  /** Runs of consecutive positions → maximal spans
+    * `(id, span_start, span_end, span_len)` with end exclusive. The
+    * row_number window partitions by document id — bounded by one doc's
+    * length, not corpus shape (unlike the domain-quota anti-pattern).
+    */
+  private def islands(pos: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    pos.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + k).as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"))
+  }
+
+  /** [[dupSpans]] from a precomputed (cached) [[dupOccurrences]] frame. */
+  def spansFrom(occ: DataFrame, idCol: String = "doc_id", k: Int = 40): DataFrame =
+    islands(occ.select(col("id"), col("pos")), k).withColumnRenamed("id", idCol)
+
+  /** [[cutSpans]] from a precomputed (cached) [[dupOccurrences]] frame. */
+  def cutFrom(occ: DataFrame, idCol: String = "doc_id", k: Int = 40): DataFrame =
+    islands(occ.filter(!col("is_first")).select(col("id"), col("pos")), k)
+      .withColumnRenamed("id", idCol)
+
+  /** [[dupStats]] from a precomputed (cached) [[dupOccurrences]] frame. */
+  def statsFrom(docs: DataFrame, occ: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", k: Int = 40): DataFrame = {
+    val spans = spansFrom(occ, idCol, k)
+      .groupBy(col(idCol)).agg(sum(col("span_len")).as("__dup"))
+    docs.select(col(idCol), length(col(textCol)).cast("long").as("n_chars"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("n_chars"),
+        coalesce(col("__dup"), lit(0L)).as("dup_chars"),
+        when(col("n_chars") === 0L, lit(0.0))
+          .otherwise(coalesce(col("__dup"), lit(0L)).cast("double") /
+            col("n_chars")).as("dup_fraction"))
+  }
+
+  /** Maximal duplicated spans per document: every k-window starting inside
+    * `[span_start, span_end - k]` occurs ≥ 2 times corpus-wide. The
+    * measurement form — both copies of a duplicated passage report a span.
+    */
+  def dupSpans(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", k: Int = 40): DataFrame =
+    spansFrom(dupOccurrences(docs, idCol, textCol, k), idCol, k)
+
+  /** Per-document duplication metrics over ALL docs (spanless docs report
+    * zero): `(idCol, n_chars, dup_chars, dup_fraction)` — dup_chars is the
+    * total length of [[dupSpans]] spans, the "fraction of characters in
+    * duplicated text" gate published pipelines threshold on. One exact
+    * integer-over-integer IEEE division, cross-engine bit-identical.
+    */
+  def dupStats(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", k: Int = 40): DataFrame =
+    statsFrom(docs, dupOccurrences(docs, idCol, textCol, k), idCol, textCol, k)
+
+  /** Keep-first-occurrence cut plan: spans built only from REDUNDANT
+    * positions — occurrences that are not the corpus-first `(id, pos)`
+    * (ids then positions ascending) of their window content. The first
+    * copy of a passage survives untouched; every later copy is covered by
+    * a cut span. The argmin is a partially-aggregatable `min(struct)` —
+    * a pathologically repeated window combines map-side, never a window
+    * function over the content key.
+    */
+  def cutSpans(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", k: Int = 40): DataFrame =
+    cutFrom(dupOccurrences(docs, idCol, textCol, k), idCol, k)
+}

@@ -109,6 +109,23 @@ object Extensions {
         graft.ext.Bpe.train(Tables.documents(s, dir), "text", numMerges = 10)
       })
 
+  /** Duplicated k-window occurrences per corpus — the exact-substring
+    * ledger ([[graft.ext.SubstrDedup.dupOccurrences]]): one hash-first
+    * corpus scan, cached like the CC pair graph; the spans / stats / cut
+    * entries all serve from it.
+    */
+  private val substrOccCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def substrOccFor(s: SparkSession, dir: String): DataFrame =
+    substrOccCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("substr_dup_scan") {
+        val occ = graft.ext.SubstrDedup
+          .dupOccurrences(Tables.documents(s, dir), k = 40).persist()
+        occ.count() // materialize: three entries serve from these blocks
+        occ
+      })
+
   val queries: Map[String, Q] = Map(
     // ---- text analysis -------------------------------------------------
     "x_text_stats" -> ((s: SparkSession, dir: String) => {
@@ -291,6 +308,29 @@ object Extensions {
         .filter(col("source_a") < col("source_b"))
         .groupBy(col("source_a"), col("source_b"))
         .agg(count(lit(1)).as("n_shared"))
+    }),
+
+    // exact-substring duplication (Lee et al. 2022 ExactSubstr): maximal
+    // character spans (≥ k=40) occurring ≥ 2 times corpus-wide — the
+    // passage-level axis none of the document-level dedups see. Wide
+    // shuffle is hash-first (8 B/window); window text moves only for the
+    // duplicated sliver and is re-verified by string (collision-safe)
+    "x_substr_spans" -> ((s: SparkSession, dir: String) => {
+      graft.ext.SubstrDedup.spansFrom(substrOccFor(s, dir), k = 40)
+    }),
+
+    // per-doc duplicated-character fraction — the "frac chars in dup
+    // text" quality gate; all docs report (zeros included)
+    "x_substr_stats" -> ((s: SparkSession, dir: String) => {
+      graft.ext.SubstrDedup.statsFrom(
+        Tables.documents(s, dir), substrOccFor(s, dir), k = 40)
+    }),
+
+    // the removal plan under the keep-first-occurrence policy: cut spans
+    // cover only non-first copies (corpus order by id, then position), so
+    // one copy of every duplicated passage survives
+    "x_substr_cut" -> ((s: SparkSession, dir: String) => {
+      graft.ext.SubstrDedup.cutFrom(substrOccFor(s, dir), k = 40)
     }),
 
     // duplication-profile analytics over the same ledger: how big are the
@@ -1015,6 +1055,29 @@ object Extensions {
   import Util._
 
   private val sqlWords = "string_split(text, ' ')"
+
+  /** Shared CTEs for the exact-substring family: stride-1 40-char windows
+    * with 0-based positions (`w`) and per-window occurrence counts (`f`).
+    * The oracle groups by window text directly — it verifies the two-pass
+    * hash-first plan's OUTPUT, not its intermediate hashes.
+    */
+  private val substrWindowCtes =
+    """WITH p AS (SELECT doc_id,
+      |    unnest(generate_series(0, length(text) - 40)) AS pos, text
+      |  FROM documents WHERE length(text) >= 40),
+      |w AS (SELECT doc_id, pos,
+      |    substr(text, CAST(pos AS INT) + 1, 40) AS gram FROM p),
+      |f AS (SELECT gram, count(*) AS cnt FROM w GROUP BY gram)""".stripMargin
+
+  /** Islands → maximal spans over a `(doc_id, pos)` CTE named `d`. */
+  private val substrSpanSelect =
+    """i AS (SELECT doc_id, pos,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM d)
+      |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+      |  CAST(max(pos) + 40 AS BIGINT) AS span_end,
+      |  CAST(max(pos) + 40 - min(pos) AS BIGINT) AS span_len
+      |FROM i GROUP BY doc_id, grp""".stripMargin
   private def sqlStopCount(words: Seq[String]) =
     s"len(list_filter($sqlWords, w -> w in (${words.map(w => s"'$w'").mkString(", ")})))"
 
@@ -1733,6 +1796,41 @@ object Extensions {
         |  CAST(count(*) AS BIGINT) AS n_shared
         |FROM t a JOIN t b ON a.ng = b.ng AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,
+
+    "x_substr_spans" ->
+      s"""$substrWindowCtes,
+         |d AS (SELECT w.doc_id, w.pos
+         |  FROM w JOIN f ON w.gram = f.gram WHERE f.cnt >= 2),
+         |$substrSpanSelect""".stripMargin,
+
+    "x_substr_stats" ->
+      s"""$substrWindowCtes,
+         |d AS (SELECT w.doc_id, w.pos
+         |  FROM w JOIN f ON w.gram = f.gram WHERE f.cnt >= 2),
+         |i AS (SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM d),
+         |sp AS (SELECT doc_id, max(pos) + 40 - min(pos) AS span_len
+         |  FROM i GROUP BY doc_id, grp),
+         |agg AS (SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_chars
+         |  FROM sp GROUP BY doc_id)
+         |SELECT dd.doc_id, CAST(length(dd.text) AS BIGINT) AS n_chars,
+         |  COALESCE(agg.dup_chars, 0) AS dup_chars,
+         |  CASE WHEN length(dd.text) = 0 THEN 0.0
+         |       ELSE CAST(COALESCE(agg.dup_chars, 0) AS DOUBLE) / length(dd.text)
+         |  END AS dup_fraction
+         |FROM documents dd LEFT JOIN agg ON dd.doc_id = agg.doc_id""".stripMargin,
+
+    "x_substr_cut" ->
+      s"""$substrWindowCtes,
+         |fo AS (SELECT w.gram, min(w.doc_id) AS fdoc
+         |  FROM w JOIN f ON w.gram = f.gram WHERE f.cnt >= 2 GROUP BY w.gram),
+         |fp AS (SELECT fo.gram, fo.fdoc, min(w.pos) AS fpos
+         |  FROM w JOIN fo ON w.gram = fo.gram AND w.doc_id = fo.fdoc
+         |  GROUP BY fo.gram, fo.fdoc),
+         |d AS (SELECT w.doc_id, w.pos FROM w JOIN fp ON w.gram = fp.gram
+         |  WHERE NOT (w.doc_id = fp.fdoc AND w.pos = fp.fpos)),
+         |$substrSpanSelect""".stripMargin,
 
     "x_dedup_cluster_sizes" ->
       s"""$ccWalkCtes,

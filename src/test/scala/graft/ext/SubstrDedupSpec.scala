@@ -1,0 +1,85 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Exact-substring duplication: planted cross-doc passage recovery with
+  * exact span boundaries, within-doc repeats, the keep-first cut policy,
+  * island merging, and short-doc/zero-dup edges.
+  */
+class SubstrDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Docs 1 and 2 share a 20-char passage at different offsets; doc 3
+  // repeats a 12-char string twice internally; doc 4 is unique filler;
+  // doc 5 is shorter than k. Filler alphabets are disjoint so nothing
+  // else duplicates by accident.
+  private val shared = "AAAAABBBBBCCCCCDDDDD" // 20 chars
+  private def docs = Seq(
+    (1L, "xxxxxxxxxx" + shared + "yyyyyyyyyy"),        // shared at pos 10
+    (2L, shared + "abcdefghijklmnopqrst"),             // shared at pos 0
+    (3L, "REPEATREPEAT" + "qqqqqq" + "REPEATREPEAT"),  // 12-char x2, pos 0 and 18
+    (4L, "uniquefillerwithoutanyrepeatedcontent!"),
+    (5L, "tiny")
+  ).toDF("doc_id", "text")
+
+  test("dupSpans: planted cross-doc passage recovered with exact boundaries") {
+    val got = SubstrDedup.dupSpans(docs, k = 10)
+      .select("doc_id", "span_start", "span_end", "span_len")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // k=10 windows duplicated exactly where the window lies inside the
+    // shared 20 chars → one maximal span per copy, len 20
+    assert(got.contains((1L, 10L, 30L, 20L)))
+    assert(got.contains((2L, 0L, 20L, 20L)))
+    // doc 3: both 12-char copies report spans of len 12
+    assert(got.contains((3L, 0L, 12L, 12L)))
+    assert(got.contains((3L, 18L, 30L, 12L)))
+    // nothing in the unique or short docs
+    assert(got.map(_._1) === Set(1L, 2L, 3L))
+  }
+
+  test("cutSpans keeps the corpus-first copy by (id, pos); later copies are cut") {
+    val got = SubstrDedup.cutSpans(docs, k = 10)
+      .select("doc_id", "span_start", "span_end", "span_len")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // shared passage: first occurrence by (id, pos) is doc 1 pos 10 →
+    // doc 1 survives, doc 2's copy is cut
+    assert(got.contains((2L, 0L, 20L, 20L)))
+    assert(!got.exists(s => s._1 == 1L))
+    // within-doc repeat: first copy (pos 0) survives, second is cut
+    assert(got.contains((3L, 18L, 30L, 12L)))
+    assert(!got.contains((3L, 0L, 12L, 12L)))
+  }
+
+  test("dupStats: every doc reports; fractions are exact integer divisions") {
+    val got = SubstrDedup.dupStats(docs, k = 10)
+      .select("doc_id", "n_chars", "dup_chars", "dup_fraction")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(got(1L) === ((40L, 20L, 0.5)))
+    assert(got(2L) === ((40L, 20L, 0.5)))
+    assert(got(3L) === ((30L, 24L, 0.8)))
+    assert(got(4L)._2 === 0L && got(4L)._3 === 0.0)
+    assert(got(5L) === ((4L, 0L, 0.0))) // shorter than k: no windows, zero dup
+  }
+
+  test("islands merge: overlapping duplicated windows form ONE maximal span") {
+    // 25-char shared passage, k=10 → 16 consecutive duplicated positions
+    // per copy, exactly one span each — never 16 spanlets
+    val p = "MMMMMNNNNNOOOOOPPPPPQQQQQ"
+    val two = Seq((1L, "aaaaaaa" + p), (2L, p + "bbbbbbb")).toDF("doc_id", "text")
+    val spans = SubstrDedup.dupSpans(two, k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(spans.length === 2)
+    assert(spans.forall(_._4 == 25L))
+  }
+
+  test("no duplicated content → empty spans, zeroed stats") {
+    val uniq = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789"),
+      (2L, "ZYXWVUTSRQPONMLKJIHGFEDCBA!@#$%^&*()")).toDF("doc_id", "text")
+    assert(SubstrDedup.dupSpans(uniq, k = 10).count() === 0L)
+    val st = SubstrDedup.dupStats(uniq, k = 10)
+      .select("dup_chars").as[Long].collect()
+    assert(st.toSeq === Seq(0L, 0L))
+  }
+}
