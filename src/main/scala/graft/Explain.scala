@@ -30,6 +30,12 @@ object Explain {
       val warm = times.drop(1).sorted
       println(f"[explain] $name warm-median: ${warm(warm.size / 2)}%.3f s over ${warm.size} reps")
     }
+    // one-time-per-corpus builds triggered by this query (they run at
+    // DataFrame-construction time, before the timed reps — itemize them
+    // here the way Bench does, or a cached-ledger query looks free)
+    if (BuildTimes.times.nonEmpty)
+      println("[explain] builds: " + BuildTimes.times.toSeq.sortBy(_._1)
+        .map { case (k, v) => f"$k=$v%.2f s" }.mkString(", "))
     spark.stop()
   }
 }
