@@ -142,6 +142,41 @@ object SubstrDedup {
                textCol: String = "text", k: Int = 40): DataFrame =
     statsFrom(docs, dupOccurrences(docs, idCol, textCol, k), idCol, textCol, k)
 
+  /** The cleaned corpus under the keep-first policy: [[cutFrom]] spans
+    * are excised from each document and the surviving segments stitched
+    * back in order — `(idCol, clean_text, n_cut, cut_chars)`. Cut spans
+    * are disjoint and per-doc (islands are maximal), so the complement
+    * segments are `[0, start_1), [end_1, start_2), …, [end_n, len)`:
+    * built from two independently sorted per-doc arrays (disjointness
+    * makes start-order and end-order agree), stitched with one
+    * `array_join`. All per-doc array work is bounded by one document's
+    * span count; docs with nothing to cut pass through verbatim.
+    */
+  def cleanText(docs: DataFrame, occ: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", k: Int = 40): DataFrame = {
+    val spans = cutFrom(occ, idCol, k)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(col("span_start"))).as("ss"),
+        array_sort(collect_list(col("span_end"))).as("es"),
+        count(lit(1)).as("n_cut"),
+        sum(col("span_len")).as("cut_chars"))
+    docs.select(col(idCol), col(textCol),
+        length(col(textCol)).cast("long").as("__len"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), col(textCol), col("__len"),
+        concat(array(lit(0L)),
+          coalesce(col("es"), array().cast("array<bigint>"))).as("segs"),
+        concat(coalesce(col("ss"), array().cast("array<bigint>")),
+          array(col("__len"))).as("sege"),
+        coalesce(col("n_cut"), lit(0L)).cast("int").as("n_cut"),
+        coalesce(col("cut_chars"), lit(0L)).as("cut_chars"))
+      .select(col(idCol),
+        array_join(zip_with(col("segs"), col("sege"),
+          (a, b) => col(textCol).substr((a + 1).cast("int"), (b - a).cast("int"))),
+          "").as("clean_text"),
+        col("n_cut"), col("cut_chars"))
+  }
+
   /** Keep-first-occurrence cut plan: spans built only from REDUNDANT
     * positions — occurrences that are not the corpus-first `(id, pos)`
     * (ids then positions ascending) of their window content. The first

@@ -333,6 +333,14 @@ object Extensions {
       graft.ext.SubstrDedup.cutFrom(substrOccFor(s, dir), k = 40)
     }),
 
+    // the cleaned corpus itself: cut spans excised, surviving segments
+    // stitched in order — what actually ships to training after
+    // ExactSubstr dedup (docs with nothing to cut pass through verbatim)
+    "x_substr_clean" -> ((s: SparkSession, dir: String) => {
+      graft.ext.SubstrDedup.cleanText(
+        Tables.documents(s, dir), substrOccFor(s, dir), k = 40)
+    }),
+
     // duplication-profile analytics over the same ledger: how big are the
     // near-dup clusters (singletons included — the honest denominator)?
     // Two tiny keyed aggregations on (16 B/row) labels; the report every
@@ -1831,6 +1839,38 @@ object Extensions {
          |d AS (SELECT w.doc_id, w.pos FROM w JOIN fp ON w.gram = fp.gram
          |  WHERE NOT (w.doc_id = fp.fdoc AND w.pos = fp.fpos)),
          |$substrSpanSelect""".stripMargin,
+
+    "x_substr_clean" ->
+      s"""$substrWindowCtes,
+         |fo AS (SELECT w.gram, min(w.doc_id) AS fdoc
+         |  FROM w JOIN f ON w.gram = f.gram WHERE f.cnt >= 2 GROUP BY w.gram),
+         |fp AS (SELECT fo.gram, fo.fdoc, min(w.pos) AS fpos
+         |  FROM w JOIN fo ON w.gram = fo.gram AND w.doc_id = fo.fdoc
+         |  GROUP BY fo.gram, fo.fdoc),
+         |d AS (SELECT w.doc_id, w.pos FROM w JOIN fp ON w.gram = fp.gram
+         |  WHERE NOT (w.doc_id = fp.fdoc AND w.pos = fp.fpos)),
+         |i AS (SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM d),
+         |sp AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 40 AS span_end
+         |  FROM i GROUP BY doc_id, grp),
+         |ag AS (SELECT doc_id,
+         |    list_sort(list(span_start)) AS ss, list_sort(list(span_end)) AS es,
+         |    CAST(count(*) AS INT) AS n_cut,
+         |    CAST(sum(span_end - span_start) AS BIGINT) AS cut_chars
+         |  FROM sp GROUP BY doc_id),
+         |j AS (SELECT dd.doc_id, dd.text, length(dd.text) AS len,
+         |    list_prepend(CAST(0 AS BIGINT), COALESCE(ag.es, [])) AS segs,
+         |    list_append(COALESCE(ag.ss, []), length(dd.text)) AS sege,
+         |    COALESCE(ag.n_cut, 0) AS n_cut,
+         |    COALESCE(ag.cut_chars, 0) AS cut_chars
+         |  FROM documents dd LEFT JOIN ag ON dd.doc_id = ag.doc_id)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(generate_series(1, len(segs)),
+         |    q -> substr(text, CAST(segs[q] AS INT) + 1,
+         |                CAST(sege[q] - segs[q] AS INT))), '') AS clean_text,
+         |  n_cut, cut_chars
+         |FROM j""".stripMargin,
 
     "x_dedup_cluster_sizes" ->
       s"""$ccWalkCtes,

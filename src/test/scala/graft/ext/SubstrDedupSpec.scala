@@ -63,6 +63,23 @@ class SubstrDedupSpec extends SparkSpec {
     assert(got(5L) === ((4L, 0L, 0.0))) // shorter than k: no windows, zero dup
   }
 
+  test("cleanText: cut spans excised, survivors stitched, untouched docs verbatim") {
+    val occ = SubstrDedup.dupOccurrences(docs, k = 10)
+    val got = SubstrDedup.cleanText(docs, occ, k = 10)
+      .select("doc_id", "clean_text", "n_cut", "cut_chars")
+      .as[(Long, String, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1 holds the first copy — untouched
+    assert(got(1L) === (("xxxxxxxxxx" + shared + "yyyyyyyyyy", 0, 0L)))
+    // doc 2's copy is cut; its unique filler survives
+    assert(got(2L) === (("abcdefghijklmnopqrst", 1, 20L)))
+    // doc 3: second internal copy cut, first kept
+    assert(got(3L) === (("REPEATREPEATqqqqqq", 1, 12L)))
+    // unique and short docs pass through verbatim
+    assert(got(4L)._1 === "uniquefillerwithoutanyrepeatedcontent!")
+    assert(got(5L) === (("tiny", 0, 0L)))
+  }
+
   test("islands merge: overlapping duplicated windows form ONE maximal span") {
     // 25-char shared passage, k=10 → 16 consecutive duplicated positions
     // per copy, exactly one span each — never 16 spanlets
