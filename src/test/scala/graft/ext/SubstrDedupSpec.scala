@@ -91,6 +91,28 @@ class SubstrDedupSpec extends SparkSpec {
     assert(spans.forall(_._4 == 25L))
   }
 
+  test("two-pass hash-first occurrences == naive string-only groupBy") {
+    import org.apache.spark.sql.functions._
+    val k = 10
+    // naive form: no hash pass — group every window by its text directly
+    val w = docs.filter(length(col("text")) >= k)
+      .select(col("doc_id").as("id"),
+        explode(sequence(lit(0L), (length(col("text")) - k).cast("long"))).as("pos"),
+        col("text"))
+      .select(col("id"), col("pos"),
+        col("text").substr(col("pos").cast("int") + 1, lit(k)).as("gram"))
+    val dup = w.groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"), min(struct(col("id"), col("pos"))).as("first"))
+      .filter(col("cnt") >= 2)
+    val naive = w.join(dup, Seq("gram"))
+      .select(col("id"), col("pos"),
+        (col("first.id") === col("id") && col("first.pos") === col("pos")).as("is_first"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    val got = SubstrDedup.dupOccurrences(docs, k = k)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === naive)
+  }
+
   test("no duplicated content → empty spans, zeroed stats") {
     val uniq = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789"),
       (2L, "ZYXWVUTSRQPONMLKJIHGFEDCBA!@#$%^&*()")).toDF("doc_id", "text")
