@@ -341,6 +341,25 @@ object Extensions {
         Tables.documents(s, dir), substrOccFor(s, dir), k = 40)
     }),
 
+    // corpus-level duplication report (the single-row summary a dedup run
+    // ships, like x_dedup_cluster_sizes): affected docs, span count,
+    // duplicated chars, longest span, and the corpus-wide dup-char
+    // fraction. Two bounded aggregations; the single-row crossJoin is
+    // broadcast by construction (quadraticBySpec-allowlisted)
+    "x_substr_summary" -> ((s: SparkSession, dir: String) => {
+      val spans = graft.ext.SubstrDedup.spansFrom(substrOccFor(s, dir), k = 40)
+      val agg = spans.agg(
+        countDistinct(col("doc_id")).as("n_docs_affected"),
+        count(lit(1)).as("n_spans"),
+        sum(col("span_len")).as("dup_chars"),
+        max(col("span_len")).as("max_span_len"))
+      val corpus = Tables.documents(s, dir)
+        .agg(sum(length(col("text")).cast("long")).as("corpus_chars"))
+      agg.crossJoin(corpus)
+        .withColumn("dup_char_fraction",
+          col("dup_chars").cast("double") / col("corpus_chars"))
+    }),
+
     // duplication-profile analytics over the same ledger: how big are the
     // near-dup clusters (singletons included — the honest denominator)?
     // Two tiny keyed aggregations on (16 B/row) labels; the report every
@@ -1839,6 +1858,24 @@ object Extensions {
          |d AS (SELECT w.doc_id, w.pos FROM w JOIN fp ON w.gram = fp.gram
          |  WHERE NOT (w.doc_id = fp.fdoc AND w.pos = fp.fpos)),
          |$substrSpanSelect""".stripMargin,
+
+    "x_substr_summary" ->
+      s"""$substrWindowCtes,
+         |d AS (SELECT w.doc_id, w.pos
+         |  FROM w JOIN f ON w.gram = f.gram WHERE f.cnt >= 2),
+         |i AS (SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM d),
+         |sp AS (SELECT doc_id, max(pos) + 40 - min(pos) AS span_len
+         |  FROM i GROUP BY doc_id, grp)
+         |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_affected,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(span_len) AS BIGINT) AS dup_chars,
+         |  CAST(max(span_len) AS BIGINT) AS max_span_len,
+         |  (SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) AS corpus_chars,
+         |  CAST(sum(span_len) AS DOUBLE)
+         |    / (SELECT sum(length(text)) FROM documents) AS dup_char_fraction
+         |FROM sp""".stripMargin,
 
     "x_substr_clean" ->
       s"""$substrWindowCtes,

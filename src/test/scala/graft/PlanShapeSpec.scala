@@ -153,6 +153,7 @@ class PlanShapeSpec extends SparkSpec {
       "x_text_tfidf",        // same broadcast single-row N (tf-weighted twin)
       "x_mix_temperature",   // single-row Σw aggregate broadcast back
       "x_skew_profile",      // 1×1 cross join of two single-row summaries
+      "x_substr_summary",    // 1×1 cross join: span summary × corpus chars
       "x_curriculum",        // single-row N aggregate broadcast back
       "x_dedup_semantic")    // inherits the nlist-bounded assignment cross
                              // join from the cached IVF lineage; the pair
