@@ -59,46 +59,106 @@ object JaccardDedup {
     * all absent from B, overlap ≤ ⌈t·|A|⌉ − 1 — contradiction. So A's
     * PREFIX must hit B — but B gets no prefix (t bounds nothing about how
     * much of B is missed), so candidates are A-prefix tokens joined
-    * against B's FULL token list. Still keyed on the 8-byte token hash,
-    * still lossless (collisions only add candidates; exact verify
-    * removes them), and the ppjoin positional bound applies unchanged:
-    * the first common token gives overlap ≤ 1 + min(|A|−rn_a, |B|−rn_b),
-    * required ≥ ⌈t·|A|⌉. The B-side lists make this heavier than the
-    * symmetric join — use n-gram ≥ 2 sets (selective tokens) at corpus
-    * scale; word-level containment on a small vocabulary degenerates.
+    * against B's token list, and the ppjoin positional bound applies
+    * unchanged: the first common token gives overlap ≤
+    * 1 + min(|A|−rn_a, |B|−rn_b), required ≥ ⌈t·|A|⌉.
+    *
+    * `maxDf` is what keeps the B side from going superlinear: an A-prefix
+    * × B-FULL-list join is Σ_τ prefixCnt(τ)·df(τ) candidates, and the sum
+    * is dominated by common tokens — measured 8.9× on 10× data when
+    * unbounded. Dropping tokens with df > maxDf from candidate generation
+    * (BOTH sides, AFTER ranks are assigned over the full ordering) caps
+    * the sum at maxDf · Σ prefixCnt — LINEAR in corpus size. The output
+    * contract this computes is exact, not approximate:
+    *
+    *   pairs with C(A,B) ≥ t that share at least one n-gram with
+    *   df ≤ maxDf.
+    *
+    * Proof the capped prefix join realizes exactly that set: take a
+    * qualifying pair and let τ₁ be its rarest (canonical-first) common
+    * token. Any shared σ with df(σ) ≤ maxDf sorts at-or-after τ₁, so
+    * df(τ₁) ≤ maxDf — τ₁ survives the cap on both sides. The prefix
+    * argument above yields some prefix(A) token in B; τ₁ sorts before it
+    * and is in A, so τ₁ ∈ prefix(A). τ₁'s positional bound is genuine
+    * (every other common token follows it in both full orderings), so its
+    * candidate row passes the filter, and exact verification admits the
+    * pair. Conversely every emitted pair shares its generating token
+    * (df ≤ maxDf) and is verified ≥ t. The only caveat: df here is
+    * counted on the 64-bit token hash, so a collision can merge two
+    * tokens' counts and demote a token sitting within collision-mass of
+    * the cap — vanishing at 64 bits, and collisions still never ADD false
+    * pairs (exact verify).
+    *
+    * Recall shape of the contract: a true containment pair is excluded
+    * only when EVERY shared n-gram appears in more than `maxDf` documents
+    * — i.e. the copied text is itself corpus-wide boilerplate, which is
+    * [[Boilerplate]]'s job to detect, not a pairwise detector's. With
+    * n-gram ≥ 3, a genuine partial copy shares the source's consecutive
+    * trigrams whose df ≈ the copy-family size, far under any sane cap.
+    * Pass `maxDf = Long.MaxValue` to recover the exhaustive (superlinear)
+    * round-5 behavior when the corpus is known-small.
     */
   def containmentPairs(docs: DataFrame, threshold: Double = 0.5,
-                       ngram: Int = 3): DataFrame = {
+                       ngram: Int = 3, maxDf: Long = 100L): DataFrame = {
+    // hs = the hashed n-gram set, computed once at tokenization: the
+    // verify join below intersects HASH arrays, not string arrays — the
+    // candidate sliver at worst-case duplication (ScaleUp ×10) is millions
+    // of pairs, and fetching two ~3 KB string arrays per pair made verify
+    // the dominant stage (measured 36 s of a 46 s sf1 run). 8 B/element
+    // long arrays cut the verify shuffle ~4× and the intersect is a long
+    // compare. Same collision stance as the candidate rule: a collision
+    // can merge two n-grams in the intersect — vanishing at 64 bits.
     val t = docs.select(col("doc_id"), ngramSet("text", ngram).as("ws"))
       .filter(size(col("ws")) >= 1)
+      .select(col("doc_id"), col("ws"),
+        expr("transform(ws, x -> xxhash64(x))").as("hs"))
       .persist()
+    // token strings are dropped RIGHT AFTER hashing: the freq aggregate,
+    // freq join, and rank window all shuffle (doc_id, sz, th) — ~20 B/row.
+    // The canonical order is (df, th) with no string tiebreak: a tie is
+    // exactly a 64-bit collision, which this operator's df counting and
+    // candidate keying already accept (see the contract caveat above), so
+    // the string tiebreak bought determinism only in a regime the rest of
+    // the plan had already given up — and cost a corpus of n-gram strings
+    // through two shuffles ([[similarPairs]] keeps its string tiebreak
+    // and its unconditional guarantee).
     val toks = t.select(col("doc_id"), size(col("ws")).as("sz"),
       explode(col("ws")).as("tok"))
-      .withColumn("th", xxhash64(col("tok")))
+      .select(col("doc_id"), col("sz"), xxhash64(col("tok")).as("th"))
     val freq = toks.groupBy(col("th")).agg(count(lit(1)).as("df"))
     val tDec = lit(new java.math.BigDecimal(java.lang.Double.toString(threshold)))
     val byDoc = Window.partitionBy(col("doc_id"))
-      .orderBy(col("df"), col("th"), col("tok"))
+      .orderBy(col("df"), col("th"))
     val ranked = toks.join(freq, "th")
       .withColumn("rn", row_number().over(byDoc))
     val prefixLen = col("sz") - ceil(tDec * col("sz")) + lit(1)
-    val cand = ranked.filter(col("rn") <= prefixLen)
+    // df ≤ maxDf applied AFTER ranking (ranks must reflect the full
+    // ordering for the positional bound) and on BOTH join inputs — the
+    // B-side posting-list cap is the linearity guarantee. The slim capped
+    // projection is persisted because it feeds BOTH sides of the candidate
+    // join: without it the explode→freq-join→rank-window lineage (the
+    // corpus-sized part of this plan) executes twice. 20 B/row, no token
+    // strings; released by the ContextCleaner with the other caches here.
+    val slim = ranked.filter(col("df") <= maxDf)
+      .select(col("th"), col("doc_id"), col("rn"), col("sz"))
+      .persist()
+    val cand = slim.filter(col("rn") <= prefixLen)
       .select(col("th"), col("doc_id").as("doc_a"), col("rn").as("ra"), col("sz").as("sa"))
-      .join(ranked.select(col("th"), col("doc_id").as("doc_b"),
-        col("rn").as("rb"), col("sz").as("sb")), Seq("th"))
+      .join(slim.select(col("th"), col("doc_id").as("doc_b"),
+          col("rn").as("rb"), col("sz").as("sb")), Seq("th"))
       .filter(col("sa") < col("sb") ||
         (col("sa") === col("sb") && col("doc_a") < col("doc_b")))
       .filter(lit(1) + least(col("sa") - col("ra"), col("sb") - col("rb")) >=
         ceil(tDec * col("sa")))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    val sets = t.select(col("doc_id"), col("ws"))
+    val sets = t.select(col("doc_id"), col("hs"))
     cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("wa")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("wb")), Seq("doc_b"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("wa"), col("wb"))).cast("double") /
-          size(col("wa"))).as("containment"))
+        (size(array_intersect(col("ha"), col("hb"))).cast("double") /
+          size(col("ha"))).as("containment"))
       .filter(col("containment") >= threshold)
   }
 

@@ -391,7 +391,10 @@ object Extensions {
 
     // asymmetric containment |A∩B|/|A| on trigram sets, corpus-wide: the
     // partial-copy detector — finds the planted near-dup family even
-    // where symmetric Jaccard dilutes below threshold
+    // where symmetric Jaccard dilutes below threshold. Default maxDf=100
+    // caps every posting list (linear candidates); the contract — pairs
+    // sharing ≥1 trigram with df ≤ 100 — is mirrored in the oracle, and
+    // at this fixture's df ceiling (25 at sf0.1) the cap changes nothing.
     "x_dedup_containment" -> ((s: SparkSession, dir: String) => {
       JaccardDedup.containmentPairs(Tables.documents(s, dir), threshold = 0.4, ngram = 3)
     }),
@@ -1360,12 +1363,17 @@ object Extensions {
       s"""WITH t AS (SELECT doc_id,
          |  list_distinct(list_transform(generate_series(1, len($sqlWords) - 2),
          |    i -> $sqlWords[i] || ' ' || $sqlWords[i+1] || ' ' || $sqlWords[i+2])) AS ws
-         |  FROM documents)
+         |  FROM documents),
+         |rare AS (SELECT list(g) AS gl FROM (
+         |  SELECT g FROM (SELECT unnest(ws) AS g FROM t) GROUP BY g
+         |  HAVING count(*) <= 100))
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / len(a.ws) AS containment
          |FROM t a JOIN t b
          |  ON (len(a.ws) < len(b.ws) OR (len(a.ws) = len(b.ws) AND a.doc_id < b.doc_id))
+         |CROSS JOIN rare
          |WHERE len(a.ws) >= 1
+         |  AND len(list_intersect(list_intersect(a.ws, b.ws), rare.gl)) >= 1
          |  AND CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / len(a.ws) >= 0.4""".stripMargin,
 
     "x_text_quality" ->

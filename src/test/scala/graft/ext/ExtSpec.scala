@@ -261,6 +261,26 @@ class JaccardDedupSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("containment maxDf cap: common-only overlap dropped, rare overlap kept, ranks still full-order") {
+    // 10 docs share a boilerplate prefix (its trigrams have df=10); each
+    // also carries unique filler. Pairwise containment among them is 4/7 ≥
+    // 0.5, but EVERY shared trigram is common — with maxDf=3 the contract
+    // excludes all 45 pairs. Docs 100/101 share 3 rare trigrams (df=2):
+    // kept at containment 1.0. The uncapped call still finds everything.
+    val boiler = "common one two three four five"
+    val docs = ((0L until 10L).map(i =>
+        (i, s"$boiler f${i}a f${i}b f${i}c")) ++ Seq(
+        (100L, "rare alpha beta gamma delta"),
+        (101L, "rare alpha beta gamma delta h1 h2 h3 h4 h5")))
+      .toDF("doc_id", "text")
+    val capped = JaccardDedup.containmentPairs(docs, threshold = 0.5, ngram = 3, maxDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped === Set((100L, 101L, 1.0)))
+    val uncapped = JaccardDedup.containmentPairs(docs, threshold = 0.5, ngram = 3,
+      maxDf = Long.MaxValue).count()
+    assert(uncapped === 46L, "uncapped must keep the 45 boiler pairs + the rare pair")
+  }
+
   test("lossless at t=0.9: the FP-undercount counterexample pair is found") {
     // J(A,B) = 9/10 exactly; with floor((1-0.9)*10)+1 = 1 the rarest token
     // 'unique0' is A's whole prefix, B's prefix misses it, and the pair
