@@ -925,38 +925,48 @@ object Extensions {
 
     // vocabulary COVERAGE curve: cumulative token-occurrence share by
     // frequency rank — the "how many vocab entries cover 90% of the
-    // corpus" question every tokenizer-size decision starts from. Both
-    // windows run on the AGGREGATED vocab (x_text_vocab's global-window
-    // precedent); share = one IEEE division of exact longs.
+    // corpus" question every tokenizer-size decision starts from. Only
+    // the top-20 head is ever emitted, so the head is taken DISTRIBUTED
+    // (orderBy.limit → TakeOrderedAndProject: per-partition top-20s
+    // merged on the driver, never a global sort) and the rank/cum
+    // windows run AFTER the limit, over exactly 20 rows. The corpus
+    // total is a map-only single-row aggregate broadcast back (Σ_v tf ==
+    // Σ_docs |words| by construction — no second pass over the vocab).
+    // A web-scale vocab (1e8–1e9 distinct tokens) never feeds a window.
     "x_text_vocab_coverage" -> ((s: SparkSession, dir: String) => {
       val wOrd = org.apache.spark.sql.expressions.Window
         .orderBy(col("tf").desc, col("tok"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
-      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
-      Tables.documents(s, dir)
-        .select(explode(split(col("text"), " ")).as("tok"))
+      val d = Tables.documents(s, dir)
+      val top = d.select(explode(split(col("text"), " ")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
-        .select(col("tok"), col("tf"),
+        .orderBy(col("tf").desc, col("tok")).limit(20)
+      val total = d.select(
+        sum(size(split(col("text"), " ")).cast("long")).as("total"))
+      top.crossJoin(broadcast(total))
+        .select(
           row_number().over(org.apache.spark.sql.expressions.Window
             .orderBy(col("tf").desc, col("tok"))).as("rank"),
-          sum(col("tf")).over(wOrd).as("cum"),
-          sum(col("tf")).over(wAll).as("total"))
-        .filter(col("rank") <= 20)
-        .select(col("rank"), col("tok"), col("tf"),
-          (col("cum").cast("double") / col("total")).as("cum_share"))
+          col("tok"), col("tf"),
+          (sum(col("tf")).over(wOrd).cast("double") / col("total")).as("cum_share"))
     }),
 
     // vocabulary building: global token ranks by (df desc, token). The
-    // final rank runs on the AGGREGATED vocab (|vocab| << corpus) — the
-    // one place a global window is the right call.
+    // output is vocab-sized, so the rank CANNOT hide behind a head/limit
+    // — it rides the distributed prefix sum instead (range-partition by
+    // the rank order, per-partition counts, pid-metadata offsets), the
+    // same two-phase shape as epoch shuffle / packing. A global
+    // row_number window here would funnel 1e8–1e9 distinct tokens of a
+    // web-scale corpus through ONE task.
     "x_text_vocab" -> ((s: SparkSession, dir: String) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("df").desc, col("tok"))
-      Tables.documents(s, dir)
+      val vocab = Tables.documents(s, dir)
         .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        .withColumn("token_id", row_number().over(w))
+        .withColumn("__one", lit(1L))
+      graft.ext.Packing.runningTotalBy(vocab,
+          Seq(col("df").desc, col("tok")), "__one")
+        .select(col("tok"), col("df"), col("cum").cast("int").as("token_id"))
     }),
 
     // composed training-data-prep pipeline: quality filter -> language

@@ -155,6 +155,7 @@ class PlanShapeSpec extends SparkSpec {
       "x_skew_profile",      // 1×1 cross join of two single-row summaries
       "x_substr_summary",    // 1×1 cross join: span summary × corpus chars
       "x_curriculum",        // single-row N aggregate broadcast back
+      "x_text_vocab_coverage", // broadcast single-row corpus-total × top-20 head
       "x_dedup_semantic")    // inherits the nlist-bounded assignment cross
                              // join from the cached IVF lineage; the pair
                              // join itself is keyed on cid (pinned below)
@@ -167,6 +168,29 @@ class PlanShapeSpec extends SparkSpec {
         else None
       }
     assert(offenders.isEmpty, s"unplanned cross joins in: $offenders")
+  }
+
+  test("REGISTRY-WIDE: no unpartitioned sort window over an unbounded frame") {
+    // a Window with an empty partitionSpec sorts its whole input through
+    // ONE task. That is only acceptable when the input is bounded by
+    // construction: a GlobalLimit head (top-k curves), or the offsets
+    // aggregate of Packing's distributed prefix sum (grouped on
+    // spark_partition_id → ≤ numPartitions rows, partition-METADATA
+    // scale). Anything else — e.g. ranking an unbounded vocabulary —
+    // is the web-scale straggler this spec exists to keep out.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LogicalPlan, Window => LWindow}
+    def bounded(p: LogicalPlan): Boolean = p.collectFirst {
+      case _: GlobalLimit => true
+      case a: Aggregate if a.groupingExpressions.exists(_.toString.contains("__pid")) => true
+    }.getOrElse(false)
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      lp.collect {
+        case w: LWindow if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty && !bounded(w.child) =>
+          s"$name (over ${w.child.nodeName})"
+      }
+    }
+    assert(offenders.isEmpty, s"unbounded global sort windows in: $offenders")
   }
 
   test("silver scan prunes columns (ReadSchema is a subset)") {
