@@ -57,13 +57,20 @@ object SubstrDedup {
     * occurs ≥ 2 times corpus-wide, and `is_first` marks the corpus-first
     * occurrence of its content (ids then positions ascending). Two passes —
     * count by 8-byte hash, then re-verify the hot sliver by window text
-    * (collision-safe; see the object doc). The candidate sliver is
-    * persisted internally: it feeds both the verify aggregation and the
-    * final occurrence join, and its size is bounded by the corpus's actual
-    * duplicated content (+ hash collisions), never the corpus — the same
-    * bounded-ledger discipline as the CC pair graph. This is the
-    * once-per-corpus scan; callers serving repeatedly should cache the
-    * returned frame (the query registry does).
+    * (collision-safe; see the object doc).
+    *
+    * This is the once-per-corpus scan, and the returned ledger comes back
+    * EAGER and PERSISTED: the candidate sliver (which feeds both the
+    * verify aggregation and the final occurrence join) is cached only for
+    * the duration of this call — the occurrence frame is materialized
+    * through it, then the candidates (17 B + a k-char gram per row) are
+    * released and only the 17 B/row ledger stays pinned. The returned
+    * frame IS the storage handle: callers own its lifecycle and
+    * `unpersist()` it when done serving (the query registry holds it per
+    * (app, dir) for the app's life, by design). Ledger size is bounded by
+    * the corpus's actual duplicated content (+ hash collisions), never
+    * the corpus — the same bounded-ledger discipline as the CC pair
+    * graph.
     */
   def dupOccurrences(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text", k: Int = 40): DataFrame = {
@@ -80,20 +87,37 @@ object SubstrDedup {
       .agg(count(lit(1)).as("cnt"),
         min(struct(col("id"), col("pos"))).as("first"))
       .filter(col("cnt") >= 2)
-    cand.join(dup, Seq("gram"))
+    val occ = cand.join(dup, Seq("gram"))
       .select(col("id"), col("pos"),
         (col("first.id") === col("id") && col("first.pos") === col("pos"))
           .as("is_first"))
+      .persist()
+    occ.count()
+    cand.unpersist()
+    occ
   }
 
-  /** Runs of consecutive positions → maximal spans
-    * `(id, span_start, span_end, span_len)` with end exclusive. The
-    * row_number window partitions by document id — bounded by one doc's
-    * length, not corpus shape (unlike the domain-quota anti-pattern).
+  /** Duplicated positions → maximal DISJOINT spans
+    * `(id, span_start, span_end, span_len)` with end exclusive. Each
+    * position covers `[pos, pos+k)`; two positions whose gap is < k cover
+    * overlapping character ranges, so the grouping breaks only at gaps
+    * ≥ k — an interval-union pass, not merely a consecutive-run pass. Two
+    * duplicated passages starting within k chars of each other (separated
+    * by a sub-k unique stretch) therefore merge into ONE span instead of
+    * two overlapping ones, which is what keeps `dup_chars ≤ n_chars` in
+    * [[dupStats]] and the segment arithmetic in [[cleanText]] exact.
+    * Consecutive output spans are separated by ≥ k, i.e. pairwise
+    * disjoint (at most touching). The windows partition by document id —
+    * bounded by one doc's length, not corpus shape (unlike the
+    * domain-quota anti-pattern).
     */
   private def islands(pos: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-    pos.withColumn("grp", col("pos") - row_number().over(w))
+    pos
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) < k, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("grp", sum(col("brk")).over(w))
       .groupBy(col("id"), col("grp"))
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + k).as("span_end"))
@@ -145,12 +169,15 @@ object SubstrDedup {
   /** The cleaned corpus under the keep-first policy: [[cutFrom]] spans
     * are excised from each document and the surviving segments stitched
     * back in order — `(idCol, clean_text, n_cut, cut_chars)`. Cut spans
-    * are disjoint and per-doc (islands are maximal), so the complement
-    * segments are `[0, start_1), [end_1, start_2), …, [end_n, len)`:
-    * built from two independently sorted per-doc arrays (disjointness
-    * makes start-order and end-order agree), stitched with one
-    * `array_join`. All per-doc array work is bounded by one document's
-    * span count; docs with nothing to cut pass through verbatim.
+    * are pairwise disjoint BY CONSTRUCTION — `islands` merges any
+    * positions within k of each other, so consecutive spans are ≥ k
+    * apart — so the complement segments are
+    * `[0, start_1), [end_1, start_2), …, [end_n, len)`: built from two
+    * independently sorted per-doc arrays (disjointness makes start-order
+    * and end-order agree and every segment length non-negative), stitched
+    * with one `array_join`. All per-doc array work is bounded by one
+    * document's span count; docs with nothing to cut pass through
+    * verbatim.
     */
   def cleanText(docs: DataFrame, occ: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text", k: Int = 40): DataFrame = {

@@ -120,10 +120,10 @@ object Extensions {
   private def substrOccFor(s: SparkSession, dir: String): DataFrame =
     substrOccCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
       graft.BuildTimes.timed("substr_dup_scan") {
-        val occ = graft.ext.SubstrDedup
-          .dupOccurrences(Tables.documents(s, dir), k = 40).persist()
-        occ.count() // materialize: three entries serve from these blocks
-        occ
+        // dupOccurrences returns the ledger eager + persisted (and has
+        // already released its internal candidate cache); this map holds
+        // the only pin, for the app's life by design
+        graft.ext.SubstrDedup.dupOccurrences(Tables.documents(s, dir), k = 40)
       })
 
   val queries: Map[String, Q] = Map(
@@ -1109,15 +1109,25 @@ object Extensions {
       |    substr(text, CAST(pos AS INT) + 1, 40) AS gram FROM p),
       |f AS (SELECT gram, count(*) AS cnt FROM w GROUP BY gram)""".stripMargin
 
-  /** Islands → maximal spans over a `(doc_id, pos)` CTE named `d`. */
-  private val substrSpanSelect =
+  /** Islands → maximal DISJOINT spans over a `(doc_id, pos)` CTE named
+    * `d`: group breaks only at position gaps ≥ 40 (each position covers
+    * 40 chars, so sub-40 gaps are overlapping intervals that must merge —
+    * mirrors `SubstrDedup.islands`).
+    */
+  private val substrIslandCtes =
     """i AS (SELECT doc_id, pos,
-      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-      |  FROM d)
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) < 40
+      |         THEN 0 ELSE 1 END AS brk
+      |  FROM d),
+      |g AS (SELECT doc_id, pos,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM i)""".stripMargin
+  private val substrSpanSelect =
+    s"""$substrIslandCtes
       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
       |  CAST(max(pos) + 40 AS BIGINT) AS span_end,
       |  CAST(max(pos) + 40 - min(pos) AS BIGINT) AS span_len
-      |FROM i GROUP BY doc_id, grp""".stripMargin
+      |FROM g GROUP BY doc_id, grp""".stripMargin
   private def sqlStopCount(words: Seq[String]) =
     s"len(list_filter($sqlWords, w -> w in (${words.map(w => s"'$w'").mkString(", ")})))"
 
@@ -1852,11 +1862,9 @@ object Extensions {
       s"""$substrWindowCtes,
          |d AS (SELECT w.doc_id, w.pos
          |  FROM w JOIN f ON w.gram = f.gram WHERE f.cnt >= 2),
-         |i AS (SELECT doc_id, pos,
-         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-         |  FROM d),
+         |$substrIslandCtes,
          |sp AS (SELECT doc_id, max(pos) + 40 - min(pos) AS span_len
-         |  FROM i GROUP BY doc_id, grp),
+         |  FROM g GROUP BY doc_id, grp),
          |agg AS (SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_chars
          |  FROM sp GROUP BY doc_id)
          |SELECT dd.doc_id, CAST(length(dd.text) AS BIGINT) AS n_chars,
@@ -1881,11 +1889,9 @@ object Extensions {
       s"""$substrWindowCtes,
          |d AS (SELECT w.doc_id, w.pos
          |  FROM w JOIN f ON w.gram = f.gram WHERE f.cnt >= 2),
-         |i AS (SELECT doc_id, pos,
-         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-         |  FROM d),
+         |$substrIslandCtes,
          |sp AS (SELECT doc_id, max(pos) + 40 - min(pos) AS span_len
-         |  FROM i GROUP BY doc_id, grp)
+         |  FROM g GROUP BY doc_id, grp)
          |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_affected,
          |  CAST(count(*) AS BIGINT) AS n_spans,
          |  CAST(sum(span_len) AS BIGINT) AS dup_chars,
@@ -1904,11 +1910,9 @@ object Extensions {
          |  GROUP BY fo.gram, fo.fdoc),
          |d AS (SELECT w.doc_id, w.pos FROM w JOIN fp ON w.gram = fp.gram
          |  WHERE NOT (w.doc_id = fp.fdoc AND w.pos = fp.fpos)),
-         |i AS (SELECT doc_id, pos,
-         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-         |  FROM d),
+         |$substrIslandCtes,
          |sp AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 40 AS span_end
-         |  FROM i GROUP BY doc_id, grp),
+         |  FROM g GROUP BY doc_id, grp),
          |ag AS (SELECT doc_id,
          |    list_sort(list(span_start)) AS ss, list_sort(list(span_end)) AS es,
          |    CAST(count(*) AS INT) AS n_cut,

@@ -91,6 +91,44 @@ class SubstrDedupSpec extends SparkSpec {
     assert(spans.forall(_._4 == 25L))
   }
 
+  test("overlapping islands merge: two dup passages < k apart form ONE disjoint span") {
+    // Doc 9 carries two duplicated stretches whose covered intervals
+    // OVERLAP: windows 0..2 (first 12 chars, shared with doc 1) and
+    // window 8 (chars 8..18, shared with doc 2), with unique windows
+    // 3..7 between them. Separate islands would be [0,12) and [8,18) —
+    // overlapping, summing to 22 dup chars in a 20-char doc
+    // (dup_fraction > 1) and breaking cleanText's segment arithmetic.
+    // The gap-based grouping (8 - 2 = 6 < k) must merge them into the
+    // single union span [0,18).
+    val a = "abcdefghijklmnopqrst" // 20 distinct chars
+    val three = Seq(
+      (1L, a.substring(0, 12) + "123456"),  // holds windows 0..2 of doc 9
+      (2L, a.substring(8, 18) + "!@#$%^"),  // holds window 8 of doc 9
+      (9L, a)
+    ).toDF("doc_id", "text")
+    val spans = SubstrDedup.dupSpans(three, k = 10)
+      .filter($"doc_id" === 9L)
+      .select("span_start", "span_end", "span_len")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(spans === Set((0L, 18L, 18L)), "must be ONE merged span, not two overlapping")
+    val st = SubstrDedup.dupStats(three, k = 10)
+      .filter($"doc_id" === 9L)
+      .select("n_chars", "dup_chars", "dup_fraction")
+      .as[(Long, Long, Double)].collect().head
+    assert(st === ((20L, 18L, 0.9)), "dup_chars must count the union, never exceed n_chars")
+    // doc 9's copies are the LATER occurrences (ids 1 and 2 hold the
+    // firsts), so the merged span is also the cut span — the clean text
+    // must be the exact complement, with non-negative segment lengths
+    val occ = SubstrDedup.dupOccurrences(three, k = 10)
+    val clean = SubstrDedup.cleanText(three, occ, k = 10)
+      .select("doc_id", "clean_text", "n_cut", "cut_chars")
+      .as[(Long, String, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(clean(9L) === (("st", 1, 18L)))
+    assert(clean(1L) === ((a.substring(0, 12) + "123456", 0, 0L)), "first copies survive")
+    assert(clean(2L) === ((a.substring(8, 18) + "!@#$%^", 0, 0L)))
+  }
+
   test("two-pass hash-first occurrences == naive string-only groupBy") {
     import org.apache.spark.sql.functions._
     val k = 10
