@@ -99,8 +99,11 @@ object Decontaminate {
                             normalize: Boolean = false): DataFrame = {
     def grams = if (normalize) ngramsOf(normTokens(col(textCol)), n)
                 else ngrams(textCol, n)
+    // greatest(·, 0): a NULL text row propagates NULL through the n-gram
+    // kernel and size(NULL) is -1 — the every-doc-reports contract means
+    // it must surface as (0, 0, 0.0), never a negative or NULL n_grams
     val totals = train.select(col(idCol),
-      size(array_distinct(grams)).cast("long").as("n_grams"))
+      greatest(size(array_distinct(grams)), lit(0)).cast("long").as("n_grams"))
     totals
       .join(contaminated(train, evalSet, n, idCol, textCol, normalize),
         Seq(idCol), "left")

@@ -109,6 +109,25 @@ object Extensions {
         graft.ext.Bpe.train(Tables.documents(s, dir), "text", numMerges = 10)
       })
 
+  /** Count-Min sketch per corpus: d·w longs of driver model state, built
+    * by one full-corpus aggregation — a BUILD, not query work, so it is
+    * cached per (app, dir) and timed like `bpe_train`/`substr_dup_scan`
+    * (otherwise the collect runs at DataFrame-construction time and the
+    * bench attributes the corpus scan to nothing).
+    */
+  private val cmsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Array[Long]]
+
+  private def cmsFor(s: SparkSession, dir: String): Array[Long] =
+    cmsCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("cms_sketch") {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .as[String]
+          .select(new graft.ext.CountMinAgg(4, 4096).toColumn).head()
+      })
+
   /** Duplicated k-window occurrences per corpus — the exact-substring
     * ledger ([[graft.ext.SubstrDedup.dupOccurrences]]): one hash-first
     * corpus scan, cached like the CC pair graph; the spans / stats / cut
@@ -1035,14 +1054,14 @@ object Extensions {
     // their exact counts (est ≥ exact always; bound pinned in
     // CountMinAggSpec). The sketch is d·w longs of driver model state —
     // same bounded-.collect() class as the IVF centroids — built in one
-    // mergeable pass; rows-only (MurmurHash rows aren't SQL-expressible)
+    // mergeable pass via the cached `cms_sketch` build; rows-only
+    // (MurmurHash rows aren't SQL-expressible)
     "x_approx_cms" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val toks = Tables.documents(s, dir)
+      val sk = cmsFor(s, dir)
+      Tables.documents(s, dir)
         .select(explode(split(col("text"), " ")).as("tok"))
-      val sk = toks.as[String]
-        .select(new graft.ext.CountMinAgg(4, 4096).toColumn).head()
-      toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("exact"))
         .orderBy(col("exact").desc, col("tok")).limit(5)
         .as[(String, Long)]
         .map { case (tok, exact) =>

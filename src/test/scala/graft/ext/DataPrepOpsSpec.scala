@@ -37,7 +37,8 @@ class DataPrepOpsSpec extends SparkSpec {
     val train = Seq(
       (10L, "the quick brown fox jumps"),      // 3 distinct 3-grams, 2 shared
       (11L, "completely unrelated words here"),
-      (12L, "too short")                       // 0 3-grams
+      (12L, "too short"),                      // 0 3-grams
+      (13L, null.asInstanceOf[String])         // dirty corpus: NULL text
     ).toDF("doc_id", "text")
     val eval = Seq((100L, "a quick brown fox jumps high")).toDF("doc_id", "text")
     val got = Decontaminate.contaminationFraction(train, eval, n = 3)
@@ -45,7 +46,8 @@ class DataPrepOpsSpec extends SparkSpec {
     assert(got(10L) === ((10L, 3L, 2L, 2.0 / 3.0)))
     assert(got(11L) === ((11L, 2L, 0L, 0.0))) // clean but PRESENT, frac 0
     assert(got(12L) === ((12L, 0L, 0L, 0.0))) // no n-grams: 0, not NaN
-    assert(got.size === 3)
+    assert(got(13L) === ((13L, 0L, 0L, 0.0))) // NULL text: (0, 0, 0.0), not NULL
+    assert(got.size === 4)
   }
 
   test("byWeight: weight 0 drops all, 1 keeps all, intermediate matches the hex rule") {
