@@ -42,6 +42,37 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** [[splitByHash]]'s ENGINE-PORTABLE twin (the [[byWeight]] idiom): the
+    * bucket is the first 4 hex chars of `md5(salt ":" key)` — 16 bits of
+    * uniform — and the cumulative-weight cuts are zero-padded lowercase
+    * 4-hex literals, so band membership is an equal-length hex-string
+    * compare that IS the numeric compare in any engine with md5. Weights
+    * quantize to 1/65536 (a 0.8/0.1/0.1 split is exact to ±1 bucket);
+    * every row lands in exactly one split. Use [[splitByHash]] when the
+    * split only has to be reproducible within Spark (xxhash64 is
+    * codegen'd and cheaper than an md5 over strings); use this form when
+    * the assignment itself must be recomputable by another engine —
+    * which also makes it SQL-oracle-checkable.
+    */
+  def splitByMd5(df: DataFrame, key: Column, weights: Seq[Double],
+                 names: Seq[String], salt: String = "split"): DataFrame = {
+    require(weights.size == names.size && weights.nonEmpty && weights.forall(_ > 0))
+    val total = weights.sum
+    val cuts = weights.scanLeft(0.0)(_ + _)
+      .map(w => math.floor(w / total * 65536.0).toLong)
+    val u = substring(md5(concat(lit(s"$salt:"), key.cast("string"))), 1, 4)
+    def hx(v: Long) = f"$v%04x"
+    val expr = names.zip(cuts.sliding(2).toSeq).foldLeft(lit(null).cast("string")) {
+      case (acc, (name, Seq(lo, hi))) =>
+        // the top band's hi is 65536 — five hex digits, outside the 4-char
+        // compare space — so it is open-ended (bands are disjoint either way)
+        val cond = if (hi >= 65536L) u >= lit(hx(lo))
+                   else u >= lit(hx(lo)) && u < lit(hx(hi))
+        when(cond, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Systematic modulo sampling on an integer key (1-in-k). Coarser than
     * [[byHash]] (correlated with key structure) but expressible in any
     * engine — the oracle-checkable member of the family.

@@ -823,10 +823,12 @@ object Extensions {
         .select(col("doc_id"), col("lang"), col("source"), col("score"))
     }),
 
-    // deterministic hash split sizes (engine-specific hash -> rows-only;
-    // partition/determinism/proportion properties pinned in SamplingSpec)
+    // deterministic split sizes via the md5-banded rule — the exact
+    // per-split assignment is recomputable by any engine with md5, so
+    // (unlike the xxhash64 splitByHash twin) this is fully oracle-checked:
+    // cuts at 0.8/0.9 of the 16-bit space are the hex literals cccc/e666
     "x_sample_split" -> ((s: SparkSession, dir: String) => {
-      graft.ops.Sampling.splitByHash(Tables.documents(s, dir), col("doc_id"),
+      graft.ops.Sampling.splitByMd5(Tables.documents(s, dir), col("doc_id"),
         weights = Seq(0.8, 0.1, 0.1), names = Seq("train", "val", "test"))
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
     }),
@@ -1840,6 +1842,15 @@ object Extensions {
          |   OR substr(md5('w:' || CAST(doc_id AS VARCHAR)), 1, 4)
          |      < lpad(lower(to_hex(greatest(0, CAST(floor(score / 4.0 * 65536) AS BIGINT)))),
          |             4, '0')""".stripMargin,
+
+    "x_sample_split" ->
+      """WITH t AS (SELECT
+        |    substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS u
+        |  FROM documents)
+        |SELECT CASE WHEN u < 'cccc' THEN 'train'
+        |            WHEN u < 'e666' THEN 'val' ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM t GROUP BY 1""".stripMargin,
 
     "x_dedup_cc" -> ccOracleSqlRef,
 

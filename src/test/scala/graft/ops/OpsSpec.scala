@@ -142,6 +142,27 @@ class OpsSpec extends SparkSpec {
     assert(graft.ops.Sampling.byModulo(df, col("id"), 10).count() === 1000L)
   }
 
+  test("splitByMd5: total partition, reproducible, bands match the hand-computed hex rule") {
+    import org.apache.spark.sql.functions.{col, md5, concat, lit, substring}
+    val df = spark.range(0, 10000).toDF("id")
+    val split = graft.ops.Sampling.splitByMd5(df, col("id"),
+      Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+    val byName = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.keySet === Set("train", "val", "test"))
+    assert(byName.values.sum === 10000L)
+    assert(math.abs(byName("train") - 8000) < 400, byName.toString)
+    // the band rule IS the documented hex compare: recompute independently
+    val expect = df
+      .withColumn("u", substring(md5(concat(lit("split:"), col("id").cast("string"))), 1, 4))
+      .collect().map { r =>
+        val u = r.getString(1)
+        r.getLong(0) -> (if (u < "cccc") "train" else if (u < "e666") "val" else "test")
+      }.toMap
+    val got = split.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === expect)
+  }
+
   test("temperatureMixSqrt: sqrt-flattened per-domain counts, deterministic, dominant domain tamed") {
     import org.apache.spark.sql.functions.col
     // 900 'big' + 100 'small' + 25 'rare': raw shares 88/10/2 percent;
