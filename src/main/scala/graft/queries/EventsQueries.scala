@@ -209,36 +209,22 @@ object EventsQueries {
         .agg(countDistinct(col("user_id")).as("n_active_7d"))
     }),
 
-    // time-series ANOMALY flags, integer-exact: hour h is anomalous iff
-    // |z| > 3 over the hourly count series — rewritten to avoid floats
-    // entirely: z² = (c·n − Σ)² / (n·Σc² − Σ²), so the flag is
-    // (c·n − Σ)² > 9·(n·Σc² − Σ²) with both sides exact BIGINT
-    // (counts are integers; the sums stay far below 2^63),
-    // so the flags hash-match any engine with no stddev association or
-    // rounding concerns. The fixture's hourly series is near-uniform (no
-    // natural 3σ spikes), so deterministic spikes are PLANTED — every
-    // 97th hour's count ×5, the perturbed-twin fixture pattern — and the
-    // detector must flag exactly those. Global stats ride a window over
-    // the AGGREGATED hourly series (the vocab-window precedent)
+    // time-series ANOMALY flags over the hourly event counts, via the
+    // reusable integer-exact detector ([[graft.ops.Anomaly.integerZFlags]]
+    // — |z| > 3 with both compare sides exact BIGINT, so the flags
+    // hash-match any engine). The fixture's hourly series is near-uniform
+    // (no natural 3σ spikes), so the QUERY PREP here plants deterministic
+    // spikes — every 97th hour's count ×5, the perturbed-twin fixture
+    // pattern — and the detector, which carries no knowledge of the
+    // planting, must flag exactly those.
     "e11_anomaly_hours" -> ((s: SparkSession, dir: String) => {
-      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
-      Tables.events(s, dir)
+      val hourly = Tables.events(s, dir)
         .select(expr("unix_timestamp(ts) div 3600").as("hour"))
         .groupBy(col("hour")).agg(count(lit(1)).as("c0"))
-        .withColumn("c",
-          when(pmod(col("hour"), lit(97L)) === 0, col("c0") * 5).otherwise(col("c0")))
-        .select(col("hour"), col("c"),
-          count(lit(1)).over(wAll).as("n"),
-          sum(col("c")).over(wAll).as("s"),
-          sum(col("c") * col("c")).over(wAll).as("sq"))
-        .select(col("hour"), col("c"),
-          (col("c") * col("n") - col("s")).as("dev_n"),
-          ((col("c") * col("n") - col("s")) * (col("c") * col("n") - col("s")))
-            .as("dev_n_sq"),
-          (lit(9L) * (col("n") * col("sq") - col("s") * col("s")))
-            .as("thresh"))
-        .withColumn("is_anomaly",
-          (col("dev_n_sq") > col("thresh")).cast("int"))
+        .select(col("hour"),
+          when(pmod(col("hour"), lit(97L)) === 0, col("c0") * 5)
+            .otherwise(col("c0")).as("c"))
+      graft.ops.Anomaly.integerZFlags(hourly, "hour", "c", z = 3)
     }),
 
     // weekly cohort retention: cohort = a user's first active epoch-day,
