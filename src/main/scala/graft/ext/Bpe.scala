@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   * centroids. Rounds localCheckpoint the vocab like the CC loop — an
   * iterative map otherwise stacks lineage per round.
   *
-  * Character handling: symbols are UTF-16 code units on the Spark side and
-  * characters in the DuckDB oracle — identical for BMP text (the fixture;
-  * astral-plane input would need codePoint splitting on both sides).
+  * Character handling: symbols are Unicode CODE POINTS on both sides —
+  * the JVM splitter walks `codePointAt`/`charCount` so an astral-plane
+  * character (one code point, two UTF-16 code units) is ONE symbol,
+  * matching the DuckDB oracle, whose substr/length already count
+  * characters. Splitting on code units instead would break every
+  * surrogate pair into two lone-surrogate symbols and diverge.
   */
 object Bpe {
 
@@ -34,8 +37,17 @@ object Bpe {
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
-  private def toSymbols(word: String): Seq[String] =
-    word.map(_.toString) :+ Eow
+  private def toSymbols(word: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out += Eow
+    out.toSeq
+  }
 
   /** (symbols, freq) vocab — the dataset training iterates on. */
   def symbolized(docs: DataFrame, textCol: String): Dataset[(Seq[String], Long)] = {

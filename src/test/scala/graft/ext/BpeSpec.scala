@@ -36,6 +36,19 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.encodeWord("zq", ranks) === Seq("z", "q", Bpe.Eow))
   }
 
+  test("astral-plane text: one code point = one symbol, never a split surrogate pair") {
+    // 𝕏 (U+1D54F) and 😀 (U+1F600) are TWO UTF-16 code units each; a
+    // code-unit splitter would emit lone surrogates and diverge from the
+    // character-counting oracle. '𝕏😀' ×3 makes (𝕏,😀) the top pair.
+    val astral = "𝕏😀" // 𝕏😀
+    val docs = Seq((1L, Seq.fill(3)(astral).mkString(" "))).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", numMerges = 1)
+    assert(merges(0) === (("𝕏", "😀", 3L)),
+      "symbols must be whole code points")
+    val ranks = merges.zipWithIndex.map { case ((a, b, _), i) => (a, b) -> i }.toMap
+    assert(Bpe.encodeWord(astral, ranks) === Seq(astral, Bpe.Eow))
+  }
+
   test("tokenize: concatenating a word's tokens reconstructs the word (round trip)") {
     val merges = Bpe.train(corpus, "text", numMerges = 4)
     val got = Bpe.tokenize(corpus, "doc_id", "text", merges)
