@@ -28,30 +28,34 @@ import org.apache.spark.sql.functions._
   * instead of sorted globally.
   *
   * Scale shape (the [[Boilerplate]]/[[ExactDedup]] hash-first idiom): the
-  * corpus-sized shuffle carries only `xxhash64(window)` + (id, pos); window
-  * TEXT moves only for positions whose hash group reached count ≥ 2 (the
-  * duplicated sliver), where it is re-grouped by the string itself — a
-  * 64-bit collision can inflate the candidate sliver but never mark a
+  * corpus-sized shuffle carries only a 64-bit window hash + (id, pos);
+  * window TEXT moves only for positions whose hash group reached count ≥ 2
+  * (the duplicated sliver), where it is re-grouped by the string itself —
+  * a 64-bit collision can inflate the candidate sliver but never mark a
   * unique span as duplicated. Island-merging windows over `id` are bounded
-  * by a single document's length, never by corpus shape. Hashing is
-  * O(k)/position; a rolling (Rabin-Karp) hash kernel is the upgrade path
-  * if window hashing ever dominates a profile.
+  * by a single document's length, never by corpus shape. Window hashing is
+  * the [[graft.functions.RollingWindowHashes]] Rabin-Karp kernel — O(1)
+  * amortized per position in one codegen pass, instead of an O(k) substr +
+  * hash per position (which also allocated k chars per corpus character).
   */
 object SubstrDedup {
 
-  /** All stride-1 k-windows: `(id, pos, gram)` with `pos` 0-based; docs
-    * shorter than k have no windows. Cheap to re-scan (projection-pushed
-    * columnar read), so callers materialize hashes, not this frame.
+  /** All stride-1 k-window HASHES: `(id, pos, h)` with `pos` a 0-based
+    * code-point ordinal — one O(n) Rabin-Karp pass per document
+    * ([[graft.functions.RollingWindowHashes]]), never a per-position
+    * substr; docs shorter than k have no windows. 24 B/row, no text.
+    * Cheap to re-scan (projection-pushed columnar read + one rolling
+    * pass), so callers materialize the hot subset, not this frame.
     */
-  private def windows(docs: DataFrame, idCol: String, textCol: String,
-                      k: Int): DataFrame =
+  private def windowHashes(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int): DataFrame =
     docs.filter(length(col(textCol)) >= k)
       .select(col(idCol).as("id"),
-        explode(sequence(lit(0L), (length(col(textCol)) - k).cast("long")))
-          .as("pos"),
-        col(textCol))
-      .select(col("id"), col("pos"),
-        col(textCol).substr(col("pos").cast("int") + 1, lit(k)).as("gram"))
+        posexplode(org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.RollingWindowHashes(
+            org.apache.spark.sql.GraftColumnBridge.expression(col(textCol)), k)))
+          .as(Seq("pos", "h")))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("h"))
 
   /** Duplicated positions `(id, pos, is_first)`: the k-window at `pos`
     * occurs ≥ 2 times corpus-wide, and `is_first` marks the corpus-first
@@ -75,13 +79,20 @@ object SubstrDedup {
   def dupOccurrences(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text", k: Int = 40): DataFrame = {
     require(k >= 1, s"dup substrings: k must be >= 1, got $k")
-    val w = windows(docs, idCol, textCol, k)
-    val hot = w.select(xxhash64(col("gram")).as("h"))
+    val wh = windowHashes(docs, idCol, textCol, k)
+    val hot = wh.select(col("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2).select(col("h"))
-    val cand = w.withColumn("h", xxhash64(col("gram")))
-      .join(hot, Seq("h"), "left_semi")
-      .select(col("id"), col("pos"), col("gram"))
+    // the semi-join moves only (id, pos, h) — 24 B/row whatever join
+    // strategy the sliver size dictates; window TEXT is sliced ONLY for
+    // the surviving positions, by joining the sliver back to the docs
+    // (sliver-sized side broadcasts under AQE, so corpus text is scanned,
+    // not shuffled)
+    val slim = wh.join(hot, Seq("h"), "left_semi").select(col("id"), col("pos"))
+    val cand = slim
+      .join(docs.select(col(idCol).as("id"), col(textCol).as("__t")), Seq("id"))
+      .select(col("id"), col("pos"),
+        col("__t").substr(col("pos").cast("int") + 1, lit(k)).as("gram"))
       .persist()
     val dup = cand.groupBy(col("gram"))
       .agg(count(lit(1)).as("cnt"),
