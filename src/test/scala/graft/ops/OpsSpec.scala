@@ -142,6 +142,19 @@ class OpsSpec extends SparkSpec {
     assert(graft.ops.Sampling.byModulo(df, col("id"), 10).count() === 1000L)
   }
 
+  test("integerZFlags: flags the outlier of a raw series, nothing else, any key/val names") {
+    import org.apache.spark.sql.functions.col
+    // no perturbation baked in: the detector takes the series as-is
+    val series = ((0L until 50L).map(h => (h, 100L)) :+ (50L, 1000L))
+      .toDF("bucket", "cnt")
+    val got = graft.ops.Anomaly.integerZFlags(series, "bucket", "cnt", z = 3)
+      .select("bucket", "is_anomaly")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(50L) === 1)
+    assert(got.filter(_._1 != 50L).values.forall(_ == 0))
+    assert(got.size === 51)
+  }
+
   test("splitByMd5: total partition, reproducible, bands match the hand-computed hex rule") {
     import org.apache.spark.sql.functions.{col, md5, concat, lit, substring}
     val df = spark.range(0, 10000).toDF("id")
