@@ -24,12 +24,14 @@ object SparkEntry {
       graft.queries.TpchCore.queries ++
       graft.queries.EventsQueries.queries ++
       graft.queries.Breadth.queries ++
-      graft.queries.Extensions.queries
+      graft.queries.Extensions.queries ++
+      graft.queries.WebPipeline.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RefParity.oracleSql ++
       graft.queries.TpchCore.oracleSql ++
       graft.queries.EventsQueries.oracleSql ++
       graft.queries.Breadth.oracleSql ++
-      graft.queries.Extensions.oracleSql
+      graft.queries.Extensions.oracleSql ++
+      graft.queries.WebPipeline.oracleSql
 }

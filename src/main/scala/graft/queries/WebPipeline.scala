@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.{NgramLm, PageRank, Urls}
+
+/** Web-corpus pipeline operators: URL canonicalization + URL-level dedup,
+  * n-gram LM quality scoring (CCNet shape), and link-graph centrality
+  * (integer-exact PageRank) — the acquisition-side half of a crawl
+  * pipeline, complementing the text-side dedup/quality families in
+  * [[Extensions]]. Everything here is DuckDB-oracle-checkable: the URL
+  * rules are pure string ops, the LM score is integer arithmetic, and
+  * PageRank runs a FIXED round count the oracle unrolls.
+  */
+object WebPipeline {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The documents table has no URL column, so the URL entries PLANT one
+    * deterministically (the [[Extensions]] fixture-perturbation idiom, e.g.
+    * `x_text_boiler_remove`): scheme/www/port case varies by `doc_id % 3`,
+    * trailing slash by `% 2`, an extra param by `% 5`, and every 11th row
+    * is a non-URL string (the pass-through contract). The SAME expression
+    * is mirrored verbatim in the oracle SQL.
+    */
+  private def plantedUrl: org.apache.spark.sql.Column =
+    when(col("doc_id") % 11 === 0, lit("Plain text, not a URL"))
+      .otherwise(concat(
+        when(col("doc_id") % 3 === 0, lit("HTTPS://WWW."))
+          .when(col("doc_id") % 3 === 1, lit("http://"))
+          .otherwise(lit("https://")),
+        col("source"), lit(".Example.COM"),
+        when(col("doc_id") % 3 === 0, lit(":443"))
+          .when(col("doc_id") % 3 === 1, lit(":80"))
+          .otherwise(lit("")),
+        lit("/Docs/"), (col("doc_id") % 37).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&z=9&a=1&gclid=x"),
+        when(col("doc_id") % 5 === 0, lit("&b=1")).otherwise(lit("")),
+        lit("#sec")))
+
+  private val plantedUrlSql: String =
+    """CASE WHEN doc_id % 11 = 0 THEN 'Plain text, not a URL'
+      |ELSE concat(
+      |  CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.'
+      |       WHEN doc_id % 3 = 1 THEN 'http://' ELSE 'https://' END,
+      |  source, '.Example.COM',
+      |  CASE WHEN doc_id % 3 = 0 THEN ':443'
+      |       WHEN doc_id % 3 = 1 THEN ':80' ELSE '' END,
+      |  '/Docs/', CAST(doc_id % 37 AS VARCHAR),
+      |  CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+      |  '?utm_source=feed&z=9&a=1&gclid=x',
+      |  CASE WHEN doc_id % 5 = 0 THEN '&b=1' ELSE '' END,
+      |  '#sec')
+      |END""".stripMargin
+
+  /** PageRank serves from a once-per-corpus ledger like the CC labels:
+    * the 10-round message-passing loop is a BUILD (itemized in the bench),
+    * the registry entry reads the checkpointed result. Graph: the
+    * bipartite customer↔supplier co-purchase graph (distinct pairs via
+    * orders ⋈ lineitem), edges BOTH ways so the chain
+    * customer → supplier → customer propagates and no node is a sink.
+    */
+  private val prCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def prFor(s: SparkSession, dir: String): DataFrame =
+    prCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("pagerank_ledger") {
+        val ol = Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c:"), col("o_custkey").cast("string")).as("c"),
+            concat(lit("s:"), col("l_suppkey").cast("string")).as("s"))
+          .distinct()
+        val edges = ol.select(col("c").as("src"), col("s").as("dst"))
+          .unionByName(ol.select(col("s").as("src"), col("c").as("dst")))
+        PageRank.pagerankInt(edges, iters = 10)
+      })
+
+  val queries: Map[String, Q] = Map(
+
+    // CCNet-shape LM quality score: corpus bigram MLE, integer surrogate
+    // probabilities (no floats cross-engine), hash-keyed count joins
+    "x_text_lm_score" -> ((s: SparkSession, dir: String) => {
+      NgramLm.scoreDocs(Tables.documents(s, dir))
+    }),
+
+    // URL canonicalization over the planted messy-URL column
+    "x_url_canonical" -> ((s: SparkSession, dir: String) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), plantedUrl.as("url"))
+        .select(col("doc_id"), col("url"),
+          Urls.canonicalUrl(col("url")).as("canonical_url"))
+    }),
+
+    // URL-level dedup: group by canonical form, keep the smallest doc_id
+    // (the ExactDedup canonical-keep rule), count the family
+    "x_dedup_url" -> ((s: SparkSession, dir: String) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Urls.canonicalUrl(plantedUrl).as("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_urls"))
+    }),
+
+    // link-graph centrality: 10 rounds of integer PageRank over the
+    // customer↔supplier co-purchase graph, served from the ledger
+    "x_graph_pagerank" -> ((s: SparkSession, dir: String) => {
+      prFor(s, dir)
+    })
+  )
+
+  /** Unrolled PageRank oracle: DuckDB recursive CTEs cannot aggregate over
+    * the recursive term, so the FIXED round count is unrolled as chained
+    * CTEs s1..sN — the same reason the round count is part of the
+    * operator's contract.
+    */
+  private def pagerankSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""s$k AS (SELECT n.node,
+         |  CAST(150000000000 + coalesce(a.inc, 0) AS BIGINT) AS score
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      sum(((s.score // d.deg) * 17) // 20) AS inc
+         |    FROM e JOIN s${k - 1} s ON e.src = s.node
+         |      JOIN d ON d.src = e.src
+         |    GROUP BY e.dst) a ON a.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ol AS (SELECT DISTINCT concat('c:', CAST(o_custkey AS VARCHAR)) AS c,
+       |    concat('s:', CAST(l_suppkey AS VARCHAR)) AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT c AS src, s AS dst FROM ol
+       |      UNION ALL SELECT s AS src, c AS dst FROM ol),
+       |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+       |n AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+       |s0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS score FROM n),
+       |$steps
+       |SELECT node, score FROM s$iters""".stripMargin
+  }
+
+  // generate_series(1, 1024) is a HARD CAP on mirrored words-per-doc (the
+  // x_bpe_pairs idiom): a >1024-word document would lose tail bigrams in
+  // the oracle only and hash-mismatch loudly. Fixture max is 100.
+  val oracleSql: Map[String, String] = Map(
+
+    "x_text_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT doc_id, list_extract(ws, i) AS w1,
+        |    concat(list_extract(ws, i), ' ', list_extract(ws, i + 1)) AS g
+        |  FROM t, generate_series(1, 1024) gs(i) WHERE i <= len(ws) - 1),
+        |c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM b GROUP BY g),
+        |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+        |       FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w),
+        |p AS (SELECT b.doc_id, (1000000 * c2.c2) // c1.c1 AS p
+        |      FROM b JOIN c2 USING (g) JOIN c1 ON c1.w = b.w1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(p) // count(*) AS BIGINT) AS lm_score
+        |FROM p GROUP BY doc_id""".stripMargin,
+
+    "x_url_canonical" ->
+      s"""WITH u AS (SELECT doc_id, $plantedUrlSql AS url FROM documents)
+         |SELECT doc_id, url, ${Urls.canonicalUrlSql} AS canonical_url FROM u""".stripMargin,
+
+    "x_dedup_url" ->
+      s"""WITH u AS (SELECT doc_id, $plantedUrlSql AS url FROM documents),
+         |c AS (SELECT doc_id, ${Urls.canonicalUrlSql} AS canonical_url FROM u)
+         |SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keep_id,
+         |  CAST(count(*) AS BIGINT) AS n_urls
+         |FROM c GROUP BY canonical_url""".stripMargin,
+
+    "x_graph_pagerank" -> pagerankSql(10)
+  )
+}
