@@ -48,15 +48,29 @@ object PageRank {
       s"pagerank: scale must be divisible by dampDen for an exact base, got $scale % $dampDen")
     require(dampNum > 0 && dampNum < dampDen, "pagerank: 0 < dampNum < dampDen")
     val base = scale / dampDen * (dampDen - dampNum)
+    // the caller's edge expression can be arbitrarily expensive (a join
+    // pipeline); it feeds BOTH the degree build and the node set, so pin it
     val e = edges.select(col("src"), col("dst")).persist()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    // (src, dst, deg) joined ONCE and pre-partitioned on the per-round join
+    // key: the deg join must not repeat per round, and a stable hash(src)
+    // layout lets every round's score join reuse this side's partitioning
+    // (one exchange per round — the message shuffle — instead of four)
+    val ed = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      .repartition(col("src"))
+      .select(col("src"), col("dst"), col("deg")).persist()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+      .union(e.select(col("dst").as("node"))).distinct()
+      .repartition(col("node")).persist()
     var scores = nodes.withColumn("score", lit(scale)).localCheckpoint(true)
     var round = 0
     while (round < iters) {
-      val contrib = e.join(deg, "src")
-        .join(scores.withColumnRenamed("node", "src"), "src")
+      // shuffle_hash, not merge: the checkpointed score frame carries no
+      // stats, so the planner would sort-merge — re-SORTING the edge side
+      // every round. Hashing the per-partition score slice is the keyed,
+      // broadcast-free form that also holds at web scale (a node-sized
+      // build side never fits one broadcast, but a partition's slice does).
+      val contrib = ed
+        .join(scores.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
         .select(col("dst").as("node"),
           expr(s"((score DIV deg) * $dampNum) DIV $dampDen").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("inc"))
@@ -68,7 +82,7 @@ object PageRank {
       scores = next
       round += 1
     }
-    e.unpersist(); deg.unpersist(); nodes.unpersist()
+    e.unpersist(); ed.unpersist(); nodes.unpersist()
     scores
   }
 }
