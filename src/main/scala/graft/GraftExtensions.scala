@@ -54,7 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es => WsTokens(es.head)),
       ("word_ngrams", "graft.functions.WordNgrams",
         "word_ngrams(tokens, n) - n consecutive tokens joined with spaces",
-        es => WordNgrams(es.head, intArg(es(1), "word_ngrams n"))))
+        es => WordNgrams(es.head, intArg(es(1), "word_ngrams n"))),
+      ("rolling_window_hashes", "graft.functions.RollingWindowHashes",
+        "rolling_window_hashes(text, k) - Rabin-Karp hash per stride-1 k-code-point window",
+        es => RollingWindowHashes(es.head, intArg(es(1), "rolling_window_hashes k"))))
     functions.foreach { case (name, className, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),

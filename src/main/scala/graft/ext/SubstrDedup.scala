@@ -51,10 +51,8 @@ object SubstrDedup {
                            k: Int): DataFrame =
     docs.filter(length(col(textCol)) >= k)
       .select(col(idCol).as("id"),
-        posexplode(org.apache.spark.sql.GraftColumnBridge.column(
-          graft.functions.RollingWindowHashes(
-            org.apache.spark.sql.GraftColumnBridge.expression(col(textCol)), k)))
-          .as(Seq("pos", "h")))
+        posexplode(graft.functions.GraftFunctions.rolling_window_hashes(
+          col(textCol), k)).as(Seq("pos", "h")))
       .select(col("id"), col("pos").cast("long").as("pos"), col("h"))
 
   /** Duplicated positions `(id, pos, is_first)`: the k-window at `pos`

@@ -47,6 +47,10 @@ object GraftFunctions {
   def word_ngrams(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(WordNgrams(GraftColumnBridge.expression(tokens), n))
 
+  /** Rabin-Karp hash per stride-1 k-code-point window — [[RollingWindowHashes]]. */
+  def rolling_window_hashes(text: Column, k: Int): Column =
+    GraftColumnBridge.column(RollingWindowHashes(GraftColumnBridge.expression(text), k))
+
   private val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("pandas_title", "str - pandas-exact title case", (es: Seq[Expression]) => PandasTitle(es.head))
   )

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{NgramLm, PageRank, Urls}
+import graft.ext.{Classifier, Markup, NgramLm, PageRank, TextOps, Urls}
 
 /** Web-corpus pipeline operators: URL canonicalization + URL-level dedup,
   * n-gram LM quality scoring (CCNet shape), and link-graph centrality
@@ -108,8 +108,52 @@ object WebPipeline {
     // customer↔supplier co-purchase graph, served from the ledger
     "x_graph_pagerank" -> ((s: SparkSession, dir: String) => {
       prFor(s, dir)
+    }),
+
+    // markup extraction: fixture text wrapped in planted HTML exercising
+    // every rule (script/style content, comment, tags, entities incl. the
+    // &amp;-last double-decode guard, an UNDECODED &copy; passing through,
+    // whitespace collapse); the CLEANED TEXT itself is oracle-compared
+    "x_text_strip_html" -> ((s: SparkSession, dir: String) => {
+      val clean = Markup.stripMarkup(plantedHtml)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), clean.as("clean_text"),
+          length(clean).cast("int").as("n_clean"))
+    }),
+
+    // linear classifier inference (fasttext shape): integer weights derived
+    // deterministically from the corpus vocabulary stand in for a trained
+    // model; the OPERATOR under test is the tf-preagg → weight-join → sum
+    "x_text_classifier" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir)
+      val weights = TextOps.vocabCounts(docs)
+        .select(col("tok"), (col("df") % 21 - 10).as("weight"))
+      Classifier.scoreDocs(docs, weights)
     })
   )
+
+  /** The planted-HTML wrapper (Spark side; `plantedHtmlSql` is the DuckDB
+    * twin — byte-identical input is what makes the cleaned text
+    * comparable). The wrapper deliberately contains: a script with `<`/`&&`
+    * inside, a style block, a comment, entities needing the decode ORDER
+    * (`&amp;lt;` must surface as `&lt;`, not `<`), an entity OUTSIDE the
+    * decode set (`&copy;` passes through raw), and literal newlines.
+    */
+  private def plantedHtml: org.apache.spark.sql.Column =
+    concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><script type=\"text/x\">var a = 1 < 2 && b > 0;</script>" +
+        "<style>p{color:#000}</style></head><body><!-- crawler: drop -->\n" +
+        "<h1>T&amp;C &lt;draft&gt; &amp;lt;escaped&amp;gt;</h1>\n<p>"),
+      col("text"),
+      lit("</p><br><div class=\"foot\">&copy; footer&nbsp;&#39;24</div></body></html>"))
+
+  private val plantedHtmlSql: String =
+    "concat('<html><head><title>Doc ', CAST(doc_id AS VARCHAR), " +
+      "'</title><script type=\"text/x\">var a = 1 < 2 && b > 0;</script>" +
+      "<style>p{color:#000}</style></head><body><!-- crawler: drop -->\n" +
+      "<h1>T&amp;C &lt;draft&gt; &amp;lt;escaped&amp;gt;</h1>\n<p>', text, " +
+      "'</p><br><div class=\"foot\">&copy; footer&nbsp;&#39;24</div></body></html>')"
 
   /** Unrolled PageRank oracle: DuckDB recursive CTEs cannot aggregate over
     * the recursive term, so the FIXED round count is unrolled as chained
@@ -169,6 +213,24 @@ object WebPipeline {
          |  CAST(count(*) AS BIGINT) AS n_urls
          |FROM c GROUP BY canonical_url""".stripMargin,
 
-    "x_graph_pagerank" -> pagerankSql(10)
+    "x_graph_pagerank" -> pagerankSql(10),
+
+    "x_text_strip_html" ->
+      s"""WITH h AS (SELECT doc_id, $plantedHtmlSql AS html FROM documents),
+         |c AS (SELECT doc_id, ${Markup.stripMarkupSql} AS clean_text FROM h)
+         |SELECT doc_id, clean_text, CAST(length(clean_text) AS INT) AS n_clean
+         |FROM c""".stripMargin,
+
+    "x_text_classifier" ->
+      """WITH v AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+        |  FROM (SELECT unnest(list_distinct(string_split(text, ' '))) AS tok
+        |        FROM documents) GROUP BY tok),
+        |w AS (SELECT tok, (df % 21) - 10 AS weight FROM v),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) GROUP BY doc_id, tok)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_hits,
+        |  CAST(sum(tf * weight) AS BIGINT) AS score
+        |FROM tf JOIN w USING (tok) GROUP BY doc_id""".stripMargin
   )
 }

@@ -13,13 +13,15 @@ class SqlSurfaceSpec extends SparkSpec {
         |  hyperplane_sketch(array(1.0d, 0.0d), 0L, 8) AS hp,
         |  top_run_length(array('a','b','a')) AS trl,
         |  ws_tokens(' a\tb ') AS wt,
-        |  word_ngrams(array('a','b','c'), 2) AS ng""".stripMargin).head()
+        |  word_ngrams(array('a','b','c'), 2) AS ng,
+        |  size(rolling_window_hashes('abcd', 3)) AS nrh""".stripMargin).head()
     assert(r.getString(0) === "A-B C")
     assert(r.getAs[Int]("nsh") === 2 && r.getAs[Int]("nmh") === 16)
     assert(r.getDouble(4) === 11.0)
     assert(r.getAs[Int]("trl") === 2)
     assert(r.getSeq[String](7) === Seq("a", "b"))
     assert(r.getSeq[String](8) === Seq("a b", "b c"))
+    assert(r.getAs[Int]("nrh") === 2)
     // sketch is deterministic: same call, same session, same value
     val again = spark.sql(
       "SELECT hyperplane_sketch(array(1.0d, 0.0d), 0L, 8)").head().getLong(0)
