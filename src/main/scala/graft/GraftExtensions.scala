@@ -57,7 +57,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es => WordNgrams(es.head, intArg(es(1), "word_ngrams n"))),
       ("rolling_window_hashes", "graft.functions.RollingWindowHashes",
         "rolling_window_hashes(text, k) - Rabin-Karp hash per stride-1 k-code-point window",
-        es => RollingWindowHashes(es.head, intArg(es(1), "rolling_window_hashes k"))))
+        es => RollingWindowHashes(es.head, intArg(es(1), "rolling_window_hashes k"))),
+      ("canonical_url", "graft.functions.CanonicalUrl",
+        "canonical_url(url) - one-pass crawl-grade URL canonicalization",
+        es => CanonicalUrl(es.head)))
     functions.foreach { case (name, className, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),

@@ -32,8 +32,20 @@ object Urls {
   private val AuthRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
   private val PathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
 
-  /** Canonical form of `url` per the rules above; non-URLs pass through. */
-  def canonicalUrl(url: Column): Column = {
+  /** Canonical form of `url` per the rules above; non-URLs pass through.
+    * Backed by the one-pass [[graft.functions.CanonicalUrl]] kernel — the
+    * Column chain in [[canonicalUrlSpec]] is the executable spec (≈15
+    * regex passes per row, and inlining it duplicates its input subtree
+    * into every pass); the kernel is pinned value-identical to it in
+    * `UrlsSpec`.
+    */
+  def canonicalUrl(url: Column): Column =
+    graft.functions.GraftFunctions.canonical_url(url)
+
+  /** The rule set as a Column chain — the spec the DuckDB mirror below
+    * transcribes and the kernel is pinned against.
+    */
+  def canonicalUrlSpec(url: Column): Column = {
     val scheme = lower(regexp_extract(url, SchemeRe, 1))
     val auth0 = regexp_replace(lower(regexp_extract(url, AuthRe, 1)), "^www\\.", "")
     val auth = when(scheme === "https", regexp_replace(auth0, ":443$", ""))

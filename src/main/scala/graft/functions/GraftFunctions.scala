@@ -51,6 +51,10 @@ object GraftFunctions {
   def rolling_window_hashes(text: Column, k: Int): Column =
     GraftColumnBridge.column(RollingWindowHashes(GraftColumnBridge.expression(text), k))
 
+  /** One-pass crawl-grade URL canonicalization — [[CanonicalUrl]]. */
+  def canonical_url(url: Column): Column =
+    GraftColumnBridge.column(CanonicalUrl(GraftColumnBridge.expression(url)))
+
   private val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("pandas_title", "str - pandas-exact title case", (es: Seq[Expression]) => PandasTitle(es.head))
   )

@@ -45,4 +45,36 @@ class UrlsSpec extends SparkSpec {
     val once = canon(messy: _*)
     assert(canon(once: _*) === once)
   }
+
+  test("kernel == Column-chain spec on an adversarial URL battery") {
+    val urls = Seq(
+      // the planted-fixture shapes
+      "HTTPS://WWW.src0.Example.COM:443/Docs/5/?utm_source=feed&z=9&a=1&gclid=x#sec",
+      "http://src1.Example.COM:80/Docs/5?utm_source=feed&z=9&a=1&gclid=x&b=1#sec",
+      "https://src2.Example.COM/Docs/36/?utm_source=feed&z=9&a=1&gclid=x",
+      "Plain text, not a URL",
+      // scheme validation edges
+      "://nohost", "1http://h/x", "a:b://c", "ab+.-2://Host/Q",
+      "HTTPS://h", "ftp://H:443/x",
+      // authority edges: empty authority, bare www., odd ports
+      "https:///path?a=1", "https://www./x", "https://h:8080/x",
+      "http://WWW.H:80", "https://h:80/x", "http://h:443/x",
+      // query/fragment edges: ? inside fragment, # before ?, empty params,
+      // only-tracking queries, params needing a sort, trailing &
+      "https://h/p#f?x=1", "https://h/p?#f", "https://h/p?&&",
+      "https://h/p?utm_a=1&utm_b=2", "https://h/p?z=1&y=2&x=3&",
+      "https://h/p?b=2&B=1&a=10&a=2", "https://h/p/?gclid=&fbclid=",
+      // path edges: multiple trailing slashes, no path, root only
+      "https://h.com////", "https://h.com", "https://h.com/?q=1",
+      // case preservation in path/query, unicode host
+      "HTTP://WWW.ÜBER.example/Straße/?Ä=ö&utm_x=1",
+      "https://h/p?p=%20&q=a+b")
+    val df = urls.toDF("url")
+    val rows = df.select(
+      Urls.canonicalUrl(col("url")).as("k"),
+      Urls.canonicalUrlSpec(col("url")).as("s")).collect()
+    urls.zip(rows).foreach { case (u, r) =>
+      assert(r.getString(0) === r.getString(1), s"url='$u'")
+    }
+  }
 }
