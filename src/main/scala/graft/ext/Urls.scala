@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization — the normalization every web-crawl pipeline runs
@@ -60,6 +60,64 @@ object Urls {
       when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
         .otherwise(lit(""))))
   }
+
+  /** Lowercased host of `url`: the authority with userinfo (`user@`) and
+    * any `:port` stripped. Non-URLs (no `scheme://`) yield `''` — they can
+    * never match a blocklist entry. Pure codegen regexp ops, fuses into
+    * the scan.
+    */
+  def urlHost(url: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(regexp_extract(url, AuthRe, 1)), "^[^@]*@", ""),
+      ":[0-9]+$", "")
+
+  /** [[urlHost]] as a DuckDB expression over a column named `url`. */
+  val urlHostSql: String =
+    """regexp_replace(regexp_replace(
+      |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+      |  '^[^@]*@', ''), ':[0-9]+$', '')""".stripMargin
+
+  /** Every dot-suffix of `host`, the host itself first: `a.b.example.com`
+    * → `[a.b.example.com, b.example.com, example.com, com]`. The fan-out
+    * is bounded by the label count (DNS caps names at 127 labels; real
+    * hosts run < 10), which is what makes suffix-JOIN blocklist matching
+    * linear — the naive form is a LIKE per list entry, O(corpus × list).
+    */
+  def hostSuffixes(host: Column): Column = {
+    val labels = split(host, "\\.")
+    transform(sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels)), "."))
+  }
+
+  /** UT1-style domain-blocklist matching — the URL-side filter crawl
+    * pipelines (RefinedWeb/FineWeb shape) run before any text work: a URL
+    * is blocked when its host or ANY parent domain appears in `blocklist`
+    * (one lowercase `domain` column). Returns one row per BLOCKED id:
+    * `(id, matched_domain)` with the bytewise-smallest matching rule when
+    * several match (deterministic under any join order).
+    *
+    * Scale shape: only `(id, suffix)` pairs flow into the join — ≤ ~10 per
+    * URL, never the document row — and the join is keyed on the suffix
+    * string: Spark broadcasts a UT1-sized list (~MB) and falls back to a
+    * shuffle join if the list is corpus-sized; either way no LIKE scan.
+    */
+  def blockedHosts(df: DataFrame, idCol: Column, urlCol: Column,
+                   blocklist: DataFrame): DataFrame =
+    df.select(idCol.as("id"), explode(hostSuffixes(urlHost(urlCol))).as("domain"))
+      .join(blocklist.select(col("domain")).distinct(), Seq("domain"))
+      .groupBy(col("id"))
+      .agg(min(col("domain")).as("matched_domain"))
+
+  /** The keep-side filter: `df` minus the rows [[blockedHosts]] flags —
+    * an id-keyed LEFT ANTI join, so the surviving rows never shuffle when
+    * the blocked-id side broadcasts (the common case: blocked ids are a
+    * small fraction of the corpus).
+    */
+  def dropBlockedHosts(df: DataFrame, idCol: Column, urlCol: Column,
+                       blocklist: DataFrame): DataFrame =
+    df.join(blockedHosts(df, idCol, urlCol, blocklist)
+        .select(col("id").as("__blocked_id")),
+      idCol === col("__blocked_id"), "left_anti")
 
   /** The same rule set as a DuckDB SQL expression over a column named
     * `url` — kept adjacent to [[canonicalUrl]] so the two rule lists can

@@ -210,6 +210,39 @@ object DataPrep {
       .drop("__gate_lang", "__gate_thr")
   }
 
+  /** Per-language score bucketing — the CCNet decision rule (Wenzek et al.
+    * 2020): rather than dropping below-threshold docs, label each one
+    * `head` / `middle` / `tail` against its OWN language's LM-score
+    * distribution, so downstream mixing can weight buckets (CCNet trains
+    * on head+middle and keeps tail for ablations). Cutoffs default to the
+    * quartiles (`head` = top quarter, `tail` = bottom quarter): exactly
+    * representable doubles, so `(n-1)·p` stays bit-identical cross-engine
+    * (the [[languageQualityGate]] interpolation argument).
+    *
+    * Same scale shape as the gate: one tiny per-language threshold row
+    * broadcast back, bucketing is a map-side projection; `exact = false`
+    * (default) is the mergeable-sketch 100 TB path, `exact = true` the
+    * DuckDB `quantile_cont` oracle twin. NULL languages bucket against the
+    * null-language population; a NULL score yields a NULL bucket.
+    */
+  def languageBuckets(docs: DataFrame, langCol: String, scoreCol: String,
+                      pLo: Double = 0.25, pHi: Double = 0.75,
+                      exact: Boolean = false): DataFrame = {
+    require(pLo > 0.0 && pLo < pHi && pHi < 1.0,
+      s"languageBuckets: need 0 < pLo < pHi < 1, got ($pLo, $pHi)")
+    def q(p: Double) = if (exact) percentile(col(scoreCol), lit(p))
+                       else approx_percentile(col(scoreCol), lit(p), lit(10000))
+    val thr = docs.groupBy(col(langCol))
+      .agg(q(pLo).as("__b_lo"), q(pHi).as("__b_hi"))
+      .withColumnRenamed(langCol, "__b_lang")
+    docs.join(broadcast(thr), col(langCol) <=> col("__b_lang"))
+      .withColumn("bucket",
+        when(col(scoreCol) >= col("__b_hi"), lit("head"))
+          .when(col(scoreCol) < col("__b_lo"), lit("tail"))
+          .when(col(scoreCol).isNotNull, lit("middle")))
+      .drop("__b_lang", "__b_lo", "__b_hi")
+  }
+
   /** Full pipeline; writes `outDir/split=…` and returns the final corpus
     * with its split column.
     */

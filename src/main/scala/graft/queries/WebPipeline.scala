@@ -129,8 +129,68 @@ object WebPipeline {
       val weights = TextOps.vocabCounts(docs)
         .select(col("tok"), (col("df") % 21 - 10).as("weight"))
       Classifier.scoreDocs(docs, weights)
+    }),
+
+    // UT1-style domain-blocklist matching: host (or any parent domain) in
+    // the list → blocked. Hosts planted with an optional uppercase "CDN."
+    // sublabel so the fixture exercises exact-host, PARENT-domain, and
+    // no-match paths plus host lowercasing; the blocklist derives
+    // deterministically from the corpus sources + one deep exact rule +
+    // one rule matching nothing
+    "x_url_blocklist" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val withUrl = docs.select(col("doc_id"), plantedHostUrl.as("url"))
+      // source index % 7 == 1 → {src1, src8, src15}: src8 rows always carry
+      // the CDN. sublabel (doc_id ≡ 8 mod 20 ⇒ ≡ 0 mod 4), so src8 hits via
+      // PARENT-domain match AND the exact cdn rule (min picks the cdn one);
+      // src1/src15 rows are odd ⇒ never CDN ⇒ exact-host path;
+      // cdn.src16.example.com is exact-only; nosuch.* matches nothing
+      val block = docs.select(col("source")).distinct()
+        .filter(substring(col("source"), 4, 10).cast("int") % 7 === 1)
+        .select(concat(lower(col("source")), lit(".example.com")).as("domain"))
+        .unionByName(Seq("cdn.src8.example.com", "cdn.src16.example.com",
+          "nosuch.example.com").toDF("domain"))
+      val m = Urls.blockedHosts(withUrl, col("doc_id"), col("url"), block)
+        .withColumnRenamed("id", "doc_id")
+      withUrl.select(col("doc_id"), Urls.urlHost(col("url")).as("host"))
+        .join(m, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("host"), col("matched_domain"),
+          col("matched_domain").isNotNull.cast("int").as("blocked"))
+    }),
+
+    // CCNet head/middle/tail bucketing: every doc labeled against its own
+    // language's LM-score quartiles (exact twin = the oracle; the default
+    // approx_percentile path is the 100 TB shape)
+    "x_lm_buckets" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir)
+      val scored = NgramLm.scoreDocs(docs)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      graft.pipeline.DataPrep
+        .languageBuckets(scored, "lang", "lm_score", exact = true)
+        .select(col("doc_id"), col("lang"), col("lm_score"), col("bucket"))
     })
   )
+
+  /** Planted host-bearing URL for the blocklist fixture: every 11th row a
+    * non-URL (host `''`, never blockable), every 4th host carries an
+    * UPPERCASE `CDN.` sublabel (parent-domain matching + lowercasing under
+    * test). Mirrored verbatim in [[plantedHostUrlSql]].
+    */
+  private def plantedHostUrl: org.apache.spark.sql.Column =
+    when(col("doc_id") % 11 === 0, lit("Plain text, not a URL"))
+      .otherwise(concat(
+        lit("https://"),
+        when(col("doc_id") % 4 === 0, lit("CDN.")).otherwise(lit("")),
+        col("source"), lit(".Example.COM/p/"),
+        (col("doc_id") % 13).cast("string")))
+
+  private val plantedHostUrlSql: String =
+    """CASE WHEN doc_id % 11 = 0 THEN 'Plain text, not a URL'
+      |ELSE concat('https://',
+      |  CASE WHEN doc_id % 4 = 0 THEN 'CDN.' ELSE '' END,
+      |  source, '.Example.COM/p/', CAST(doc_id % 13 AS VARCHAR))
+      |END""".stripMargin
 
   /** The planted-HTML wrapper (Spark side; `plantedHtmlSql` is the DuckDB
     * twin — byte-identical input is what makes the cleaned text
@@ -231,6 +291,52 @@ object WebPipeline {
         |        FROM documents) GROUP BY doc_id, tok)
         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_hits,
         |  CAST(sum(tf * weight) AS BIGINT) AS score
-        |FROM tf JOIN w USING (tok) GROUP BY doc_id""".stripMargin
+        |FROM tf JOIN w USING (tok) GROUP BY doc_id""".stripMargin,
+
+    // generate_series(1, 32) mirrors the DNS label bound in hostSuffixes'
+    // scaladoc; fixture hosts have ≤ 4 labels
+    "x_url_blocklist" ->
+      s"""WITH u AS (SELECT doc_id, $plantedHostUrlSql AS url FROM documents),
+         |h AS (SELECT doc_id, ${Urls.urlHostSql} AS host FROM u),
+         |b AS (SELECT concat(lower(source), '.example.com') AS domain
+         |      FROM (SELECT DISTINCT source FROM documents)
+         |      WHERE CAST(substr(source, 4) AS INT) % 7 = 1
+         |      UNION ALL SELECT 'cdn.src8.example.com'
+         |      UNION ALL SELECT 'cdn.src16.example.com'
+         |      UNION ALL SELECT 'nosuch.example.com'),
+         |sfx AS (SELECT doc_id, array_to_string(
+         |    list_slice(string_split(host, '.'), i, len(string_split(host, '.'))),
+         |    '.') AS domain
+         |  FROM h, generate_series(1, 32) gs(i)
+         |  WHERE i <= len(string_split(host, '.'))),
+         |m AS (SELECT doc_id, min(domain) AS matched_domain
+         |  FROM sfx JOIN (SELECT DISTINCT domain FROM b) USING (domain)
+         |  GROUP BY doc_id)
+         |SELECT h.doc_id, h.host, m.matched_domain,
+         |  CAST(m.matched_domain IS NOT NULL AS INT) AS blocked
+         |FROM h LEFT JOIN m USING (doc_id)""".stripMargin,
+
+    "x_lm_buckets" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT doc_id, list_extract(ws, i) AS w1,
+        |    concat(list_extract(ws, i), ' ', list_extract(ws, i + 1)) AS g
+        |  FROM t, generate_series(1, 1024) gs(i) WHERE i <= len(ws) - 1),
+        |c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM b GROUP BY g),
+        |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+        |       FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w),
+        |p AS (SELECT b.doc_id, (1000000 * c2.c2) // c1.c1 AS p
+        |      FROM b JOIN c2 USING (g) JOIN c1 ON c1.w = b.w1),
+        |sc AS (SELECT doc_id, CAST(sum(p) // count(*) AS BIGINT) AS lm_score
+        |       FROM p GROUP BY doc_id),
+        |sl AS (SELECT sc.doc_id, d.lang, sc.lm_score
+        |       FROM sc JOIN documents d USING (doc_id)),
+        |thr AS (SELECT lang, quantile_cont(lm_score, 0.25) AS lo,
+        |               quantile_cont(lm_score, 0.75) AS hi
+        |        FROM sl GROUP BY lang)
+        |SELECT doc_id, lang, lm_score,
+        |  CASE WHEN lm_score >= hi THEN 'head'
+        |       WHEN lm_score < lo THEN 'tail'
+        |       ELSE 'middle' END AS bucket
+        |FROM sl JOIN thr USING (lang)""".stripMargin
   )
 }

@@ -292,4 +292,41 @@ class DataPrepOpsSpec extends SparkSpec {
       graft.pipeline.DataPrep.languageQualityGate(df, "lang", "score", 1.0)
     }
   }
+
+  test("languageBuckets: quartile labels per language, boundaries inclusive-high") {
+    // en scores 1..9: p25 = 3, p75 = 7 → tail {1,2}, middle {3..6}, head {7,8,9};
+    // fr 101..104 (all above every en score): buckets stay per-language
+    val df = ((1 to 9).map(i => (i.toLong, "en", i.toDouble)) ++
+      (101 to 104).map(i => (i.toLong, "fr", i.toDouble)))
+      .toDF("doc_id", "lang", "score")
+    val got = graft.pipeline.DataPrep
+      .languageBuckets(df, "lang", "score", exact = true)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert((1 to 2).forall(i => got(i.toLong) == "tail"))
+    assert((3 to 6).forall(i => got(i.toLong) == "middle"))
+    assert((7 to 9).forall(i => got(i.toLong) == "head"))
+    // fr p25 = 101.75, p75 = 103.25 → tail {101}, middle {102,103}, head {104}
+    assert(got(101L) === "tail" && got(102L) === "middle" &&
+      got(103L) === "middle" && got(104L) === "head")
+    intercept[IllegalArgumentException] {
+      graft.pipeline.DataPrep.languageBuckets(df, "lang", "score", 0.75, 0.25)
+    }
+  }
+
+  test("languageBuckets: approx agrees on-point; NULL lang is its own population") {
+    val df = ((1 to 5).map(i => (i.toLong, null.asInstanceOf[String], i.toDouble)) ++
+      (101 to 105).map(i => (i.toLong, "en", i.toDouble)))
+      .toDF("doc_id", "lang", "score")
+    val exact = graft.pipeline.DataPrep
+      .languageBuckets(df, "lang", "score", exact = true)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    // each group 1..5-shaped: p25 = 2, p75 = 4 → tail {1}, middle {2,3}, head {4,5}
+    assert(exact(1L) === "tail" && exact(2L) === "middle" &&
+      exact(3L) === "middle" && exact(4L) === "head" && exact(5L) === "head")
+    assert(exact(101L) === "tail" && exact(105L) === "head")
+    val approx = graft.pipeline.DataPrep
+      .languageBuckets(df, "lang", "score")
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(approx === exact)
+  }
 }

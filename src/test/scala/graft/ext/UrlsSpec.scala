@@ -77,4 +77,42 @@ class UrlsSpec extends SparkSpec {
       assert(r.getString(0) === r.getString(1), s"url='$u'")
     }
   }
+
+  private def hostOf(urls: String*): Seq[String] =
+    urls.toSeq.toDF("url")
+      .select(Urls.urlHost(col("url")).as("h"))
+      .collect().map(_.getString(0)).toSeq
+
+  test("urlHost: lowercase, userinfo and port stripped, non-URL empty") {
+    assert(hostOf("HTTPS://User:Pw@WWW.Site.COM:8443/a?b#c") ===
+      Seq("www.site.com"))
+    assert(hostOf("http://Host.ORG/x", "not a url", "https://h:443") ===
+      Seq("host.org", "", "h"))
+  }
+
+  test("hostSuffixes: host itself first, then every parent domain") {
+    val sufs = Seq("a.b.example.com").toDF("h")
+      .select(Urls.hostSuffixes(col("h")).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(sufs === Seq("a.b.example.com", "b.example.com", "example.com", "com"))
+  }
+
+  test("blockedHosts: exact, parent-domain, multi-rule min; drop keeps the rest") {
+    val df = Seq(
+      (1L, "https://Bad.Example.com/x"),      // exact host rule
+      (2L, "https://cdn.bad.example.com/y"),  // PARENT match only
+      (3L, "https://deep.Evil.net/z"),        // parent + exact cdn-free rules
+      (4L, "https://good.example.com/w"),     // clean
+      (5L, "not a url")                       // host '' — never blocked
+    ).toDF("id", "url")
+    val block = Seq("bad.example.com", "evil.net", "deep.evil.net",
+      "nosuch.org").toDF("domain")
+    val m = Urls.blockedHosts(df, col("id"), col("url"), block)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m === Map(1L -> "bad.example.com", 2L -> "bad.example.com",
+      3L -> "deep.evil.net")) // min("deep.evil.net", "evil.net")
+    val kept = Urls.dropBlockedHosts(df, col("id"), col("url"), block)
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(kept === Seq(4L, 5L))
+  }
 }
