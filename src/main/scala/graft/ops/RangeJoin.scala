@@ -42,4 +42,40 @@ object RangeJoin {
       .filter(col(pointSec) >= col(startSec) && col(pointSec) < col(endSec))
       .drop("__bucket")
   }
+
+  /** Interval-overlap join: every (left, right) pair whose HALF-OPEN
+    * intervals intersect — `max(starts) < min(ends)`. Touching intervals
+    * (`lEnd == rStart`) do NOT overlap, and note the pairwise form
+    * `lStart < rEnd AND rStart < lEnd` would be WRONG: it admits an empty
+    * interval sitting inside a non-empty one (`[7,7)` vs `[0,10)` passes
+    * both inequalities but intersects nothing). Column names must be
+    * disjoint across the two frames (same contract as [[pointInInterval]]).
+    *
+    * Same bucketization as [[pointInInterval]], with one twist: both sides
+    * explode into the coarse buckets they cover, so an overlapping pair can
+    * now share MANY buckets. Rather than dedup pairs after the join (a
+    * second corpus-sized shuffle on the pair key), each pair is emitted
+    * only in the one bucket containing the overlap's START —
+    * `max(lStart, rStart)` lies inside both intervals whenever they
+    * overlap, so exactly one shared bucket passes the filter and the
+    * output equals the naive θ-join row-for-row (RangeJoinSpec pins the
+    * equivalence against a crossJoin, boundaries included).
+    *
+    * Inverted/empty intervals (`end <= start`) match nothing; their tile
+    * sequences are clamped to one bucket so a corrupt row costs one tile,
+    * never a blow-up.
+    */
+  def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
+                      right: DataFrame, rStart: String, rEnd: String,
+                      bucketSec: Long = 86400L): DataFrame = {
+    def tiled(df: DataFrame, s: String, e: String) = {
+      val lo = floor(col(s) / bucketSec)
+      df.withColumn("__bucket",
+        explode(sequence(lo, greatest(lo, floor((col(e) - 1) / bucketSec)))))
+    }
+    tiled(left, lStart, lEnd).join(tiled(right, rStart, rEnd), "__bucket")
+      .filter(greatest(col(lStart), col(rStart)) < least(col(lEnd), col(rEnd)) &&
+        col("__bucket") === floor(greatest(col(lStart), col(rStart)) / bucketSec))
+      .drop("__bucket")
+  }
 }

@@ -92,6 +92,30 @@ object EventsQueries {
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
     }),
 
+    // interval-OVERLAP join (interval × interval, no equi key): per-(user,
+    // epoch-day) activity spans [first, last+1) against the 20 campaign
+    // windows. ops.RangeJoin.intervalOverlap tiles BOTH sides and emits
+    // each pair only in the tile holding max(starts) — no pair-dedup
+    // shuffle; the long 50h windows share many day tiles with many spans,
+    // so the dedup-free rule is doing real work here. Output: overlapping
+    // span count + total overlap seconds per window.
+    "x_interval_overlap" -> ((s: SparkSession, dir: String) => {
+      val spans = Tables.events(s, dir)
+        .select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+        .withColumn("day", expr("sec div 86400"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(min(col("sec")).as("u_start"), (max(col("sec")) + 1).as("u_end"))
+      val iv = s.range(20).select(col("id").as("window_id"),
+        (lit(1704067200L) + col("id") * 32 * 3600).as("w_start"))
+        .withColumn("w_end", col("w_start") + 50 * 3600)
+      graft.ops.RangeJoin
+        .intervalOverlap(spans, "u_start", "u_end", iv, "w_start", "w_end")
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(least(col("u_end"), col("w_end")) -
+            greatest(col("u_start"), col("w_start"))).as("overlap_sec"))
+    }),
+
     // batch twin of EventStreams.dedupStream (dropDuplicatesWithinWatermark):
     // distinct event count per type after id-dedup. event_id is unique in
     // the generated data, so the surviving row per id is deterministic.
@@ -376,6 +400,24 @@ object EventsQueries {
          |SELECT window_id, ${sqlCount()} AS n_events, ${sqlDsum("value")} AS total_value
          |FROM ev JOIN iv ON ev.sec >= iv.start_sec AND ev.sec < iv.end_sec
          |GROUP BY window_id""".stripMargin,
+
+    "x_interval_overlap" ->
+      """WITH iv AS (
+        |  SELECT k AS window_id,
+        |    1704067200 + k * 32 * 3600 AS w_start,
+        |    1704067200 + k * 32 * 3600 + 50 * 3600 AS w_end
+        |  FROM generate_series(0, 19) t(k)),
+        |sp AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    min(CAST(floor(epoch(ts)) AS BIGINT)) AS u_start,
+        |    max(CAST(floor(epoch(ts)) AS BIGINT)) + 1 AS u_end
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(least(u_end, w_end) - greatest(u_start, w_start)) AS BIGINT)
+        |    AS overlap_sec
+        |FROM sp JOIN iv
+        |  ON greatest(sp.u_start, iv.w_start) < least(sp.u_end, iv.w_end)
+        |GROUP BY window_id""".stripMargin,
 
     "x_corr_batch_twin" ->
       """WITH ev AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec

@@ -243,6 +243,38 @@ class OpsSpec extends SparkSpec {
     assert(ib.agg(org.apache.spark.sql.functions.sum(col("__n"))).head().getLong(0) < 10L)
   }
 
+  test("interval overlap: tiled join == naive theta join; touching is NOT overlap") {
+    import org.apache.spark.sql.functions.col
+    val left = Seq(
+      (0L, 100L, 350L),   // spans buckets 1..3 at width 100
+      (1L, 120L, 130L),   // sub-bucket
+      (2L, 340L, 600L),   // shares buckets 3..3 with 0, more with right
+      (3L, 700L, 700L))   // empty
+      .toDF("a_id", "a_start", "a_end")
+    val right = Seq(
+      (10L, 0L, 1000L),   // covers everything — shares MANY buckets per pair
+      (11L, 350L, 400L),  // touches left 0 (a_end == 350): NOT an overlap
+      (12L, 125L, 126L),  // inside left 1
+      (13L, 650L, 700L),  // touches empty left 3
+      (14L, 2000L, 1L))   // inverted: matches nothing, one tile only
+      .toDF("b_id", "b_start", "b_end")
+    val got = graft.ops.RangeJoin
+      .intervalOverlap(left, "a_start", "a_end", right, "b_start", "b_end", bucketSec = 100L)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val naive = left.crossJoin(right)
+      .filter(org.apache.spark.sql.functions.greatest(col("a_start"), col("b_start")) <
+        org.apache.spark.sql.functions.least(col("a_end"), col("b_end")))
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === naive)
+    // multi-bucket-shared pair appears ONCE (the dedup-free tile rule)
+    assert(got.count(_ == (0L, 10L)) === 1)
+    assert(!got.contains((0L, 11L)))                  // touching excluded
+    assert(got.contains((1L, 12L)))                   // containment is overlap
+    assert(!got.exists(p => p._1 == 3L || p._2 == 14L)) // empty + inverted match nothing
+  }
+
   test("as-of join: latest right row at/before left time, per key") {
     val left = Seq((1L, 100L, "e1"), (1L, 205L, "e2"), (2L, 50L, "e3"))
       .toDF("k", "t", "ev")
