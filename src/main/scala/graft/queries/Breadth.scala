@@ -180,6 +180,45 @@ object Breadth {
         .select(col("c_custkey"), col("d_custkey"), col("dist"))
     }),
 
+    // END-TO-END entity resolution — the full record-linkage pipeline
+    // composed from ops the repo already pins one-by-one: TWO
+    // independently-dirtied copies of the customer names (different
+    // substitution + different trailing-char rule, so the two dirty twins
+    // of one customer differ by up to 4 edits and can NEVER fuzzy-match
+    // each other directly), fuzzy-matched to the clean records
+    // (FuzzyJoin: blocked on the digit field the corruption can't touch,
+    // levenshtein <= 2 in-block), the match pairs fed to connected
+    // components — the TRANSITIVE closure dirty1 ↔ clean ↔ dirty2 is what
+    // CC adds over pairwise matching — and each entity cluster collapsed
+    // to a canonical record (min-node member, min_by). Every stage is
+    // keyed; the oracle recomputes the closure with a recursive CTE.
+    "x_entity_resolution" -> ((s: SparkSession, dir: String) => {
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+      def dirtied(off: Long, rep: String, mod: Int, suf: String) =
+        c.select((col("c_custkey") + off).as("d_custkey"),
+          concat(regexp_replace(col("c_name"), "#", rep),
+            when(col("c_custkey") % mod === 0, lit(suf)).otherwise(lit("")))
+            .as("d_name"))
+      val d1 = dirtied(10000000L, "-", 2, "x")
+      val d2 = dirtied(20000000L, "+", 3, "y")
+      val nodes = c.select(col("c_custkey").as("node"), col("c_name").as("name"))
+        .unionByName(d1.select(col("d_custkey").as("node"), col("d_name").as("name")))
+        .unionByName(d2.select(col("d_custkey").as("node"), col("d_name").as("name")))
+      def pairs(d: org.apache.spark.sql.DataFrame) =
+        graft.ops.FuzzyJoin.byEditDistance(c, d, "c_name", "d_name",
+            substring(col("c_name"), 14, 5), substring(col("d_name"), 14, 5),
+            maxDist = 2)
+          .select(col("c_custkey").as("doc_a"), col("d_custkey").as("doc_b"))
+      val labels = graft.ext.Components
+        .connectedComponents(pairs(d1).unionByName(pairs(d2)))
+      nodes.join(labels, nodes("node") === labels("doc_id"), "left")
+        .select(col("node"), col("name"),
+          coalesce(col("component"), col("node")).as("entity_id"))
+        .groupBy(col("entity_id"))
+        .agg(count(lit(1)).as("n_records"),
+          min_by(col("name"), col("node")).as("canonical_name"))
+    }),
+
     // math scalar breadth (IEEE-deterministic ops only)
     "b6_math_funcs" -> ((s: SparkSession, dir: String) => {
       Tables.orders(s, dir).select(
@@ -297,6 +336,37 @@ object Breadth {
         |  ON substr(c.c_name, 14, 5) = substr(d.d_name, 14, 5)
         |WHERE abs(length(c.c_name) - length(d.d_name)) <= 2
         |  AND levenshtein(c.c_name, d.d_name) <= 2""".stripMargin,
+
+    "x_entity_resolution" ->
+      """WITH RECURSIVE
+        |d1 AS (SELECT c_custkey + 10000000 AS node,
+        |    replace(c_name, '#', '-') ||
+        |      CASE WHEN c_custkey % 2 = 0 THEN 'x' ELSE '' END AS name
+        |  FROM customer),
+        |d2 AS (SELECT c_custkey + 20000000 AS node,
+        |    replace(c_name, '#', '+') ||
+        |      CASE WHEN c_custkey % 3 = 0 THEN 'y' ELSE '' END AS name
+        |  FROM customer),
+        |n AS (SELECT c_custkey AS node, c_name AS name FROM customer
+        |      UNION ALL SELECT node, name FROM d1
+        |      UNION ALL SELECT node, name FROM d2),
+        |p AS (SELECT c.c_custkey AS a, d.node AS b
+        |      FROM customer c
+        |      JOIN (SELECT node, name FROM d1 UNION ALL SELECT node, name FROM d2) d
+        |        ON substr(c.c_name, 14, 5) = substr(d.name, 14, 5)
+        |      WHERE abs(length(c.c_name) - length(d.name)) <= 2
+        |        AND levenshtein(c.c_name, d.name) <= 2),
+        |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+        |walk(node, label) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node),
+        |lbl AS (SELECT node, min(label) AS entity_id FROM walk GROUP BY node)
+        |SELECT coalesce(lbl.entity_id, n.node) AS entity_id,
+        |  CAST(count(*) AS BIGINT) AS n_records,
+        |  min_by(n.name, n.node) AS canonical_name
+        |FROM n LEFT JOIN lbl USING (node)
+        |GROUP BY 1""".stripMargin,
 
     "b6_math_funcs" ->
       """SELECT o_orderkey, abs(o_totalprice - 200000) AS centered,
