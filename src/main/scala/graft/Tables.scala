@@ -21,16 +21,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
-  /** `events.ts` is nanosecond-precision parquet, which Spark 4 refuses by
-    * default (PARQUET_TYPE_ILLEGAL). Sessions built via [[GraftSession]] set
-    * `spark.sql.legacy.parquet.nanosAsLong` so it scans as a raw long; this
-    * loader converts to a microsecond TIMESTAMP — truncation, matching how
-    * any ns-producing upstream lands in Spark. (The conf lives in session
-    * construction, not here: loaders must not mutate session state.)
+  /** `events.ts` has drifted across testdata generations — ns-precision
+    * parquet (scanned as raw long under [[GraftSession]]'s `nanosAsLong`),
+    * then `timestamp[us]` (scanned as TIMESTAMP_NTZ). Branch on the scanned
+    * dtype so every generation lands as a microsecond TIMESTAMP under the
+    * UTC session (NTZ→timestamp is instant-preserving there), keeping every
+    * downstream consumer and the DuckDB oracle on identical semantics.
+    * `TablesSpec` pins each loader against the shipped testdata so the next
+    * drift fails a unit test instead of silently emptying the driver gate.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    apply(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = apply(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw // already a session-zoned TIMESTAMP
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

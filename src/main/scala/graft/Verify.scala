@@ -18,6 +18,14 @@ object Verify {
     // correctness run (the driver flags a stall after 1h). On timeout the
     // query's job group is cancelled and the loop moves on.
     val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "600").toLong * 1000
+    // A failed query must be VISIBLE, never silent absence (round 6 lost 18
+    // entries from the driver gate this way): write an _ERROR sentinel into
+    // the query's output dir so the gate records an explicit FAIL row.
+    def writeError(name: String, msg: String): Unit = {
+      val dir = Paths.get(s"$outDir/$name")
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve("_ERROR"), msg)
+    }
     SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
       val worker = new Thread(() => {
         try {
@@ -26,6 +34,7 @@ object Verify {
             .parquet(s"$outDir/$name")
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          writeError(name, s"${e.getClass.getName}: ${e.getMessage}")
         }
       }, s"verify-$name")
       worker.setDaemon(true)
@@ -44,12 +53,16 @@ object Verify {
           if (f.isDirectory) f.listFiles().foreach(rm)
           f.delete(): Unit
         }
-        if (worker.isAlive)
-          System.err.println(s"[verify] $name worker uncancellable; leaving dir for inspection")
-        else if (dir.exists()) {
-          // a cancelled write may leave a partial parquet dir — remove it so
-          // the driver records "missing" (honest) instead of reading garbage
-          rm(dir)
+        if (worker.isAlive) {
+          // can't safely delete under a live writer — poison the dir instead
+          // so partial parquet can never be mistaken for a completed result
+          System.err.println(s"[verify] $name worker uncancellable; marking dir _ERROR")
+          writeError(name, s"TIMEOUT after ${timeoutMs / 1000}s (worker uncancellable; any parquet here is partial)")
+        } else {
+          // a cancelled write may leave a partial parquet dir — remove it,
+          // then record the timeout as an explicit FAIL row, never absence
+          if (dir.exists()) rm(dir)
+          writeError(name, s"TIMEOUT after ${timeoutMs / 1000}s")
         }
       }
     }

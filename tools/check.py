@@ -37,6 +37,13 @@ def main(sf_dir, out_dir):
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = n_rowsonly = 0
     for name in names:
+        # graft.Verify writes an _ERROR sentinel when a query throws or times
+        # out — an explicit FAIL row, never silent absence (and it poisons any
+        # partial parquet an uncancellable writer may have left behind)
+        err_file = os.path.join(out_dir, name, "_ERROR")
+        if os.path.exists(err_file):
+            msg = open(err_file).read().strip()[:200]
+            print(f"FAIL  {name}: _ERROR sentinel: {msg}"); n_fail += 1; continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL  {name}: no parquet written"); n_fail += 1; continue
