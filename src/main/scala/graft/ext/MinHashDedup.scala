@@ -43,6 +43,71 @@ object MinHashDedup {
       .withColumn("sig",
         graft.functions.GraftFunctions.minhash_signature(col("shingles"), h))
 
+  /** Pure-SQL md5-surrogate signatures: the oracle-expressible executable
+    * spec twin of [[signatures]]. Shingle identity is the 3-gram STRING;
+    * its two base hashes come from disjoint md5 hex ranges (chars 1–15 and
+    * 16–30, each a 60-bit int parseable identically by Spark's `conv` and
+    * DuckDB's `'0x…'::BIGINT`), reduced mod 2^31−1 so the double-hashing
+    * combine `(h1 + i·h2) mod p` never overflows a BIGINT in either engine
+    * (DuckDB errors on overflow where the JVM wraps — the modulus is what
+    * makes the twin cross-engine exact). Returns
+    * `(idCol, shingles array<string>, sigs array<bigint> length h)`; docs
+    * with < k words have no shingles and are excluded, mirroring
+    * [[signatures]]' empty filter. Production stays on the native one-pass
+    * kernels; this twin exists so the banding+verify machinery gets a
+    * hash-matched DuckDB oracle instead of rows-only evidence.
+    */
+  def signaturesMd5(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", h: Int = 16, k: Int = 3): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        expr(s"split(lower($textCol), ' ')").as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col(idCol),
+        expr(s"""array_distinct(transform(sequence(0, size(ws) - $k),
+          i -> concat_ws(' ', slice(ws, i + 1, $k))))""").as("shingles"))
+      .withColumn("hs", expr("""transform(shingles, s -> struct(
+          cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint) % 2147483647 AS h1,
+          cast(conv(substr(md5(s), 16, 15), 16, 10) as bigint) % 2147483647 AS h2))"""))
+      .select(col(idCol), col("shingles"),
+        expr(s"""transform(sequence(0, ${h - 1}),
+          i -> array_min(transform(hs, p -> (p.h1 + i * p.h2) % 2147483647)))""").as("sigs"))
+
+  /** LSH banding + exact-Jaccard verify over [[signaturesMd5]] output —
+    * the twin's pair search. Same scale shape as [[nearDuplicates]]: ONE
+    * shuffle on the band key (band index + the band's sub-signature,
+    * serialized — only `(band_key, id)` rows move), candidates ≪ corpus,
+    * shingle sets fetched only for candidates. The DuckDB oracle answers
+    * the same question by brute force (any-band sub-signature equality over
+    * all pairs, then exact Jaccard), so banding + verify are pinned
+    * cross-engine end to end.
+    */
+  def nearDuplicatesMd5(docs: DataFrame, minJaccard: Double = 0.5,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        h: Int = 16, bands: Int = 4, k: Int = 3): DataFrame = {
+    val r = h / bands
+    val sigs = signaturesMd5(docs, idCol, textCol, h, k)
+    sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs
+      .select(col(idCol),
+        explode(expr(s"""transform(sequence(0, ${bands - 1}),
+          b -> concat(b, ':', array_join(transform(slice(sigs, b * $r + 1, $r),
+            v -> cast(v as string)), ',')))""")).as("band_key"))
+    val candidates = banded.toDF("doc_a", "band_key")
+      .join(banded.toDF("doc_b", "band_key"), Seq("band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    candidates
+      .join(sigs.select(col(idCol).as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sigs.select(col(idCol).as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Candidate pairs via LSH banding, then exact-Jaccard verification.
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ minJaccard.
     */

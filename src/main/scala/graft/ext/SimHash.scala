@@ -27,13 +27,47 @@ object SimHash {
     docs.select(col(idCol),
       graft.functions.GraftFunctions.simhash64(split(col(textCol), " ")).as("simhash"))
 
+  /** Pure-SQL md5-surrogate signatures: the oracle-expressible executable
+    * spec twin of [[signatures]]. Token hash = first 15 hex chars of md5
+    * (60 bits, always signed-positive, identically parseable by Spark's
+    * `conv` and DuckDB's `'0x…'::BIGINT`); per-bit majority over bits 0–59.
+    * One O(64·T) lambda pass per doc — the production path stays on the
+    * native one-pass xxhash64 kernel; this twin exists so the SHARED banding
+    * machinery ([[nearDuplicatesFromSigs]]) gets a cross-engine hash-matched
+    * oracle instead of rows-only evidence.
+    */
+  def signaturesMd5(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        expr(s"transform(split($textCol, ' '), t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))").as("hs"))
+      .select(col(idCol), expr("""
+        aggregate(sequence(0, 59), cast(0 as bigint), (acc, b) ->
+          acc + IF(2 * size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) > size(hs),
+                   shiftleft(cast(1 as bigint), b), cast(0 as bigint)))
+        """).as("simhash"))
+
   /** Pairs with hamming(simhash_a, simhash_b) ≤ maxDist (≤ 3 for exactness
     * of the 4-chunk pigeonhole; larger maxDist turns this into a recall<1
     * approximation, which is the standard trade at scale).
     */
   def nearDuplicates(docs: DataFrame, maxDist: Int = 3,
-                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sigs = signatures(docs, idCol, textCol)
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    nearDuplicatesFromSigs(signatures(docs, idCol, textCol), maxDist, idCol)
+
+  /** Chunk-pigeonhole banding over an (id, simhash) frame — ONE shuffle on
+    * (chunk_id, chunk_val), never an all-pairs join. Shared by the native
+    * and md5-twin paths, so the twin's DuckDB oracle (an all-pairs hamming
+    * scan, equal by pigeonhole exactness for maxDist ≤ 3) pins this exact
+    * code path cross-engine.
+    */
+  def nearDuplicatesFromSigs(sigs0: DataFrame, maxDist: Int = 3,
+                             idCol: String = "doc_id"): DataFrame = {
+    // the sig frame feeds both join sides — persist halves the signature
+    // compute (16 B/row; lifetime-scoped, same reasoning as MinHashDedup).
+    // Matters for the md5 twin whose per-doc sig is an O(64·T) lambda; the
+    // native kernel is cheap either way.
+    val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.select(col(idCol), col("simhash"),
       explode(expr("""transform(sequence(0, 3),
         c -> struct(c AS chunk_id, (shiftright(simhash, c * 16) & 65535) AS chunk_val))""")).as("ch"))

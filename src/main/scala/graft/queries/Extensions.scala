@@ -453,6 +453,34 @@ object Extensions {
       SimHash.nearDuplicates(Tables.documents(s, dir), maxDist = 3)
     }),
 
+    // md5-surrogate SimHash twins: same banding machinery as the entries
+    // above, but over a cross-engine-computable token hash, so BOTH the
+    // signature math and the pigeonhole pair search get full DuckDB oracles
+    // (the pairs oracle is an all-pairs hamming scan — equal by pigeonhole
+    // exactness for maxDist ≤ 3, so it pins the banding logic itself).
+    "x_simhash_md5_sigs" -> ((s: SparkSession, dir: String) => {
+      SimHash.signaturesMd5(Tables.documents(s, dir))
+    }),
+
+    "x_simhash_md5_pairs" -> ((s: SparkSession, dir: String) => {
+      SimHash.nearDuplicatesFromSigs(
+        SimHash.signaturesMd5(Tables.documents(s, dir)), maxDist = 3)
+    }),
+
+    // md5-surrogate MinHash twins (same treatment as the SimHash twins):
+    // double-hashing minhash over md5-derived shingle hashes, mod 2^31-1 so
+    // the arithmetic is overflow-free and bit-identical cross-engine. Sigs
+    // are emitted exploded (doc_id, i, minhash) — scalar rows compare
+    // cleanly where array columns stringify differently across engines.
+    "x_minhash_md5_sigs" -> ((s: SparkSession, dir: String) => {
+      MinHashDedup.signaturesMd5(Tables.documents(s, dir))
+        .select(col("doc_id"), posexplode(col("sigs")).as(Seq("i", "minhash")))
+    }),
+
+    "x_minhash_md5_pairs" -> ((s: SparkSession, dir: String) => {
+      MinHashDedup.nearDuplicatesMd5(Tables.documents(s, dir), minJaccard = 0.5)
+    }),
+
     // typed Aggregator (UDAF surface): per-source corpus MinHash sketch via
     // element-wise-min merge — signatures are mergeable, so shard sketches
     // combine without re-reading documents (rows-only; exactness of the
@@ -1386,6 +1414,105 @@ object Extensions {
         |WHERE source = 'src0'
         |  AND NOT EXISTS (SELECT 1 FROM documents c
         |                  WHERE c.source <> 'src0' AND c.text = b.text)""".stripMargin,
+
+    // md5-surrogate SimHash: token hash = first 15 hex chars of md5 parsed
+    // as a 60-bit int (same parse both engines); bit b of the signature is
+    // the per-bit majority. Mirrors SimHash.signaturesMd5 exactly.
+    "x_simhash_md5_sigs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents WHERE text IS NOT NULL)),
+        |n AS (SELECT doc_id, count(*) AS cnt FROM toks GROUP BY 1),
+        |bits AS (
+        |  SELECT doc_id, b, count(*) FILTER (WHERE (h >> b) & 1 = 1) AS ones
+        |  FROM toks CROSS JOIN (SELECT unnest(range(0, 60)) AS b)
+        |  GROUP BY 1, 2)
+        |SELECT bits.doc_id,
+        |  CAST(sum(CASE WHEN 2 * ones > cnt THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits JOIN n USING (doc_id)
+        |GROUP BY 1""".stripMargin,
+
+    // All-pairs hamming scan over the md5-surrogate signatures — the Spark
+    // side answers via chunk-pigeonhole banding (ONE keyed shuffle), equal
+    // by pigeonhole exactness for maxDist ≤ 3, so this oracle pins the
+    // banding machinery itself, not just the signature math.
+    "x_simhash_md5_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents WHERE text IS NOT NULL)),
+        |n AS (SELECT doc_id, count(*) AS cnt FROM toks GROUP BY 1),
+        |bits AS (
+        |  SELECT doc_id, b, count(*) FILTER (WHERE (h >> b) & 1 = 1) AS ones
+        |  FROM toks CROSS JOIN (SELECT unnest(range(0, 60)) AS b)
+        |  GROUP BY 1, 2),
+        |sigs AS (
+        |  SELECT bits.doc_id,
+        |    CAST(sum(CASE WHEN 2 * ones > cnt THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits JOIN n USING (doc_id)
+        |  GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    // md5-surrogate MinHash: shingle = lowercase word 3-gram; two base
+    // hashes from disjoint md5 hex ranges, reduced mod 2^31-1; minhash_i =
+    // min over shingles of (h1 + i*h2) mod p. Mirrors
+    // MinHashDedup.signaturesMd5 exactly (h=16).
+    "x_minhash_md5_sigs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(lower(text), ' ')) - 2),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |         string_split(lower(text), ' ')[i+1] || ' ' ||
+        |         string_split(lower(text), ' ')[i+2]))) AS s
+        |  FROM documents WHERE text IS NOT NULL),
+        |hs AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h1,
+        |    CAST(concat('0x', substr(md5(s), 16, 15)) AS BIGINT) % 2147483647 AS h2
+        |  FROM sh)
+        |SELECT doc_id, CAST(i AS INT) AS i,
+        |  CAST(min((h1 + i * h2) % 2147483647) AS BIGINT) AS minhash
+        |FROM hs CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // LSH banding (4 bands x 4 rows) + exact-Jaccard verify over the
+    // md5-surrogate signatures. The oracle brute-forces "any band's
+    // sub-signature equal" over all pairs; the Spark side answers via ONE
+    // band-key shuffle — equal results pin the banding machinery itself.
+    "x_minhash_md5_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(lower(text), ' ')) - 2),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |         string_split(lower(text), ' ')[i+1] || ' ' ||
+        |         string_split(lower(text), ' ')[i+2]))) AS s
+        |  FROM documents WHERE text IS NOT NULL),
+        |hs AS (
+        |  SELECT doc_id, s,
+        |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h1,
+        |    CAST(concat('0x', substr(md5(s), 16, 15)) AS BIGINT) % 2147483647 AS h2
+        |  FROM sh),
+        |sigs AS (
+        |  SELECT doc_id, list(CAST(m AS BIGINT) ORDER BY i) AS sig
+        |  FROM (SELECT doc_id, i, min((h1 + i * h2) % 2147483647) AS m
+        |        FROM hs CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+        |        GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |sets AS (SELECT doc_id, list(DISTINCT s) AS ws FROM sh GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(sa.ws, sb.ws)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(sa.ws, sb.ws))) AS jaccard
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |JOIN sets sa ON sa.doc_id = a.doc_id
+        |JOIN sets sb ON sb.doc_id = b.doc_id
+        |WHERE (a.sig[1:4] = b.sig[1:4] OR a.sig[5:8] = b.sig[5:8]
+        |    OR a.sig[9:12] = b.sig[9:12] OR a.sig[13:16] = b.sig[13:16])
+        |  AND CAST(len(list_intersect(sa.ws, sb.ws)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(sa.ws, sb.ws))) >= 0.5""".stripMargin,
 
     "x_dedup_jaccard_3gram" ->
       s"""WITH t AS (SELECT doc_id, source, n_chars,

@@ -23,6 +23,35 @@ class MinHashDedupSpec extends SparkSpec {
     assert(r.getDouble(2) === 1.0)
   }
 
+  test("md5 twin: LSH banding == brute-force any-band-equal + jaccard verify") {
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val texts = (0L until 25L).map { id =>
+      (id, Seq.fill(15 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val docs = (texts ++ Seq((100L, texts(0)._2), (101L, texts(1)._2 + " tail")))
+      .toDF("doc_id", "text")
+    val sigs = MinHashDedup.signaturesMd5(docs)
+    val a = sigs.select($"doc_id".as("doc_a"), $"sigs".as("ga"), $"shingles".as("sh_a"))
+    val b = sigs.select($"doc_id".as("doc_b"), $"sigs".as("gb"), $"shingles".as("sh_b"))
+    val anyBand = (0 until 4).map(i =>
+      expr(s"slice(ga, ${i * 4 + 1}, 4)") === expr(s"slice(gb, ${i * 4 + 1}, 4)"))
+      .reduce(_ || _)
+    val direct = a.crossJoin(b).filter($"doc_a" < $"doc_b").filter(anyBand)
+      .withColumn("jaccard",
+        size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size(array_union($"sh_a", $"sh_b")))
+      .filter($"jaccard" >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val banded = MinHashDedup.nearDuplicatesMd5(docs, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(direct.nonEmpty) // planted copy must collide
+    assert(banded.toSeq === direct.toSeq)
+    // planted exact copy surfaces at jaccard 1.0
+    assert(banded.exists(p => p._1 == 0L && p._2 == 100L && p._3 == 1.0))
+  }
+
   test("newAgainstCorpus: batch near-dups of corpus dropped; novel, short, and batch-internal dups kept") {
     val corpus = Seq((100L, base), (101L, other)).toDF("doc_id", "text")
     val batch = Seq(
@@ -77,6 +106,19 @@ class SimHashSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).sorted
     assert(direct.nonEmpty) // the planted copies must collide
     assert(banded.toSeq === direct.toSeq)
+  }
+
+  test("md5 twin: identical texts collide at hamming 0; signature deterministic; 60-bit") {
+    val docs = Seq((0L, base), (1L, base), (2L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val pairs = SimHash.nearDuplicatesFromSigs(SimHash.signaturesMd5(docs), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    assert(pairs.toSeq === Seq((0L, 1L, 0L)))
+    val sigs = SimHash.signaturesMd5(docs).orderBy("doc_id").as[(Long, Long)].collect()
+    assert(sigs(0)._2 === sigs(1)._2)
+    assert(sigs.forall(s => s._2 >= 0L && s._2 < (1L << 60))) // bits 0-59 only
+    assert(SimHash.signaturesMd5(docs).orderBy("doc_id").as[(Long, Long)].collect()
+      .toSeq === sigs.toSeq)
   }
 
   test("one changed word flips few bits") {
