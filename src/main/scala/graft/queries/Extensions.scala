@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Components, ExactDedup, JaccardDedup, MinHashDedup, MinHashMergeAgg, Multimodal, SimHash, Similarity, TextOps}
+import graft.ext.{Components, ExactDedup, JaccardDedup, MinHashDedup, MinHashMergeAgg, Multimodal, Pq, SimHash, Similarity, TextOps}
 
 /** Training-data pipeline extensions (SURVEY.md §7.3 M3): dedup family,
   * similarity search, text analysis, multimodal plumbing — exercised on the
@@ -36,6 +36,24 @@ object Extensions {
         val assigned = Similarity.ivfAssign(emb, model).persist()
         assigned.count() // materialize eagerly: the probe below must not pay assignment
         (model, assigned)
+      })
+
+  /** PQ is the same train-once shape as IVF (see [[ivfCache]]): codebooks
+    * + the encoded 8-byte-per-vector code table are built once per
+    * (session, corpus); registry entries measure the serving cost — an ADC
+    * probe over codes — never the Lloyd iterations.
+    */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (Pq.PqModel, DataFrame)]
+
+  private def pqFor(s: SparkSession, dir: String): (Pq.PqModel, DataFrame) =
+    pqCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("pq_train_encode") {
+        val emb = Tables.embeddings(s, dir)
+        val model = Pq.pqTrain(emb, m = 8, ksub = 16, iters = 2)
+        val codes = Pq.pqEncode(emb, model).persist()
+        codes.count() // materialize: probes must not pay encoding
+        (model, codes)
       })
 
   /** Written-once cid-partitioned layout per corpus (the serving path's
@@ -544,6 +562,49 @@ object Extensions {
       val brute = Similarity.bruteForceTopK(emb, q, k = 10)
         .select(col("q_id"), col("n_id"))
       brute.join(ivf.withColumn("hit", lit(1)), Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg((sum(coalesce(col("hit"), lit(0))) / 10.0).as("recall_at_10"))
+    }),
+
+    // ---- product quantization (compressed-vector serving) -------------
+    // the encoded code table: 8 codes × 4 bits of information per 64-dim
+    // vector — the column an ADC scan reads instead of the 256 B float
+    // vector. Exploded (vec_id, sub, code) so the oracle compares scalars
+    "x_pq_codes" -> ((s: SparkSession, dir: String) => {
+      val (_, codes) = pqFor(s, dir)
+      codes.select(col("n_id").as("vec_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+    }),
+
+    // ADC probe: per-query m×ksub lookup table broadcast into one narrow
+    // pass over the code column; approximate cosine, exact top-k semantics
+    "x_pq_topk" -> ((s: SparkSession, dir: String) => {
+      val (model, codes) = pqFor(s, dir)
+      Pq.pqProbe(codes, model,
+        Tables.embeddings(s, dir).filter(col("vec_id") < 5), k = 10)
+    }),
+
+    // shortlist-then-refine: ADC over-fetch (fetch=40, codes only), exact
+    // cosine re-rank of the sliver via a KEYED join back to true vectors —
+    // the serving shape a deployment actually runs (recall ≈ exact at 4k
+    // over-fetch while the corpus scan stays 8 B/row)
+    "x_pq_refine" -> ((s: SparkSession, dir: String) => {
+      val (model, codes) = pqFor(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      Pq.pqProbeRefined(codes, model, emb,
+        emb.filter(col("vec_id") < 5), k = 10, fetch = 40)
+    }),
+
+    // recall@10 of the compressed-domain probe vs exact brute force —
+    // the number a deployment watches when tuning m/ksub
+    "x_pq_recall" -> ((s: SparkSession, dir: String) => {
+      val (model, codes) = pqFor(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 5)
+      val pq = Pq.pqProbe(codes, model, q, k = 10).select(col("q_id"), col("n_id"))
+      val brute = Similarity.bruteForceTopK(emb, q, k = 10)
+        .select(col("q_id"), col("n_id"))
+      brute.join(pq.withColumn("hit", lit(1)), Seq("q_id", "n_id"), "left")
         .groupBy(col("q_id"))
         .agg((sum(coalesce(col("hit"), lit(0))) / 10.0).as("recall_at_10"))
     }),
@@ -1223,7 +1284,7 @@ object Extensions {
     * path, which exist only after the registry entries have run —
     * `Verify` dumps `oracleSql` last, so the timing works out).
     */
-  def oracleSql: Map[String, String] = staticOracleSql ++ ivfOracles
+  def oracleSql: Map[String, String] = staticOracleSql ++ ivfOracles ++ pqOracles
 
   // ---- IVF oracles ----------------------------------------------------
   // Everything downstream of Lloyd training is exact, deterministic
@@ -1327,6 +1388,110 @@ object Extensions {
                  |$ivfProbeSelect""".stripMargin)
           case None => base
         }
+      case _ => Map.empty // zero or ambiguous model state: rows-only fallback
+    }
+
+  // ---- PQ oracles -----------------------------------------------------
+  // Same contract as the IVF family: everything downstream of Lloyd is
+  // exact deterministic arithmetic, so given the trained codebook literals
+  // (model state) DuckDB reproduces encode + ADC bit-identically. The ADC
+  // sums are written as explicit per-subspace terms (l0.d + … + l7.d) so
+  // the fold order matches Spark's aggregate() lambda exactly — an
+  // unordered SQL SUM() could differ in the last ulp.
+  private def pqCtePrefix(model: Pq.PqModel): String = {
+    val rows = model.codebook.sortBy(t => (t._1, t._2)).map { case (s, k, v) =>
+      // csq literal via the same sequential fold the native dot kernel uses
+      val csq = v.foldLeft(0.0)((a, x) => a + x * x)
+      s"($s, $k, ${fmtVec(v)}::DOUBLE[], ${java.lang.Double.toString(csq)})"
+    }.mkString(",\n      ")
+    val d = model.dsub
+    s"""WITH cb AS (SELECT * FROM (VALUES
+       |      $rows) t(sub, code, c_vec, csq)),
+       |c AS (SELECT vec_id AS n_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS n_vec
+       |      FROM embeddings),
+       |subs AS (SELECT n_id, ss.sub, n_vec[ss.sub * $d + 1 : ss.sub * $d + $d] AS x
+       |      FROM c CROSS JOIN (SELECT unnest(range(0, ${model.m})) AS sub) ss),
+       |enc AS (SELECT n_id, sub, code FROM (
+       |    SELECT su.n_id, su.sub, cb.code,
+       |      row_number() OVER (PARTITION BY su.n_id, su.sub
+       |        ORDER BY round(list_inner_product(su.x, su.x)
+       |          - 2 * list_inner_product(su.x, cb.c_vec) + cb.csq, 6) ASC, cb.code ASC) AS rk
+       |    FROM subs su JOIN cb ON cb.sub = su.sub)
+       |  WHERE rk = 1)""".stripMargin
+  }
+
+  /** The shared probe CTEs + the ADC select over them (relations: `q`
+    * queries, `lut` per-query subspace dot tables, `qn` query norms, `cp`
+    * codes pivoted to one column per subspace).
+    */
+  private def pqProbeSql(model: Pq.PqModel, fetch: Int = 10): String = {
+    val (m, ksub, d) = (model.m, model.ksub, model.dsub)
+    val pivots = (0 until m).map(s => s"max(CASE WHEN sub = $s THEN code END) AS c$s").mkString(", ")
+    val joins = (1 until m).map(s =>
+      s"JOIN lut l$s ON l$s.q_id = l0.q_id AND l$s.sub = $s AND l$s.code = cp.c$s").mkString("\n  ")
+    val dSum = (0 until m).map(s => s"l$s.d").mkString(" + ")
+    val cSum = (0 until m).map(s => s"l$s.csq").mkString(" + ")
+    val adc = s"round(($dSum) / qn.qn / sqrt($cSum), 6)"
+    s"""q AS (SELECT n_id AS q_id, n_vec AS q_vec FROM c WHERE n_id < 5),
+       |lut AS (SELECT q.q_id, cb.sub, cb.code,
+       |      list_inner_product(q.q_vec[cb.sub * $d + 1 : cb.sub * $d + $d], cb.c_vec) AS d,
+       |      cb.csq
+       |    FROM q CROSS JOIN cb),
+       |qn AS (SELECT q_id, sqrt(list_inner_product(q_vec, q_vec)) AS qn FROM q),
+       |cp AS (SELECT n_id, $pivots FROM enc GROUP BY n_id),
+       |pq AS (SELECT q_id, n_id, adc, rk FROM (
+       |    SELECT l0.q_id, cp.n_id, $adc AS adc,
+       |      CAST(row_number() OVER (PARTITION BY l0.q_id
+       |        ORDER BY $adc DESC, cp.n_id) AS INT) AS rk
+       |    FROM cp
+       |    JOIN lut l0 ON l0.sub = 0 AND l0.code = cp.c0
+       |    $joins
+       |    JOIN qn ON qn.q_id = l0.q_id
+       |    WHERE cp.n_id <> l0.q_id)
+       |  WHERE rk <= $fetch)""".stripMargin
+  }
+
+  private def pqOracles: Map[String, String] =
+    pqCache.toMap match {
+      case one if one.size == 1 =>
+        val (_, (model, _)) = one.head
+        val prefix = pqCtePrefix(model)
+        val codes =
+          s"""$prefix
+             |SELECT n_id AS vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code
+             |FROM enc""".stripMargin
+        val topk =
+          s"""$prefix,
+             |${pqProbeSql(model)}
+             |SELECT q_id, n_id, adc, rk FROM pq""".stripMargin
+        val recall =
+          s"""$prefix,
+             |${pqProbeSql(model)},
+             |brute AS (SELECT q_id, n_id FROM (
+             |    SELECT q.q_id, c.n_id,
+             |      row_number() OVER (PARTITION BY q.q_id
+             |        ORDER BY round(list_cosine_similarity(q.q_vec, c.n_vec), 6) DESC, c.n_id) AS rk
+             |    FROM q JOIN c ON c.n_id <> q.q_id)
+             |  WHERE rk <= 10)
+             |SELECT b.q_id,
+             |  CAST(sum(CASE WHEN p.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) / 10.0 AS recall_at_10
+             |FROM brute b LEFT JOIN pq p ON b.q_id = p.q_id AND b.n_id = p.n_id
+             |GROUP BY b.q_id""".stripMargin
+        // refine: ADC shortlist at fetch=40 (codes only), exact-cosine
+        // re-rank of the sliver — same round-6/tiebreak contract as the
+        // brute-force select
+        val refine =
+          s"""$prefix,
+             |${pqProbeSql(model, fetch = 40)}
+             |SELECT q_id, n_id, cos, rk FROM (
+             |  SELECT p.q_id, p.n_id,
+             |    round(list_cosine_similarity(q.q_vec, c.n_vec), 6) AS cos,
+             |    CAST(row_number() OVER (PARTITION BY p.q_id
+             |      ORDER BY round(list_cosine_similarity(q.q_vec, c.n_vec), 6) DESC, p.n_id) AS INT) AS rk
+             |  FROM pq p JOIN c ON c.n_id = p.n_id JOIN q ON q.q_id = p.q_id)
+             |WHERE rk <= 10""".stripMargin
+        Map("x_pq_codes" -> codes, "x_pq_topk" -> topk, "x_pq_recall" -> recall,
+          "x_pq_refine" -> refine)
       case _ => Map.empty // zero or ambiguous model state: rows-only fallback
     }
 

@@ -156,6 +156,10 @@ class PlanShapeSpec extends SparkSpec {
       "x_substr_summary",    // 1×1 cross join: span summary × corpus chars
       "x_curriculum",        // single-row N aggregate broadcast back
       "x_text_vocab_coverage", // broadcast single-row corpus-total × top-20 head
+      "x_pq_topk",           // code scan × broadcast(per-query ADC LUTs)
+      "x_pq_recall",         // includes the brute-force reference
+      "x_pq_refine",         // inherits the ADC shortlist's LUT cross join;
+                             // the re-rank joins are keyed (n_id, q_id)
       "x_dedup_semantic")    // inherits the nlist-bounded assignment cross
                              // join from the cached IVF lineage; the pair
                              // join itself is keyed on cid (pinned below)
