@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
   *  - embeddings get a small deterministic per-copy, per-dimension offset —
   *    copies are near but not identical vectors (identical vectors would
   *    make every pair-form's output explode ×K²);
-  *  - events keep their raw int64 nanosecond `ts` (written back as plain
-  *    longs; the Tables.events loader divides to micros either way).
+  *  - events keep their source `ts` encoding untouched (historically
+  *    int64-ns, now `timestamp[us]` — the Tables.events loader branches on
+  *    the scanned dtype either way).
   */
 object ScaleUp {
 
