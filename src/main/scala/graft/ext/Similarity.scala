@@ -310,6 +310,16 @@ object Similarity {
       .withColumn("band", explode(expr(s"sequence(0, ${nBands - 1})")))
       .withColumn("bucket", bandedSketch("v", "band", nPlanes))
       .select(col("band"), col("bucket"), col("id"))
+    verifyBandCandidates(sk, c, threshold)
+  }
+
+  /** Shared banding tail: candidate pairs from a `(band, bucket, id)` frame
+    * (ONE keyed shuffle, ids only), exact-cosine verify with vectors fetched
+    * per surviving candidate. Used by the native sketch path and the md5
+    * twin below, so the twin's oracle pins this exact code path.
+    */
+  private def verifyBandCandidates(sk: DataFrame, c: DataFrame,
+                                   threshold: Double): DataFrame = {
     val cand = sk.select(col("band"), col("bucket"), col("id").as("vec_a"))
       .join(sk.select(col("band"), col("bucket"), col("id").as("vec_b")),
         Seq("band", "bucket"))
@@ -322,6 +332,48 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"),
         cosinePre(dot(col("va"), col("vb")), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** Deterministic ±1 plane components from md5("band:plane:dim") — the
+    * cross-engine-derivable hash family of the LSH twin: the sign is the
+    * md5 digest's top bit, which SQL reads as `substr(md5(s),1,1) < '8'`.
+    * Computed JVM-side here and embedded as array literals (the oracle
+    * re-derives them IN SQL, so a divergence in either derivation fails the
+    * cross-engine compare — the literals can't drift silently).
+    */
+  def md5PlaneSigns(nBands: Int, nPlanes: Int, dim: Int): Array[Array[Array[Double]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nBands, nPlanes, dim) { (b, p, d) =>
+      if ((md.digest(s"$b:$p:$d".getBytes("UTF-8"))(0) & 0x80) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Oracle-expressible executable-spec twin of [[embedPairsLsh]]: the
+    * SAME banding tail over sign-sketch buckets whose hyperplanes come from
+    * [[md5PlaneSigns]] instead of the native mix64 streams. Projections use
+    * the native dot kernel against sign-array literals (fast, exact) and
+    * round at 1e-6 before the sign test, mirroring the oracle's rounded
+    * SUM — bucket bits are cross-engine identical, so the whole
+    * bucket→candidate→verify pipeline gets a hash-matched DuckDB row where
+    * the native family is rows-only by nature.
+    */
+  def embedPairsLshMd5(corpus: DataFrame, threshold: Double = 0.9,
+                       nPlanes: Int = 8, nBands: Int = 4,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val dim = c.select(size(col("v"))).head.getInt(0) // one row: schema probe
+    val signs = md5PlaneSigns(nBands, nPlanes, dim)
+    val bucketPerBand = (0 until nBands).map { b =>
+      (0 until nPlanes).map { p =>
+        when(round(dot(col("v"), typedLit(signs(b)(p).toSeq)), 6) > 0, lit(1 << p))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    val sk = c.select(col("id"),
+      posexplode(array(bucketPerBand: _*)).as(Seq("band", "bucket")))
+    verifyBandCandidates(sk, c, threshold)
   }
 
   /** LSH-bucketed approximate top-k: bucket by sketch, exact cosine within

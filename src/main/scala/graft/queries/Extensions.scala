@@ -876,6 +876,16 @@ object Extensions {
         nPlanes = 8, nBands = 8)
     }),
 
+    // md5-surrogate twin of the entry above (round-7 twin family): same
+    // banding tail, hyperplanes derived from md5("band:plane:dim") — a hash
+    // family BOTH engines can compute, so bucket assignment, candidate
+    // generation, and the exact verify all get a hash-matched oracle row
+    // (the native mix64 sketch stays rows-only by nature)
+    "x_embed_lsh_md5_pairs" -> ((s: SparkSession, dir: String) => {
+      Similarity.embedPairsLshMd5(Tables.embeddings(s, dir), threshold = 0.4,
+        nPlanes = 8, nBands = 4)
+    }),
+
     // per-group top-k via bounded-buffer partial aggregation — the exchange
     // carries ≤ k rows per group per task instead of the whole table (the
     // window-row_number twin is q8; outputs identical)
@@ -1839,6 +1849,31 @@ object Extensions {
         |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
         |FROM c a JOIN c b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""".stripMargin,
+
+    // md5-hyperplane LSH twin: the signs are DERIVED in SQL (md5 top bit),
+    // independently of the Spark side's JVM-md5 literals — if either
+    // derivation drifted, buckets would differ and this row would fail.
+    // Candidates = any band's full bucket equal; verify = exact cosine.
+    "x_embed_lsh_md5_pairs" ->
+      """WITH c AS (SELECT vec_id AS n_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |sg AS (SELECT b.band, p.p, d.d,
+        |    CASE WHEN substr(md5(concat(b.band, ':', p.p, ':', d.d)), 1, 1) < '8'
+        |         THEN 1.0 ELSE -1.0 END AS s
+        |  FROM (SELECT unnest(range(0, 4)) AS band) b
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS p) p
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS d) d),
+        |proj AS (SELECT c.n_id, sg.band, sg.p,
+        |    round(sum(c.v[sg.d + 1] * sg.s), 6) AS pr
+        |  FROM c CROSS JOIN sg GROUP BY 1, 2, 3),
+        |bk AS (SELECT n_id, band,
+        |    CAST(sum(CASE WHEN pr > 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+        |  FROM proj GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.n_id AS vec_a, b.n_id AS vec_b
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.n_id < b.n_id)
+        |SELECT ca.vec_a, ca.vec_b, round(list_cosine_similarity(x.v, y.v), 6) AS cos
+        |FROM cand ca JOIN c x ON x.n_id = ca.vec_a JOIN c y ON y.n_id = ca.vec_b
+        |WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.4""".stripMargin,
 
     "x_dedup_jaccard" ->
       s"""WITH t AS (SELECT doc_id, source, n_chars, list_distinct($sqlWords) AS ws

@@ -502,6 +502,11 @@ class SimilaritySpec extends SparkSpec {
     // near-identical vectors agree on every sketch bit with overwhelming
     // probability; 6 independent bands drive the miss rate to ~0
     assert(lsh === exact, s"missed ${exact -- lsh}")
+    // the md5-hyperplane twin obeys the same contracts over the same data
+    val md5 = pairs(Similarity.embedPairsLshMd5(corpus, threshold = 0.99,
+      nPlanes = 8, nBands = 6))
+    assert(md5.subsetOf(exact))
+    assert(md5 === exact, s"md5 twin missed ${exact -- md5}")
   }
 
   test("semDedup: planted within-cluster near-dup dropped, smaller id survives") {
