@@ -208,6 +208,62 @@ object Components {
     out
   }
 
+  /** Incremental ledger maintenance — the operational form at 100 TB,
+    * where a daily ingest CANNOT recompute components over the whole
+    * corpus. Given the existing ledger `labels` (doc_id, component — the
+    * [[connectedComponents]] contract: component = min reachable id) and
+    * the batch's NEW edges (batch↔batch and batch↔corpus pairs from the
+    * incremental dedup joins), produces the updated full ledger, provably
+    * equal to a recompute over `oldEdges ∪ newEdges`:
+    *
+    *  1. CONTRACT: each endpoint maps to its current component label (its
+    *     own id if unseen) — old components become super-nodes. Edges
+    *     inside one old component contract to self-loops and vanish.
+    *  2. Run CC on the contracted graph — BATCH-sized, not corpus-sized
+    *     (nodes = touched component roots + new docs).
+    *  3. REMAP: one keyed join relabels old components whose root moved;
+    *     untouched components (the overwhelming majority) pass through
+    *     unjoined.
+    *
+    * Equality with the recompute holds because an old label is the MIN id
+    * of its members, so the min over a merged component's contracted nodes
+    * is the min over all underlying members. Per-ingest cost is
+    * O(|new edges|) + one ledger-wide remap join — never a corpus-wide
+    * fixpoint. The registry entry's oracle is the SAME recursive-CTE
+    * fixpoint as `x_dedup_cc`, making "incremental == recompute" the
+    * checked contract itself.
+    */
+  def incrementalComponents(labels: DataFrame, newEdges: DataFrame,
+                            aCol: String = "doc_a", bCol: String = "doc_b",
+                            maxIter: Int = 25): DataFrame = {
+    requireIntegralIds("incrementalComponents", newEdges, Seq(aCol, bCol))
+    val lab = labels.select(col("doc_id").cast("long").as("node"),
+      col("component").cast("long").as("label"))
+    val e = newEdges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    val contracted = e
+      .join(lab.select(col("node").as("a"), col("label").as("la")), Seq("a"), "left")
+      .join(lab.select(col("node").as("b"), col("label").as("lb")), Seq("b"), "left")
+      .select(coalesce(col("la"), col("a")).as("doc_a"),
+        coalesce(col("lb"), col("b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val merged = connectedComponents(contracted, maxIter = maxIter)
+    // old components whose root was pulled into a bigger merge
+    val rootMap = merged.select(col("doc_id").as("label"), col("component").as("newlab"))
+    val updatedOld = lab.join(rootMap, Seq("label"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("newlab"), col("label")).as("component"))
+    // endpoints never seen before: labeled by the contracted run, or
+    // themselves when their only edges contracted away (same-component)
+    val newNodes = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+      .distinct()
+      .join(lab, Seq("node"), "left_anti")
+    val newLabeled = newNodes
+      .join(merged.select(col("doc_id").as("node"), col("component")), Seq("node"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("component"), col("node")).as("component"))
+    updatedOld.union(newLabeled)
+  }
+
   /** Dedup by clustering: keep exactly one representative (min id) per
     * connected component of the pair graph; docs with no pairs pass
     * through. The semantics `DataPrep.dropNearDups`' pairwise rule

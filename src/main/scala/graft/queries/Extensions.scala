@@ -114,6 +114,28 @@ object Extensions {
         Components.connectedComponentsStar(ccPairsFor(s, dir))
       })
 
+  /** Pre-batch state for the incremental-CC entry: the ledger over pairs
+    * whose endpoints BOTH predate the batch (doc_id % 7 != 0), plus the
+    * batch's new edges. Built once like the other ledgers — the entry then
+    * measures exactly what an ingest pays.
+    */
+  private val ccIncrCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (DataFrame, DataFrame)]
+
+  private def ccIncrFor(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    ccIncrCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("cc_incr_prestate") {
+        val pairs = ccPairsFor(s, dir)
+        val inBatch = (c: org.apache.spark.sql.Column) => c % 7 === 0
+        val oldEdges = pairs.filter(!inBatch(col("doc_a")) && !inBatch(col("doc_b")))
+        val newEdges = pairs.filter(inBatch(col("doc_a")) || inBatch(col("doc_b")))
+          .persist()
+        newEdges.count()
+        val ledger = Components.connectedComponents(oldEdges).persist()
+        ledger.count()
+        (ledger, newEdges)
+      })
+
   /** Trained BPE merge list per corpus — train-once model state like the
     * IVF centroids (numMerges driver-side entries); the pair-count and
     * tokenize entries serve from it.
@@ -297,6 +319,18 @@ object Extensions {
     // DuckDB fixpoint; served from its own once-built ledger like the
     // propagation twin
     "x_dedup_cc_star" -> ((s: SparkSession, dir: String) => ccStarFor(s, dir)),
+
+    // incremental ledger maintenance: docs with doc_id % 7 == 0 play the
+    // arriving batch; the cached build holds the PRE-batch ledger (CC over
+    // pairs with both endpoints outside the batch), and the entry measures
+    // what an ingest pays — CC over the batch-sized CONTRACTED graph plus
+    // one ledger remap join. The oracle is the x_dedup_cc recursive-CTE
+    // fixpoint over the FULL pair graph, so "incremental == recompute" is
+    // the checked contract itself.
+    "x_dedup_cc_incremental" -> ((s: SparkSession, dir: String) => {
+      val (oldLedger, newEdges) = ccIncrFor(s, dir)
+      Components.incrementalComponents(oldLedger, newEdges)
+    }),
 
     // cluster decisions with a QUALITY rule: per near-dup cluster keep the
     // highest-quality member (score desc, id asc) — the production form of
@@ -2183,6 +2217,11 @@ object Extensions {
 
     // star contraction computes the SAME fixpoint — one oracle, two algorithms
     "x_dedup_cc_star" -> ccOracleSqlRef,
+
+    // incremental update computes the SAME fixpoint from (pre-batch ledger
+    // + new edges) — one oracle, three algorithms: the equality IS the
+    // incremental contract
+    "x_dedup_cc_incremental" -> ccOracleSqlRef,
 
     "x_text_novelty" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -120,6 +120,53 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("incrementalComponents: batch edges merge, relabel, and create components == recompute") {
+    // old graph: {1,2,3} (root 1), {10,11} (root 10); batch brings:
+    // 3-10 (merges the two old components), 20-21 (brand-new component),
+    // 2-3 (inside an old component — contracts away), 11-22 (new node
+    // joins an old component)
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val ledger = Components.connectedComponents(oldEdges)
+    val newEdges = Seq((3L, 10L), (20L, 21L), (2L, 3L), (11L, 22L)).toDF("doc_a", "doc_b")
+    val got = Components.incrementalComponents(ledger, newEdges)
+      .as[(Long, Long)].collect().toMap
+    val full = Components.connectedComponents(
+      oldEdges.union(newEdges)).as[(Long, Long)].collect().toMap
+    assert(got === full)
+    assert(got(11L) === 1L && got(22L) === 1L && got(20L) === 20L)
+  }
+
+  test("incrementalComponents: all-contracted batch leaves the ledger unchanged") {
+    val oldEdges = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val ledger = Components.connectedComponents(oldEdges)
+    val newEdges = Seq((1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b") // all intra-component
+    val got = Components.incrementalComponents(ledger, newEdges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("incrementalComponents == recompute on random edge splits (sampled property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val edgeGen = Gen.listOfN(16,
+      Gen.zip(Gen.chooseNum(0L, 11L), Gen.chooseNum(0L, 11L)))
+      .map(_.filter { case (a, b) => a != b }.distinct)
+      .suchThat(_.size >= 2)
+    val prop = Prop.forAll(edgeGen) { es =>
+      // split: edges touching an even-id node are "the batch"
+      val (newEs, oldEs) = es.partition { case (a, b) => a % 2 == 0 || b % 2 == 0 }
+      val full = Components.connectedComponents(es.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      val got =
+        if (oldEs.isEmpty || newEs.isEmpty) full // degenerate split: nothing to test
+        else Components.incrementalComponents(
+          Components.connectedComponents(oldEs.toDF("doc_a", "doc_b")),
+          newEs.toDF("doc_a", "doc_b")).as[(Long, Long)].collect().toMap
+      Prop(got == full) :| s"got $got want $full (old=$oldEs new=$newEs)"
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("connectedComponents == union-find on random edge sets (sampled property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val edgeGen = Gen.listOfN(14,
