@@ -56,6 +56,19 @@ object Extensions {
         (model, codes)
       })
 
+  /** Linear probe: train-once model state like IVF/PQ — the ridge solve
+    * runs on collected moments (driver-side, (d+1)² — model state), cached
+    * per (session, corpus) so the scoring entry measures serving cost.
+    */
+  private val probeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (Array[Double], Double)]
+
+  private def probeFor(s: SparkSession, dir: String): (Array[Double], Double) =
+    probeCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("probe_train") {
+        graft.ext.LinearProbe.train(Tables.embeddings(s, dir), lambda = 1e-3)
+      })
+
   /** Written-once cid-partitioned layout per corpus (the serving path's
     * durable half — a deployment writes it at assignment time, probes read
     * it forever after; here it lands in a temp dir per application run).
@@ -641,6 +654,22 @@ object Extensions {
       brute.join(pq.withColumn("hit", lit(1)), Seq("q_id", "n_id"), "left")
         .groupBy(col("q_id"))
         .agg((sum(coalesce(col("hit"), lit(0))) / 10.0).as("recall_at_10"))
+    }),
+
+    // ---- linear probe (train a scorer IN the engine) ------------------
+    // the distributed half of training: the second-moment matrix over
+    // z = [x, 1, label] — one pass, one keyed agg, exact decimal sums
+    // (the repo's engine-portable aggregate), so TRAINING itself is
+    // oracle-checked, not just the resulting scores
+    "x_probe_moments" -> ((s: SparkSession, dir: String) => {
+      graft.ext.LinearProbe.moments(Tables.embeddings(s, dir))
+    }),
+
+    // serving: score = round(w·x + b, 6) with the ridge-trained weights —
+    // generated oracle embeds the identical literals (PQ-style)
+    "x_probe_scores" -> ((s: SparkSession, dir: String) => {
+      val (w, b) = probeFor(s, dir)
+      graft.ext.LinearProbe.scores(Tables.embeddings(s, dir), w, b)
     }),
 
     // SemDeDup: k-means cluster (the cached IVF model — clustering and ANN
@@ -1328,7 +1357,24 @@ object Extensions {
     * path, which exist only after the registry entries have run —
     * `Verify` dumps `oracleSql` last, so the timing works out).
     */
-  def oracleSql: Map[String, String] = staticOracleSql ++ ivfOracles ++ pqOracles
+  def oracleSql: Map[String, String] =
+    staticOracleSql ++ ivfOracles ++ pqOracles ++ probeOracles
+
+  // ---- linear-probe oracles -------------------------------------------
+  // The moments entry has a fully static oracle (below, in
+  // staticOracleSql); the scores oracle embeds the ridge-trained weights
+  // as double literals — same trust model as the IVF/PQ model state.
+  private def probeOracles: Map[String, String] =
+    probeCache.toMap match {
+      case one if one.size == 1 =>
+        val (_, (w, b)) = one.head
+        Map("x_probe_scores" ->
+          s"""SELECT vec_id,
+             |  round(list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             |    ${fmtVec(w.toSeq)}::DOUBLE[]) + ${java.lang.Double.toString(b)}, 6) AS score
+             |FROM embeddings""".stripMargin)
+      case _ => Map.empty
+    }
 
   // ---- IVF oracles ----------------------------------------------------
   // Everything downstream of Lloyd training is exact, deterministic
@@ -1722,6 +1768,22 @@ object Extensions {
         |    OR a.sig[9:12] = b.sig[9:12] OR a.sig[13:16] = b.sig[13:16])
         |  AND CAST(len(list_intersect(sa.ws, sb.ws)) AS DOUBLE) /
         |    len(list_distinct(list_concat(sa.ws, sb.ws))) >= 0.5""".stripMargin,
+
+    // linear-probe moments: z = [embedding, 1, label] (66 cells at the
+    // fixture's 64-dim embeddings); upper triangle i <= j; per-row products
+    // are IEEE-identical, sums follow the exact-decimal scheme — training's
+    // entire distributed computation, oracle-checked
+    "x_probe_moments" ->
+      """WITH z AS (SELECT list_concat(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |    [CAST(1.0 AS DOUBLE), CAST(label AS DOUBLE)]) AS z FROM embeddings),
+        |t AS (SELECT ii.i, jj.j, z[ii.i + 1] * z[jj.j + 1] AS p
+        |  FROM z
+        |  CROSS JOIN (SELECT unnest(range(0, 66)) AS i) ii
+        |  CROSS JOIN (SELECT unnest(range(0, 66)) AS j) jj
+        |  WHERE jj.j >= ii.i)
+        |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+        |  CAST(round(sum(CAST(p AS DECIMAL(28,10))), 6) AS DOUBLE) AS v
+        |FROM t GROUP BY 1, 2""".stripMargin,
 
     "x_dedup_jaccard_3gram" ->
       s"""WITH t AS (SELECT doc_id, source, n_chars,
