@@ -24,6 +24,45 @@ import org.apache.spark.sql.functions._
   * buffer (one d² array per task, the `MinHashMergeAgg` pattern) with this
   * form as its correctness pin.
   */
+/** Partial-aggregating second-moment buffer: the flattened upper triangle
+  * of `Σ z·zᵀ` accumulated per task, merged element-wise — the
+  * [[MinHashMergeAgg]] pattern applied to regression moments. One ~17 KB
+  * buffer per map task crosses the exchange regardless of corpus size.
+  */
+class MomentsAgg(n: Int)
+  extends org.apache.spark.sql.expressions.Aggregator[Seq[Double], Array[Double], Array[Double]] {
+  private val cells = n * (n + 1) / 2
+
+  override def zero: Array[Double] = new Array[Double](cells)
+
+  override def reduce(buf: Array[Double], z: Seq[Double]): Array[Double] = {
+    val za = z.toArray
+    var idx = 0
+    var i = 0
+    while (i < n) {
+      val zi = za(i)
+      var j = i
+      while (j < n) { buf(idx) += zi * za(j); idx += 1; j += 1 }
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < cells) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(r: Array[Double]): Array[Double] = r
+
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+
+  override def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+}
+
 object LinearProbe {
 
   /** Upper-triangle second moments of `z = [x, 1, y]`: rows `(i, j, v)`
@@ -45,6 +84,41 @@ object LinearProbe {
       .select(col("i"), (col("i") + col("dj")).cast("int").as("j"), col("p"))
       .groupBy("i", "j")
       .agg(round(sum(col("p").cast("decimal(28,10)")), 6).cast("double").as("v"))
+
+  /** Production fast path for the moment matrix: a typed `Aggregator`
+    * accumulating the flattened upper triangle in ONE local buffer per
+    * task ((d+2)(d+3)/2 doubles ≈ 17 KB at d=64) — the exchange carries
+    * one buffer per map task instead of the exact twin's d²-exploded rows
+    * (×2211 the corpus row count at d=64). Double accumulation is
+    * task-order-dependent in the last ulp, so this form is rows-only
+    * evidence; [[moments]] (exact decimal) is its correctness pin — the
+    * unit asserts agreement within 1e-6 — and remains what [[train]] uses
+    * for bit-reproducible weights.
+    */
+  def momentsFast(corpus: DataFrame, vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(size(col(vecCol)).as("d")).head.getInt(0)
+    val n = dim + 2
+    val z = corpus.select(expr(s"""concat(cast($vecCol as array<double>),
+        array(cast(1.0 as double)), array(cast($labelCol as double)))""").as("z"))
+      .as[Seq[Double]]
+    val agg = new MomentsAgg(n)
+    z.groupByKey(_ => 0).agg(agg.toColumn.name("m"))
+      .flatMap { case (_, arr) =>
+        val out = Seq.newBuilder[(Int, Int, Double)]
+        var idx = 0
+        var i = 0
+        while (i < n) {
+          var j = i
+          while (j < n) { out += ((i, j, arr(idx))); idx += 1; j += 1 }
+          i += 1
+        }
+        out.result()
+      }
+      .toDF("i", "j", "v")
+  }
 
   /** Driver-side ridge solve from collected moments. Builds the full
     * symmetric (d+2)² matrix, extracts `A = M[0..d][0..d] + λ·diag` (the

@@ -665,6 +665,14 @@ object Extensions {
       graft.ext.LinearProbe.moments(Tables.embeddings(s, dir))
     }),
 
+    // production moment path: ONE partial-aggregated buffer per task (the
+    // MinHashMergeAgg pattern) instead of the exact twin's d²-exploded
+    // rows; double accumulation is task-order-dependent in the last ulp →
+    // rows-only, pinned against the exact twin in LinearProbeSpec
+    "x_probe_moments_fast" -> ((s: SparkSession, dir: String) => {
+      graft.ext.LinearProbe.momentsFast(Tables.embeddings(s, dir))
+    }),
+
     // serving: score = round(w·x + b, 6) with the ridge-trained weights —
     // generated oracle embeds the identical literals (PQ-style)
     "x_probe_scores" -> ((s: SparkSession, dir: String) => {

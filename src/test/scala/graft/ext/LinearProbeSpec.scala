@@ -52,6 +52,18 @@ class LinearProbeSpec extends SparkSpec {
     assert(maxErr < 0.01, s"maxErr=$maxErr")
   }
 
+  test("momentsFast (partial-agg buffer) agrees with the exact decimal twin") {
+    val docs = fixture()
+    val exact = LinearProbe.moments(docs).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val fast = LinearProbe.momentsFast(docs).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(fast.keySet === exact.keySet)
+    exact.foreach { case (k, v) =>
+      assert(math.abs(fast(k) - v) < 1e-6, s"$k: fast=${fast(k)} exact=$v")
+    }
+  }
+
   test("larger lambda shrinks weights toward zero") {
     val docs = fixture()
     val (wSmall, _) = LinearProbe.train(docs, lambda = 1e-9)
