@@ -159,6 +159,21 @@ object WebPipeline {
           col("matched_domain").isNotNull.cast("int").as("blocked"))
     }),
 
+    // leakage-aware train/val/test split: the assignment key is the URL
+    // HOST, not the doc id, so every document of a site lands in ONE
+    // split — within-site near-duplicates (the dominant web-dup mode) can
+    // never straddle train and test. md5-banded like x_sample_split, so
+    // the full per-doc assignment is oracle-checked; non-URL docs ('')
+    // form one deterministic host group
+    "x_split_by_domain" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir)
+      val withHost = docs.select(col("doc_id"),
+        Urls.urlHost(plantedUrl).as("host"))
+      graft.ops.Sampling.splitByMd5(withHost, col("host"),
+          weights = Seq(0.8, 0.1, 0.1), names = Seq("train", "val", "test"))
+        .select(col("doc_id"), col("host"), col("split"))
+    }),
+
     // CCNet head/middle/tail bucketing: every doc labeled against its own
     // language's LM-score quartiles (exact twin = the oracle; the default
     // approx_percentile path is the 100 TB shape)
@@ -315,6 +330,17 @@ object WebPipeline {
          |SELECT h.doc_id, h.host, m.matched_domain,
          |  CAST(m.matched_domain IS NOT NULL AS INT) AS blocked
          |FROM h LEFT JOIN m USING (doc_id)""".stripMargin,
+
+    // same md5-band cuts as x_sample_split (cccc/e666), keyed on the host
+    "x_split_by_domain" ->
+      s"""WITH u AS (SELECT doc_id, $plantedUrlSql AS url FROM documents),
+         |h AS (SELECT doc_id, ${Urls.urlHostSql} AS host FROM u),
+         |t AS (SELECT doc_id, host,
+         |    substr(md5('split:' || host), 1, 4) AS b FROM h)
+         |SELECT doc_id, host,
+         |  CASE WHEN b < 'cccc' THEN 'train'
+         |       WHEN b < 'e666' THEN 'val' ELSE 'test' END AS split
+         |FROM t""".stripMargin,
 
     "x_lm_buckets" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

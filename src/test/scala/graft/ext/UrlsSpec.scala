@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, countDistinct}
 
 class UrlsSpec extends SparkSpec {
   import spark.implicits._
@@ -88,6 +88,24 @@ class UrlsSpec extends SparkSpec {
       Seq("www.site.com"))
     assert(hostOf("http://Host.ORG/x", "not a url", "https://h:443") ===
       Seq("host.org", "", "h"))
+  }
+
+  test("domain-keyed split: every host lands in exactly one split") {
+    val docs = Seq(
+      (1L, "https://a.example.com/x"), (2L, "https://a.example.com/y"),
+      (3L, "http://b.example.com/z"), (4L, "https://a.example.com/w"),
+      (5L, "not a url"), (6L, "plain text")
+    ).toDF("doc_id", "url")
+    val withHost = docs.select(col("doc_id"), Urls.urlHost(col("url")).as("host"))
+    val split = graft.ops.Sampling.splitByMd5(withHost, col("host"),
+      weights = Seq(0.8, 0.1, 0.1), names = Seq("train", "val", "test"))
+    val perHost = split.groupBy("host")
+      .agg(countDistinct(col("split")).as("n")).collect()
+    assert(perHost.forall(_.getLong(1) == 1L),
+      "a host straddled two splits: leakage")
+    // non-URLs share the '' host group -> one split together
+    val emptyHost = split.filter(col("host") === "").select("split").distinct().count()
+    assert(emptyHost === 1L)
   }
 
   test("hostSuffixes: host itself first, then every parent domain") {
