@@ -680,6 +680,21 @@ object Extensions {
       graft.ext.LinearProbe.scores(Tables.embeddings(s, dir), w, b)
     }),
 
+    // eval closes the train→score→eval loop: per-label prediction mean and
+    // MAE of the ridge probe (regression read of the integer label). The
+    // fixture's embeddings are near-random, so the honest outcome is
+    // "probe ≈ global mean" — the METRIC is the deliverable, engine-exact
+    // via the decimal-avg scheme
+    "x_probe_eval" -> ((s: SparkSession, dir: String) => {
+      val (w, b) = probeFor(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      graft.ext.LinearProbe.scores(emb, w, b)
+        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), Util.davg(col("score")).as("mean_pred"),
+          Util.davg(abs(col("score") - col("label"))).as("mae"))
+    }),
+
     // SemDeDup: k-means cluster (the cached IVF model — clustering and ANN
     // share one build), then within-cluster cosine pruning; the pair join
     // is KEYED on cid, which is the algorithm's whole scale story. Oracle
@@ -1376,11 +1391,19 @@ object Extensions {
     probeCache.toMap match {
       case one if one.size == 1 =>
         val (_, (w, b)) = one.head
-        Map("x_probe_scores" ->
+        val scoresSql =
           s"""SELECT vec_id,
              |  round(list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
              |    ${fmtVec(w.toSeq)}::DOUBLE[]) + ${java.lang.Double.toString(b)}, 6) AS score
-             |FROM embeddings""".stripMargin)
+             |FROM embeddings""".stripMargin
+        Map("x_probe_scores" -> scoresSql,
+          "x_probe_eval" ->
+            s"""WITH s AS ($scoresSql)
+               |SELECT e.label, ${Util.sqlCount()} AS n,
+               |  ${Util.sqlDavg("s.score")} AS mean_pred,
+               |  ${Util.sqlDavg("abs(s.score - e.label)")} AS mae
+               |FROM s JOIN embeddings e USING (vec_id)
+               |GROUP BY 1""".stripMargin)
       case _ => Map.empty
     }
 
