@@ -138,13 +138,13 @@ object Pq {
     * folded in subspace order and rounded at 1e-6 (division order matches
     * `Similarity.cosine`).
     */
-  def pqProbe(codes: DataFrame, model: PqModel, queries: DataFrame, k: Int = 10,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val (m, ksub, dsub) = (model.m, model.ksub, model.dsub)
-    val cb = model.codebookDf(queries.sparkSession)
-    val q = queries.select(col(idCol).as("q_id"),
-      col(vecCol).cast("array<double>").as("q_vec"))
-    val lut = q.crossJoin(cb)
+  /** Per-query ADC state from a `(q_id, q_vec)` frame: flat (sub, code)
+    * dot/norm lookup tables + the query norm — one small row per query,
+    * broadcast into whichever scoring pass consumes it.
+    */
+  private def adcLut(q: DataFrame, model: PqModel): DataFrame = {
+    val dsub = model.dsub
+    q.crossJoin(model.codebookDf(q.sparkSession))
       .select(col("q_id"), col("q_vec"), col("sub"), col("code"),
         Similarity.dot(expr(s"slice(q_vec, sub * $dsub + 1, $dsub)"), col("c_vec")).as("d"),
         col("csq"))
@@ -155,16 +155,63 @@ object Pq {
         expr("transform(e, p -> p.d)").as("dlut"),
         expr("transform(e, p -> p.csq)").as("clut"),
         sqrt(Similarity.dot(col("q_vec"), col("q_vec"))).as("qn"))
-    val scored = codes.crossJoin(broadcast(lut))
+  }
+
+  /** The ADC approximate-cosine expression over columns `codes`, `dlut`,
+    * `clut`, `qn` — subspace-ordered fold, rounded at 1e-6 after the norm
+    * division (matches `Similarity.cosine`'s division order).
+    */
+  private def adcExpr(model: PqModel): org.apache.spark.sql.Column = {
+    val (m, ksub) = (model.m, model.ksub)
+    round(
+      expr(s"""aggregate(sequence(0, ${m - 1}), cast(0.0 as double),
+          (acc, s) -> acc + element_at(dlut, s * $ksub + element_at(codes, s + 1) + 1))""")
+        / col("qn")
+        / sqrt(expr(s"""aggregate(sequence(0, ${m - 1}), cast(0.0 as double),
+          (acc, s) -> acc + element_at(clut, s * $ksub + element_at(codes, s + 1) + 1))""")),
+      6)
+  }
+
+  def pqProbe(codes: DataFrame, model: PqModel, queries: DataFrame, k: Int = 10,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+    val scored = codes.crossJoin(broadcast(adcLut(q, model)))
       .filter(col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("n_id"),
-        round(
-          expr(s"""aggregate(sequence(0, ${m - 1}), cast(0.0 as double),
-              (acc, s) -> acc + element_at(dlut, s * $ksub + element_at(codes, s + 1) + 1))""")
-            / col("qn")
-            / sqrt(expr(s"""aggregate(sequence(0, ${m - 1}), cast(0.0 as double),
-              (acc, s) -> acc + element_at(clut, s * $ksub + element_at(codes, s + 1) + 1))""")),
-          6).as("adc"))
+      .select(col("q_id"), col("n_id"), adcExpr(model).as("adc"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("adc"), col("rk"))
+  }
+
+  /** IVF × PQ composed — the FAISS-IVFPQ serving shape and the claim
+    * SCALE.md makes made literal: the IVF probe bounds WHICH rows are
+    * scanned (nprobe/nlist of the corpus, via a KEYED join on the list
+    * id), PQ bounds WHAT each scanned row costs (8-byte codes, m lookups).
+    * Candidates never cross-join: probed `(cid, q_id)` pairs broadcast
+    * into the assignment, codes join by vector id, and only the
+    * k·|queries| survivors leave the scoring pass.
+    */
+  def pqIvfProbe(assigned: DataFrame, codes: DataFrame, model: PqModel,
+                 ivf: Similarity.IvfModel, queries: DataFrame,
+                 k: Int = 10, nprobe: Int = 4,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = ivf.centroidDf(queries.sparkSession)
+    val q = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cid"))
+    val probes = q.crossJoin(cents)
+      .select(col("q_id"), col("cid"),
+        Similarity.cosine(col("q_vec"), col("c_vec")).as("sim"))
+      .withColumn("rk", row_number().over(probeW)).filter(col("rk") <= nprobe)
+      .select(col("cid"), col("q_id"))
+    val cand = assigned.select(col("cid"), col("n_id"))
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"))
+    val scored = cand.join(codes, Seq("n_id"))
+      .join(broadcast(adcLut(q, model)), Seq("q_id"))
+      .select(col("q_id"), col("n_id"), adcExpr(model).as("adc"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("n_id"), col("adc"), col("rk"))

