@@ -376,6 +376,43 @@ object Similarity {
     verifyBandCandidates(sk, c, threshold)
   }
 
+  /** Hard-negative triplet mining for contrastive embedder training (the
+    * E5/GTE data-prep step): per anchor, the POSITIVE is the most similar
+    * corpus vector, and the HARD NEGATIVE is the most similar vector whose
+    * cosine stays below `min(tau, pos_cos)` — as close to the decision
+    * boundary as the margin allows, which is what makes a negative "hard".
+    * The `pos_cos` bound (not just `tau`) guarantees `neg ≠ pos` and a
+    * strictly positive margin even when the anchor has no strong positive.
+    *
+    * Determinism: round-6 cosine, smallest-id tiebreaks, both argmaxes as
+    * partial-agg `max(struct(cos, -id))` — never a per-anchor window sort.
+    * Scale shape: anchors broadcast (the bounded query set, same class as
+    * [[bruteForceTopK]]); the corpus streams through ONE narrow scoring
+    * pass and only |anchors| rows survive each aggregation.
+    */
+  def mineTriplets(corpus: DataFrame, anchors: DataFrame, tau: Double = 0.35,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = prepCorpus(corpus, idCol, vecCol)
+    val a = anchors.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+    val scored = c.crossJoin(broadcast(a))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_vec"), col("n_vec")).as("cos"))
+    val pos = scored
+      .groupBy("q_id")
+      .agg(max(struct(col("cos"), (-col("n_id")).as("negid"))).as("m"))
+      .select(col("q_id"), (-col("m.negid")).as("pos_id"), col("m.cos").as("pos_cos"))
+    val neg = scored.join(broadcast(pos), Seq("q_id"))
+      .filter(col("cos") < least(lit(tau), col("pos_cos")))
+      .groupBy("q_id")
+      .agg(max(struct(col("cos"), (-col("n_id")).as("negid"))).as("m"))
+      .select(col("q_id"), (-col("m.negid")).as("neg_id"), col("m.cos").as("neg_cos"))
+    pos.join(neg, Seq("q_id"))
+      .select(col("q_id").as("anchor_id"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"))
+  }
+
   /** LSH-bucketed approximate top-k: bucket by sketch, exact cosine within
     * the bucket. Recall measured against [[bruteForceTopK]] in SimilaritySpec.
     */

@@ -667,6 +667,15 @@ object Extensions {
         .agg((sum(coalesce(col("hit"), lit(0))) / 10.0).as("recall_at_10"))
     }),
 
+    // hard-negative triplet mining (contrastive embedder training data):
+    // per anchor, positive = nearest vector, hard negative = nearest
+    // vector strictly below min(tau, pos_cos) — boundary-hugging with a
+    // guaranteed positive margin; both argmaxes are partial aggregations
+    "x_mine_triplets" -> ((s: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.mineTriplets(emb, emb.filter(col("vec_id") < 20), tau = 0.35)
+    }),
+
     // ---- linear probe (train a scorer IN the engine) ------------------
     // the distributed half of training: the second-moment matrix over
     // z = [x, 1, label] — one pass, one keyed agg, exact decimal sums
@@ -2041,6 +2050,25 @@ object Extensions {
         |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
         |FROM c a JOIN c b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""".stripMargin,
+
+    "x_mine_triplets" ->
+      """WITH c AS (SELECT vec_id AS n_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS n_vec
+        |           FROM embeddings),
+        |a AS (SELECT n_id AS q_id, n_vec AS q_vec FROM c WHERE n_id < 20),
+        |s AS (SELECT a.q_id, c.n_id, round(list_cosine_similarity(a.q_vec, c.n_vec), 6) AS cos
+        |      FROM a JOIN c ON c.n_id <> a.q_id),
+        |pos AS (SELECT q_id, n_id AS pos_id, cos AS pos_cos FROM (
+        |    SELECT q_id, n_id, cos,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk FROM s)
+        |  WHERE rk = 1),
+        |neg AS (SELECT q_id, n_id AS neg_id, cos AS neg_cos FROM (
+        |    SELECT s.q_id, s.n_id, s.cos,
+        |      row_number() OVER (PARTITION BY s.q_id ORDER BY s.cos DESC, s.n_id) AS rk
+        |    FROM s JOIN pos USING (q_id)
+        |    WHERE s.cos < least(0.35, pos.pos_cos))
+        |  WHERE rk = 1)
+        |SELECT pos.q_id AS anchor_id, pos_id, pos_cos, neg_id, neg_cos
+        |FROM pos JOIN neg ON pos.q_id = neg.q_id""".stripMargin,
 
     // md5-hyperplane LSH twin: the signs are DERIVED in SQL (md5 top bit),
     // independently of the Spark side's JVM-md5 literals — if either

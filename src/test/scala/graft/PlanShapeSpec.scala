@@ -145,6 +145,7 @@ class PlanShapeSpec extends SparkSpec {
     val quadraticBySpec = Set(
       "x_dedup_embed_exact", // exact pair join: the oracle for the LSH form
       "x_sim_topk_brute",    // corpus × broadcast(small query set)
+      "x_mine_triplets",     // same shape: corpus × broadcast(anchors)
       "x_sim_ann_ivf",       // queries × broadcast(centroids), nlist-bounded
       "x_sim_ivf_layout",    // same probe shape over the partitioned layout
       "x_sim_ivf_recall",    // includes the brute-force reference

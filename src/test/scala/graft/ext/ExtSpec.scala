@@ -509,6 +509,28 @@ class SimilaritySpec extends SparkSpec {
     assert(md5 === exact, s"md5 twin missed ${exact -- md5}")
   }
 
+  test("mineTriplets: planted positive, boundary-hugging negative, positive margin always") {
+    // anchor 0 at (1,0): 1 is a near-copy (cos≈.99 → positive), 2 sits at
+    // cos≈.70 — ABOVE tau, never a negative; 3 at cos=.2 and 4 at cos=-1
+    // are both below tau: 3 is nearer the boundary → the hard negative
+    val docs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.99f, 0.14f)), (2L, Seq(0.7f, 0.71f)),
+      (3L, Seq(0.2f, 0.98f)), (4L, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val t = Similarity.mineTriplets(docs, docs.filter($"vec_id" === 0L), tau = 0.35)
+      .head()
+    assert(t.getLong(0) === 0L && t.getLong(1) === 1L && t.getLong(3) === 3L)
+    assert(t.getDouble(2) > t.getDouble(4)) // margin strictly positive
+    // anchor with NO candidate above tau: pos = global max, neg = next
+    // best strictly below pos_cos — pos != neg guaranteed
+    val far = Seq((10L, Seq(0.0f, 1.0f)), (11L, Seq(0.30f, 0.96f)),
+      (12L, Seq(0.33f, 0.95f))).toDF("vec_id", "embedding")
+    val t2 = Similarity.mineTriplets(
+      docs.union(far), docs.filter($"vec_id" === 4L), tau = 0.35).head()
+    assert(t2.getLong(1) !== t2.getLong(3))
+    assert(t2.getDouble(2) > t2.getDouble(4))
+  }
+
   test("semDedup: planted within-cluster near-dup dropped, smaller id survives") {
     // random 16-d vectors are pairwise near-orthogonal (cos far below the
     // threshold); id 40 is a near-copy of id 0 (cos ≈ 1) — near-identical
