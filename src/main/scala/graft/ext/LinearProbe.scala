@@ -3,27 +3,6 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Linear-probe training over an embedding column — the missing half of
-  * [[graft.ext]]'s classifier story: `Classifier` scores documents with a
-  * GIVEN linear model; this trains one (ridge-solved least squares against
-  * a label column), entirely inside the engine.
-  *
-  * Shape: the ONLY distributed work is the second-moment matrix
-  * `M = Σ_rows z·zᵀ` over the augmented vector `z = [x, 1, y]` — one pass,
-  * one keyed aggregation over (d+2)(d+3)/2 upper-triangle cells; the
-  * normal-equation solve is driver-side on a (d+1)×(d+1) system (model
-  * state, like the IVF/PQ centroids — never grows with the corpus).
-  * Sums follow the repo's exact-DECIMAL convention (queries/Util.scala):
-  * per-row products are bit-identical IEEE in both engines, decimal
-  * addition is associative, so the moment matrix — the entire distributed
-  * computation — is DuckDB-oracle-checkable, and scoring re-uses the
-  * PQ-style generated-SQL oracle with the trained weights as literals.
-  *
-  * The explode-by-d² moment form is the exact/oracle twin; at extreme
-  * dim×corpus products a deployment would swap in a partial-aggregating
-  * buffer (one d² array per task, the `MinHashMergeAgg` pattern) with this
-  * form as its correctness pin.
-  */
 /** Partial-aggregating second-moment buffer: the flattened upper triangle
   * of `Σ z·zᵀ` accumulated per task, merged element-wise — the
   * [[MinHashMergeAgg]] pattern applied to regression moments. One ~17 KB
@@ -63,6 +42,27 @@ class MomentsAgg(n: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
 }
 
+/** Linear-probe training over an embedding column — the missing half of
+  * [[graft.ext]]'s classifier story: `Classifier` scores documents with a
+  * GIVEN linear model; this trains one (ridge-solved least squares against
+  * a label column), entirely inside the engine.
+  *
+  * Shape: the ONLY distributed work is the second-moment matrix
+  * `M = Σ_rows z·zᵀ` over the augmented vector `z = [x, 1, y]` — one pass,
+  * one keyed aggregation over (d+2)(d+3)/2 upper-triangle cells; the
+  * normal-equation solve is driver-side on a (d+1)×(d+1) system (model
+  * state, like the IVF/PQ centroids — never grows with the corpus).
+  * Sums follow the repo's exact-DECIMAL convention (queries/Util.scala):
+  * per-row products are bit-identical IEEE in both engines, decimal
+  * addition is associative, so the moment matrix — the entire distributed
+  * computation — is DuckDB-oracle-checkable, and scoring re-uses the
+  * PQ-style generated-SQL oracle with the trained weights as literals.
+  *
+  * The explode-by-d² moment form is the exact/oracle twin; at extreme
+  * dim×corpus products a deployment would swap in a partial-aggregating
+  * buffer (one d² array per task, the [[MomentsAgg]] pattern) with this
+  * form as its correctness pin.
+  */
 object LinearProbe {
 
   /** Upper-triangle second moments of `z = [x, 1, y]`: rows `(i, j, v)`

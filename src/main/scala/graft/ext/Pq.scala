@@ -94,6 +94,10 @@ object Pq {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // deterministic init: the ksub lowest-id vectors seed every subspace
     val seed = c.orderBy("n_id").limit(ksub).collect()
+    // codes are flat LUT indices (s*ksub + code) downstream — a corpus
+    // smaller than ksub would silently mis-index lookups, so fail loudly
+    require(seed.length == ksub,
+      s"pqTrain: corpus has ${seed.length} vectors, need >= ksub=$ksub to seed a dense codebook")
     var model = PqModel(m, dsub, ksub,
       (for { (r, code) <- seed.zipWithIndex; sub <- 0 until m } yield
         (sub, code, r.getSeq[Double](1).slice(sub * dsub, (sub + 1) * dsub))).toArray)

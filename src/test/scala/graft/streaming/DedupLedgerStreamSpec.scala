@@ -58,4 +58,25 @@ class DedupLedgerStreamSpec extends SparkSpec {
     assert(DedupLedgerStream.currentLedger(spark, root)
       .as[(Long, Long)].collect().toMap === v1)
   }
+
+  test("missing _LATEST pointer recovers from the highest version dir") {
+    import spark.implicits._
+    val root = tmpDir("recover")
+    DedupLedgerStream.maintain(Seq((1L, 2L)).toDF("doc_a", "doc_b"), batchId = 0L, root)
+    DedupLedgerStream.maintain(Seq((2L, 3L)).toDF("doc_a", "doc_b"), batchId = 1L, root)
+    val committed = DedupLedgerStream.currentLedger(spark, root)
+      .as[(Long, Long)].collect().toMap
+    // simulate a crash that lost the pointer on a store without an
+    // overwriting rename: the committed v1 dir must still be served, NOT
+    // an empty ledger (which the next batch would then build on and prune
+    // the good state)
+    assert(new java.io.File(root, "_LATEST").delete())
+    val recovered = DedupLedgerStream.currentLedger(spark, root)
+      .as[(Long, Long)].collect().toMap
+    assert(recovered === committed && recovered === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // and the next maintain() folds on top of the recovered state
+    DedupLedgerStream.maintain(Seq((3L, 4L)).toDF("doc_a", "doc_b"), batchId = 2L, root)
+    assert(DedupLedgerStream.currentLedger(spark, root)
+      .as[(Long, Long)].collect().toMap === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
 }
