@@ -247,4 +247,146 @@ object Multimodal {
       }
     }
   }
+
+  // ---- perceptual-hash image dedup -----------------------------------
+  //
+  // The image member of the dedup family: a 60-bit difference hash (dHash)
+  // over a 9×8 grayscale block grid, paired through the SAME banded-Hamming
+  // machinery the text SimHash uses (SimHash.nearDuplicatesFromSigs — one
+  // keyed shuffle on 16-bit chunks, never an all-pairs join). Every
+  // arithmetic step (channel split, integer-division grayscale, block
+  // means, gradient signs) is integer-exact, so given pixels an
+  // independent SQL engine can derive, the hash — and therefore the whole
+  // hash→band→verify pipeline — is cross-engine oracle-checkable. 60 bits
+  // (not 64) keeps the signature signed-positive in both engines, the same
+  // convention as the SimHash/MinHash md5 twins.
+
+  /** 60-bit dHash of a decoded image. Grid: 9×8 blocks with integer
+    * boundaries `x ∈ [gx·w/9, (gx+1)·w/9)` (floor division — exact in any
+    * engine); block value = mean of per-pixel grayscale `(r+g+b)/3`, both
+    * integer divisions (grayscale FIRST, then the block mean — order
+    * matters for exactness and is pinned by the oracle). Bit `b = gy·8+gx`
+    * (b < 60) is 1 iff the block right of (gy,gx) is strictly brighter —
+    * the horizontal-gradient sign, which survives uniform brightness and
+    * contrast shifts (the point of dHash over raw pixel hashing).
+    */
+  def dHash60(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w >= 9 && h >= 8, s"dHash60 needs >= 9x8 pixels, got ${w}x$h")
+    val block = blockGrid(img)
+    var hash = 0L
+    var b = 0
+    while (b < 60) {
+      val (gy, gx) = (b / 8, b % 8)
+      if (block(gy)(gx + 1) > block(gy)(gx)) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+
+  /** 60-bit aHash (average hash): bit `b = gy·8+gx` (b < 60) is 1 iff
+    * block (gy,gx) is strictly brighter than the mean of the 8×8 cells
+    * (integer division; column 8 of the 9-wide grid is left to dHash).
+    */
+  def aHash60(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w >= 9 && h >= 8, s"aHash60 needs >= 9x8 pixels, got ${w}x$h")
+    val block = blockGrid(img)
+    var sum = 0L
+    for (gy <- 0 until 8; gx <- 0 until 8) sum += block(gy)(gx)
+    val mean = sum / 64
+    var hash = 0L
+    var b = 0
+    while (b < 60) {
+      val (gy, gx) = (b / 8, b % 8)
+      if (block(gy)(gx) > mean) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+
+  /** The shared 9×8 integer block grid both hashes sample. */
+  private def blockGrid(img: java.awt.image.BufferedImage): Array[Array[Long]] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    Array.tabulate(8, 9) { (gy, gx) =>
+      val (x0, x1) = (gx * w / 9, (gx + 1) * w / 9)
+      val (y0, y1) = (gy * h / 8, (gy + 1) * h / 8)
+      var sum = 0L
+      var n = 0L
+      var y = y0
+      while (y < y1) {
+        var x = x0
+        while (x < x1) {
+          val rgb = img.getRGB(x, y)
+          sum += (((rgb >>> 16) & 0xff) + ((rgb >>> 8) & 0xff) + (rgb & 0xff)) / 3
+          x += 1; n += 1
+        }
+        y += 1
+      }
+      sum / n
+    }
+  }
+
+  /** Perceptual signatures over a media table: REAL PNG decode (ImageIO,
+    * per-partition batches like [[extractFeatures]]), then both hashes →
+    * `(media_id, dhash, ahash)`.
+    */
+  def perceptualHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"media ${r.media_id}: payload is not a decodable image")
+        (r.media_id, dHash60(img), aHash60(img))
+      }
+    }.toDF("media_id", "dhash", "ahash")
+  }
+
+  /** Image near-duplicate pairs: dHash signatures through the text
+    * SimHash's chunk-pigeonhole banding ([[SimHash.nearDuplicatesFromSigs]]
+    * — ONE shuffle keyed on (chunk_id, chunk_val), exact for maxDist ≤ 3 by
+    * pigeonhole, the 100 TB-safe shape). Output `(media_a, media_b,
+    * hamming)`.
+    */
+  def imageNearDuplicates(media: Dataset[MediaRecord], maxDist: Int = 3): DataFrame =
+    SimHash.nearDuplicatesFromSigs(
+      perceptualHashes(media).select(col("media_id"), col("dhash").as("simhash")),
+      maxDist, idCol = "media_id")
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))
+
+  /** Dedup fixture: 18×16 PNGs whose pixel content depends on `doc_id`
+    * only through `seed = doc_id % 101` — so ~n/101 groups of IDENTICAL
+    * images exist (exact-dup structure) — and rows with `doc_id % 3 == 0`
+    * additionally perturb pixel (0,0)'s low blue bits (xor 7), a
+    * near-invisible edit that moves the hash by 0–2 bits (near-dup
+    * structure). Pixels are `(seed·2654435761 + x·131 + y·31) & 0xffffff`
+    * — arithmetic both engines can compute, so unlike a real photo corpus
+    * the WHOLE dedup pipeline (decode → hash → band → verify) carries a
+    * DuckDB oracle; the codec round trip is still the real ImageIO both
+    * ways.
+    */
+  def dedupMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val seed = id % 101
+        val img = new java.awt.image.BufferedImage(
+          18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 18) {
+            var rgb = ((seed * 2654435761L + x * 131 + y * 31) & 0xffffff).toInt
+            if (id % 3 == 0 && x == 0 && y == 0) rgb ^= 7
+            img.setRGB(x, y, rgb)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRecord(id, bos.toByteArray, "image/png")
+      }
+    }
+  }
 }

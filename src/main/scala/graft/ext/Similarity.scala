@@ -417,18 +417,56 @@ object Similarity {
     * the bucket. Recall measured against [[bruteForceTopK]] in SimilaritySpec.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10, nPlanes: Int = 12,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus
-      .select(col(idCol).as("n_id"), col(vecCol).cast("array<double>").as("n_vec"))
-      .withColumn("bucket", hyperplaneSketch("n_vec", nPlanes))
-    val q = queries
-      .select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("q_vec"))
-      .withColumn("bucket", hyperplaneSketch("q_vec", nPlanes))
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    lshTopKBucketed(
+      withBucket(corpus, "n_id", "n_vec", idCol, vecCol,
+        v => hyperplaneSketch(v, nPlanes)),
+      withBucket(queries, "q_id", "q_vec", idCol, vecCol,
+        v => hyperplaneSketch(v, nPlanes)),
+      k)
+
+  private def withBucket(df: DataFrame, id: String, vec: String,
+                         idCol: String, vecCol: String,
+                         sketch: String => Column): DataFrame =
+    df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(vec))
+      .withColumn("bucket", sketch(vec))
+
+  /** Shared bucketed-top-k tail: same-bucket candidates only (ONE broadcast
+    * join on bucket id — the corpus never cross-joins), exact cosine, per-
+    * query top-k. Used by the native sketch path and the md5 twin below, so
+    * the twin's oracle pins this exact candidate→score→rank code path.
+    */
+  private def lshTopKBucketed(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("n_id"), col("cos"), col("rk"))
+  }
+
+  /** Oracle-expressible executable-spec twin of [[lshTopK]] (the last
+    * untwinned LSH-family member): the SAME bucketed-top-k tail, with the
+    * hyperplanes drawn from [[md5PlaneSigns]] band 0 instead of the native
+    * mix64 streams — md5 is a hash family BOTH engines derive independently
+    * (the oracle recomputes the signs IN SQL from md5's top bit), so bucket
+    * assignment, candidate generation, scoring, and ranking all get a
+    * hash-matched cross-engine row where the native sketch is rows-only by
+    * nature. Projections round at 1e-6 before the sign test, mirroring the
+    * oracle's rounded SUM, exactly as [[embedPairsLshMd5]] does for pairs.
+    */
+  def lshTopKMd5(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                 nPlanes: Int = 12,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0) // one row: schema probe
+    val signs = md5PlaneSigns(1, nPlanes, dim)(0)
+    def bucketOf(vec: String): Column = (0 until nPlanes).map { p =>
+      when(round(dot(col(vec), typedLit(signs(p).toSeq)), 6) > 0, lit(1 << p))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+    lshTopKBucketed(
+      withBucket(corpus, "n_id", "n_vec", idCol, vecCol, bucketOf),
+      withBucket(queries, "q_id", "q_vec", idCol, vecCol, bucketOf),
+      k)
   }
 }

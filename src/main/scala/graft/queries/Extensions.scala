@@ -576,6 +576,16 @@ object Extensions {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10, nPlanes = 8)
     }),
 
+    // md5-surrogate twin of the entry above (completing the round-7 twin
+    // family: every LSH candidate-generation path is now cross-engine
+    // pinned): the SAME bucketed-top-k tail, hyperplanes from
+    // md5("0:plane:dim") — the oracle re-derives the signs IN SQL, so
+    // bucketing, candidate join, scoring, and ranking all hash-match
+    "x_sim_ann_lsh_md5" -> ((s: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopKMd5(emb, emb.filter(col("vec_id") < 5), k = 10, nPlanes = 8)
+    }),
+
     // probe-only (train + assignment come from the per-corpus cache above,
     // so the measured cost is the serving path, not Lloyd iterations)
     "x_sim_ann_ivf" -> ((s: SparkSession, dir: String) => {
@@ -1315,12 +1325,91 @@ object Extensions {
     "x_mm_frame_sample" -> ((s: SparkSession, dir: String) => {
       val media = Multimodal.frameMediaFromDocuments(s, Tables.documents(s, dir))
       Multimodal.sampleFrames(media, stride = 2).toDF()
-    })
+    }),
+
+    // ---- perceptual-hash image dedup ----------------------------------
+    // signatures: REAL PNG encode → bytes → ImageIO decode, then the
+    // integer dHash/aHash over the 9×8 block grid. The fixture's pixels
+    // are arithmetic in doc_id, so the oracle derives the SAME hashes with
+    // no codec at all — a hash match pins decode + grayscale + block means
+    // + gradient signs end to end
+    "x_mm_dhash_sigs" -> ((s: SparkSession, dir: String) => {
+      Multimodal.perceptualHashes(
+        Multimodal.dedupMediaFromDocuments(s, Tables.documents(s, dir)))
+    }),
+
+    // image near-dup PAIRS through the text SimHash's chunk-pigeonhole
+    // banding (one keyed shuffle, exact for maxDist ≤ 3) — the oracle is
+    // the all-pairs hamming scan, equal by pigeonhole exactness, so the
+    // shared banding machinery gets a second independent cross-engine pin
+    "x_mm_dhash_pairs" -> ((s: SparkSession, dir: String) => {
+      Multimodal.imageNearDuplicates(
+        Multimodal.dedupMediaFromDocuments(s, Tables.documents(s, dir)), maxDist = 3)
+    }),
+
+    // image dedup GROUPS: connected components over the near-dup pairs —
+    // the canonical-keep ledger for images, the same Components machinery
+    // (and once-per-corpus build treatment) as the text ledger x_dedup_cc
+    "x_mm_dedup_groups" -> ((s: SparkSession, dir: String) => mmCcFor(s, dir))
   )
+
+  /** Image-dedup component ledger per corpus — built once like [[ccFor]]
+    * (the CC fixpoint is a build; serving reads the checkpointed labels).
+    */
+  private val mmCcCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def mmCcFor(s: SparkSession, dir: String): DataFrame =
+    mmCcCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("mm_dedup_ledger") {
+        val pairs = Multimodal.imageNearDuplicates(
+          Multimodal.dedupMediaFromDocuments(s, Tables.documents(s, dir)), maxDist = 3)
+          .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+        Components.connectedComponents(pairs)
+          .select(col("doc_id").as("media_id"), col("component"))
+      })
 
   import Util._
 
   private val sqlWords = "string_split(text, ' ')"
+
+  /** Shared CTEs (no leading WITH — composes under plain and RECURSIVE
+    * WITH) for the perceptual-hash family: re-derives the dedup fixture's
+    * 18×16 pixels arithmetically (`Multimodal.dedupMediaFromDocuments` —
+    * seed `doc_id % 101`, xor-7 perturbation at (0,0) for `doc_id % 3 = 0`),
+    * then grayscale `(r+g+b)//3`, 2×2 block means `//4`, and the 60-bit
+    * dHash (horizontal gradient signs) + aHash (vs the 8×8 mean `//64`) —
+    * every step integer, mirroring `Multimodal.dHash60`/`aHash60` exactly.
+    */
+  private val mmHashCtes =
+    """px AS (SELECT doc_id, x.x, y.y,
+      |    CASE WHEN doc_id % 3 = 0 AND x.x = 0 AND y.y = 0
+      |         THEN xor(((doc_id % 101) * 2654435761 + x.x * 131 + y.y * 31) & 16777215, 7)
+      |         ELSE ((doc_id % 101) * 2654435761 + x.x * 131 + y.y * 31) & 16777215
+      |    END AS rgb
+      |  FROM documents
+      |  CROSS JOIN (SELECT unnest(range(0, 18)) AS x) x
+      |  CROSS JOIN (SELECT unnest(range(0, 16)) AS y) y),
+      |blk AS (SELECT doc_id, x // 2 AS gx, y // 2 AS gy,
+      |    CAST(sum((((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)) // 3) // 4 AS BIGINT) AS bval
+      |  FROM px GROUP BY 1, 2, 3),
+      |dh AS (SELECT b1.doc_id,
+      |    CAST(sum(CASE WHEN b2.bval > b1.bval
+      |         THEN (CAST(1 AS BIGINT) << (b1.gy * 8 + b1.gx)) ELSE 0 END) AS BIGINT) AS dhash
+      |  FROM blk b1 JOIN blk b2 ON b2.doc_id = b1.doc_id
+      |    AND b2.gy = b1.gy AND b2.gx = b1.gx + 1
+      |  WHERE b1.gx < 8 AND b1.gy * 8 + b1.gx < 60
+      |  GROUP BY 1),
+      |mn AS (SELECT doc_id, CAST(sum(bval) FILTER (WHERE gx < 8) // 64 AS BIGINT) AS m
+      |  FROM blk GROUP BY 1),
+      |ah AS (SELECT b.doc_id,
+      |    CAST(sum(CASE WHEN b.bval > mn.m
+      |         THEN (CAST(1 AS BIGINT) << (b.gy * 8 + b.gx)) ELSE 0 END) AS BIGINT) AS ahash
+      |  FROM blk b JOIN mn USING (doc_id)
+      |  WHERE b.gx < 8 AND b.gy * 8 + b.gx < 60
+      |  GROUP BY 1),
+      |sigs AS (SELECT dh.doc_id AS media_id, dh.dhash, ah.ahash
+      |  FROM dh JOIN ah USING (doc_id))""".stripMargin
 
   /** Shared CTEs for the exact-substring family: stride-1 40-char windows
     * with 0-based positions (`w`) and per-window occurrence counts (`f`).
@@ -2596,6 +2685,64 @@ object Extensions {
         |  CAST(i + 1 AS INT) AS width, CAST(2 AS INT) AS height
         |FROM documents, generate_series(0, 4) t(i)
         |WHERE i % 2 = 0 AND i <= doc_id % 5""".stripMargin,
+
+    // md5-hyperplane LSH top-k twin: signs derived IN SQL from md5's top
+    // bit (band 0 of the md5 family), buckets for corpus AND queries, then
+    // the same candidate-join → exact-cosine → row_number tail as
+    // x_sim_topk_brute — pins Similarity.lshTopKMd5 (and with it the shared
+    // bucketed-top-k code path the native x_sim_ann_lsh runs)
+    "x_sim_ann_lsh_md5" ->
+      """WITH c AS (SELECT vec_id AS n_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |sg AS (SELECT p.p, d.d,
+        |    CASE WHEN substr(md5(concat('0:', p.p, ':', d.d)), 1, 1) < '8'
+        |         THEN 1.0 ELSE -1.0 END AS s
+        |  FROM (SELECT unnest(range(0, 8)) AS p) p
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS d) d),
+        |proj AS (SELECT c.n_id, sg.p, round(sum(c.v[sg.d + 1] * sg.s), 6) AS pr
+        |  FROM c CROSS JOIN sg GROUP BY 1, 2),
+        |bk AS (SELECT n_id, CAST(sum(CASE WHEN pr > 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+        |  FROM proj GROUP BY 1),
+        |q AS (SELECT c.n_id AS q_id, c.v AS q_vec, bk.bucket
+        |      FROM c JOIN bk USING (n_id) WHERE c.n_id < 5),
+        |s AS (SELECT q.q_id, c.n_id,
+        |    round(list_cosine_similarity(q.q_vec, c.v), 6) AS cos
+        |  FROM q JOIN bk b ON b.bucket = q.bucket
+        |  JOIN c ON c.n_id = b.n_id AND c.n_id <> q.q_id)
+        |SELECT q_id, n_id, cos, rk FROM (
+        |  SELECT q_id, n_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rk
+        |  FROM s)
+        |WHERE rk <= 10""".stripMargin,
+
+    "x_mm_dhash_sigs" ->
+      s"""WITH $mmHashCtes
+         |SELECT media_id, dhash, ahash FROM sigs""".stripMargin,
+
+    // all-pairs hamming scan over the derived dHashes — equal to the Spark
+    // side's chunk-pigeonhole banding by exactness for maxDist <= 3
+    "x_mm_dhash_pairs" ->
+      s"""WITH $mmHashCtes
+         |SELECT a.media_id AS media_a, b.media_id AS media_b,
+         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+         |FROM sigs a JOIN sigs b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin,
+
+    // component fixpoint over the image near-dup pairs (same recursive-CTE
+    // walk as the text ledger x_dedup_cc)
+    "x_mm_dedup_groups" ->
+      s"""WITH RECURSIVE $mmHashCtes,
+         |p AS (SELECT a.media_id AS pa, b.media_id AS pb
+         |      FROM sigs a JOIN sigs b ON a.media_id < b.media_id
+         |      WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+         |e AS (SELECT pa AS src, pb AS dst FROM p
+         |      UNION ALL SELECT pb, pa FROM p),
+         |walk(node, label) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node)
+         |SELECT node AS media_id, min(label) AS component
+         |FROM walk GROUP BY node""".stripMargin,
 
     "x_pipeline_dataprep" ->
       s"""WITH sc AS (SELECT n_chars, text,

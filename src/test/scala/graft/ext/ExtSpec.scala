@@ -591,6 +591,21 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     assert((got intersect brute).nonEmpty)
   }
+
+  test("lshTopKMd5 (oracle twin): same-direction recall + results are a ranked bucket subset of brute force") {
+    val q = corpus.filter($"vec_id" === 0)
+    val got = Similarity.lshTopKMd5(corpus, q, k = 3, nPlanes = 4)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    // identical-direction vector shares every md5-plane sign bit -> found
+    assert(got.map(_._1).contains(1L))
+    // ranks are contiguous from 1 (the top-k window ran over the bucket)
+    assert(got.map(_._2).sorted.toSeq === (1 to got.length))
+    // every reported cosine matches the exact brute-force cosine for that pair
+    val brute = Similarity.bruteForceTopK(corpus, q, k = corpus.count().toInt)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    Similarity.lshTopKMd5(corpus, q, k = 3, nPlanes = 4)
+      .collect().foreach(r => assert(r.getDouble(2) === brute(r.getLong(1))))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
@@ -651,6 +666,62 @@ class MultimodalSpec extends SparkSpec {
     val got = Multimodal.sampleFrames(media, stride = 2)
       .collect().sortBy(_.frame_idx).map(f => (f.frame_idx, f.width, f.height))
     assert(got.toSeq === Seq((0, 3, 2), (2, 7, 6))) // frame 1 skipped
+  }
+
+  test("dHash60: brightness-shift invariant, locality under a one-pixel edit") {
+    def img(f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val i = new java.awt.image.BufferedImage(18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 18) i.setRGB(x, y, f(x, y) & 0xffffff)
+      i
+    }
+    val base = img((x, y) => x * 1000003 + y * 8191)
+    // uniform +16 per channel: every grayscale shifts by 16, every block
+    // mean by 16, every gradient SIGN is unchanged — the invariance that
+    // makes dHash a perceptual hash rather than a byte hash
+    val brighter = img((x, y) => {
+      val v = (x * 1000003 + y * 8191) & 0xffffff
+      (math.min(255, ((v >> 16) & 0xff) + 16) << 16) |
+        (math.min(255, ((v >> 8) & 0xff) + 16) << 8) | math.min(255, (v & 0xff) + 16)
+    })
+    assert(Multimodal.dHash60(base) === Multimodal.dHash60(brighter))
+    // a single-pixel edit moves at most the two gradients touching its block
+    val edited = img((x, y) => if (x == 0 && y == 0) 0xffffff else x * 1000003 + y * 8191)
+    val d = java.lang.Long.bitCount(Multimodal.dHash60(base) ^ Multimodal.dHash60(edited))
+    assert(d <= 2, s"one-pixel edit moved $d dHash bits")
+    // hashes stay signed-positive (60-bit convention)
+    assert(Multimodal.dHash60(base) >= 0L && Multimodal.aHash60(base) >= 0L)
+  }
+
+  test("image near-dup: banded pairs == all-pairs hamming; dedup fixture has planted structure") {
+    val docs = (0L until 40L).map(id => (id, s"t$id", 1L)).toDF("doc_id", "text", "n_chars")
+    val media = Multimodal.dedupMediaFromDocuments(spark, docs)
+    val sigs = Multimodal.perceptualHashes(media)
+      .select($"media_id", $"dhash").as[(Long, Long)].collect().toMap
+    // same seed (doc_id % 101 equal does not occur under 40 ids; use %3
+    // groups): ids 3 and 9 share seed? No — seeds differ; instead check
+    // identical PIXELS => identical hash via ids 0 and 0 (trivial) and the
+    // banded join against the brute-force reference:
+    val banded = Multimodal.imageNearDuplicates(media, maxDist = 3)
+      .select($"media_a", $"media_b", $"hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = (for {
+      (a, ha) <- sigs; (b, hb) <- sigs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(banded === brute)
+  }
+
+  test("dedup fixture: same-seed docs hash identically; xor-7 perturbation is a near-dup") {
+    // ids 5 and 106 share seed 5 (106 % 101 = 5), neither is % 3 == 0 ->
+    // identical images -> hamming 0; id 207 shares the seed AND is
+    // perturbed -> near-dup at small positive-or-zero hamming
+    val docs = Seq(5L, 106L, 207L).map(id => (id, s"t$id", 1L))
+      .toDF("doc_id", "text", "n_chars")
+    val sigs = Multimodal.perceptualHashes(
+      Multimodal.dedupMediaFromDocuments(spark, docs))
+      .select($"media_id", $"dhash").as[(Long, Long)].collect().toMap
+    assert(sigs(5L) === sigs(106L))
+    assert(java.lang.Long.bitCount(sigs(5L) ^ sigs(207L)) <= 2)
   }
 
   test("pngMediaFromDocuments: encode on executors, decode recovers formula dims") {
