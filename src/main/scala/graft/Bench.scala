@@ -75,7 +75,21 @@ object Bench {
     val isoObj = isolated.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     // rendered AFTER the isolated block so its failures are included
     val errs = failed.map(n => s"\"$n\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._1)},"warm_total":$warmTotal,"warm_queries":${obj(_._2)},"warm_runs":$warmRuns,"isolated":$isoObj,"isolated_runs":$isolatedRuns,"builds":$builds,"builds_total":${BuildTimes.total},"errors":$errs,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._1)},"warm_total":$warmTotal,"warm_queries":${obj(_._2)},"warm_runs":$warmRuns,"isolated":$isoObj,"isolated_runs":$isolatedRuns,"builds":$builds,"builds_total":${BuildTimes.total},"errors":$errs,"sf":"$sfDir"}"""
+    println(fullLine)
+    // full record also lands in a sidecar file — the stdout line above
+    // outgrew the driver's tail capture once the registry passed ~150
+    // entries (BENCH_r06/r07 recorded "parsed": null)
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecar), fullLine + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
+    // compact summary (<1 KB) as the LAST stdout line: a tail capture keeps
+    // the END of stdout, so this line always survives intact and parseable
+    // — totals, errors, and the top-10 isolated medians; per-query detail
+    // lives on the full line / sidecar
+    def r3(d: Double) = math.rint(d * 1000) / 1000
+    val topObj = isolated.map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$topObj,"n_queries":${results.size},"warm_total":${r3(warmTotal)},"builds_total":${r3(BuildTimes.total)},"errors":$errs,"summary_of":"top-10 isolated medians; full per-query record in $sidecar","sf":"$sfDir"}""")
     spark.stop()
   }
 }

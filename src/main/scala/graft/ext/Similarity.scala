@@ -244,6 +244,21 @@ object Similarity {
     math.min(maxNlist.toLong, math.max(1L, corpusSize / targetClusterSize)).toInt
   }
 
+  /** Dim-aware centroid-count cap: centroids are `nlist × dim × 8` bytes of
+    * driver/broadcast state, so the flat 2¹⁶ ceiling alone is not a size
+    * bound — at dim 1024 it permits a ~0.5 GB broadcast. Cap at whatever
+    * count fits `budgetBytes` (default 64 MB — comfortably under typical
+    * driver/broadcast limits), still never above 2¹⁶. A corpus needing more
+    * lists than this at its dimension wants a two-level coarse quantizer
+    * (see SCALE.md), not a bigger broadcast.
+    */
+  def centroidCap(dim: Int, budgetBytes: Long = 64L << 20): Int = {
+    require(dim >= 1, s"centroidCap: dim >= 1, got $dim")
+    require(budgetBytes >= dim.toLong * 8,
+      s"centroidCap: budget $budgetBytes bytes below one dim-$dim centroid")
+    math.min(1L << 16, budgetBytes / (dim.toLong * 8)).toInt
+  }
+
   /** Train + assign + prune in one call (one-shot/library use; pipelines
     * that also serve ANN should share the model/assignment and call
     * [[semDedup]] directly). `nlist = 0` (the default) scales the cluster
@@ -254,7 +269,10 @@ object Similarity {
   def semDedupAll(corpus: DataFrame, threshold: Double = 0.9,
                   nlist: Int = 0, iters: Int = 3,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val k = if (nlist > 0) nlist else autoNlist(corpus.count())
+    val k = if (nlist > 0) nlist else {
+      val dim = corpus.select(size(col(vecCol))).head.getInt(0) // schema probe
+      autoNlist(corpus.count(), maxNlist = centroidCap(dim))
+    }
     val model = ivfTrain(corpus, k, iters, idCol, vecCol)
     semDedup(ivfAssign(corpus, model, idCol, vecCol), threshold)
   }

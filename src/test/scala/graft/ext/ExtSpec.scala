@@ -565,6 +565,21 @@ class SimilaritySpec extends SparkSpec {
     assert(!kept.contains(40L) && kept.contains(0L))
   }
 
+  test("centroidCap bounds broadcast state by nlist x dim x 8 against the budget") {
+    // 64 MB default budget: dim 1024 -> 8192 lists (64 MB exactly), never
+    // the flat 2^16 ceiling (which would be a 0.5 GB broadcast)
+    assert(Similarity.centroidCap(1024) === 8192)
+    assert(Similarity.centroidCap(1024).toLong * 1024 * 8 <= (64L << 20))
+    // low dims hit the 2^16 ceiling, not the byte budget
+    assert(Similarity.centroidCap(64) === (1 << 16))
+    // explicit budget math: 1 MB at dim 128 -> 1024 lists
+    assert(Similarity.centroidCap(128, budgetBytes = 1L << 20) === 1024)
+    // degenerate budget fails loudly
+    intercept[IllegalArgumentException](Similarity.centroidCap(1024, budgetBytes = 100))
+    // and autoNlist composes with it: big corpus, high dim -> capped count
+    assert(Similarity.autoNlist(1L << 40, maxNlist = Similarity.centroidCap(1024)) === 8192)
+  }
+
   test("semDedup with one cluster == pairwise rule over exact pair join") {
     val rnd = new scala.util.Random(7)
     val corpus = ((0 until 30).map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
