@@ -119,6 +119,62 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Batched training for REAL merge counts: [[train]] runs one
+    * distributed job per merge — fine at 10 merges, but a 50k-merge
+    * production tokenizer would mean 50k driver-round jobs. Per round,
+    * take the top `batch` NON-CONFLICTING pairs (greedy down the
+    * (cnt desc, sym_a, sym_b) order, skipping any pair sharing a symbol
+    * with one already picked this round) and apply them IN RANK ORDER in
+    * one vocab map pass. A merge cannot destroy occurrences of a pair it
+    * shares no symbol with, so each picked pair's recorded count is its
+    * true count at its merge time; it CAN create occurrences (when its
+    * merged symbol string-equals a later pick's component), which the
+    * fixed rank-order application resolves deterministically. The job
+    * count drops from `numMerges` to ~`numMerges/batch`; the trade (the
+    * standard one) is that pairs CREATED by this round's merges can't be
+    * picked until next round, so the merge LIST may order differently
+    * than strictly-sequential training where ranks interleave.
+    * `batch = 1` is exactly [[train]] (pinned in BpeSpec).
+    */
+  def trainBatched(docs: DataFrame, textCol: String, numMerges: Int,
+                   batch: Int = 16, minCount: Long = 2L): Seq[(String, String, Long)] = {
+    require(numMerges >= 1 && batch >= 1,
+      s"trainBatched: numMerges=$numMerges batch=$batch must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab: Dataset[(Seq[String], Long)] = symbolized(docs, textCol)
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (merges.size < numMerges && !done) {
+      val m = math.min(batch, numMerges - merges.size)
+      // bounded collect: 4m candidate rows (model-state-sized) is plenty —
+      // the greedy skip rate is < 2 symbols blocked per pick
+      val cand = pairCounts(vocab)
+        .filter(col("cnt") >= minCount)
+        .orderBy(col("cnt").desc, col("sym_a"), col("sym_b"))
+        .limit(4 * m).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val used = scala.collection.mutable.HashSet.empty[String]
+      val picked = cand.iterator.filter { case (a, b, _) =>
+        if (used(a) || used(b)) false
+        else { used += a; used += b; true }
+      }.take(m).toSeq
+      if (picked.isEmpty) done = true
+      else {
+        merges ++= picked
+        val prev = vocab
+        val ps = picked.map(p => (p._1, p._2))
+        vocab = vocab.map { case (syms, f) =>
+          (ps.foldLeft(syms) { case (s, (a, b)) => mergeWord(s, a, b) }, f)
+        }.localCheckpoint(true)
+        Components.freeCheckpoint(prev)
+      }
+    }
+    Components.freeCheckpoint(vocab)
+    merges.toSeq
+  }
+
   /** Encode one word with a trained merge list (greedy lowest-rank-first —
     * the standard BPE encode loop). `ranks` maps pair → merge rank.
     */

@@ -1142,8 +1142,9 @@ object Extensions {
 
     // full BPE TRAINING (10 merges on the corpus vocab) — the merge list
     // IS the tokenizer model; deterministic (count desc, lexicographic
-    // tiebreak) but iterative, so rows-only with the algorithm pinned
-    // against hand-computed merges in BpeSpec
+    // tiebreak) AND oracle-checked: the rounds unroll into chained
+    // MATERIALIZED CTEs (bpeMergesOracle — the pagerank recipe), also
+    // pinned against hand-computed merges in BpeSpec
     "x_bpe_merges" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       bpeFor(s, dir).zipWithIndex
@@ -1152,8 +1153,10 @@ object Extensions {
     }),
 
     // encoding with the trained merges: per-doc token counts + the first
-    // word's tokens (spot-checkable); per-row greedy encode loop is the
-    // tokenizer hot path (rows-only; round-trip property in BpeSpec)
+    // word's tokens; the per-row greedy encode loop is the tokenizer hot
+    // path, oracle-checked by applying the merge list in rank order as
+    // delimited-string replaces (bpeTokenizeOracle; round-trip property in
+    // BpeSpec)
     "x_bpe_tokenize" -> ((s: SparkSession, dir: String) => {
       graft.ext.Bpe.tokenize(Tables.documents(s, dir), "doc_id", "text",
         bpeFor(s, dir))
@@ -1410,6 +1413,104 @@ object Extensions {
       |  GROUP BY 1),
       |sigs AS (SELECT dh.doc_id AS media_id, dh.dhash, ah.ahash
       |  FROM dh JOIN ah USING (doc_id))""".stripMargin
+
+  // ---- BPE training/tokenize oracles ----------------------------------
+  // The merge rounds are deterministic argmaxes, so training unrolls into
+  // chained CTEs (the x_graph_pagerank recipe applied to tokenizer
+  // training). Symbol sequences ride a DELIMITED-STRING encoding —
+  // chr(31)+sym+chr(30) per symbol — because SQL `replace` is left-to-right
+  // non-overlapping, which is EXACTLY the BPE merge rule ("aaa" merges the
+  // first two); the open/close marks make pair patterns unambiguous at
+  // symbol boundaries ("xa"+"b" can never match the pattern for "a"+"b")
+  // and keep consecutive matches intact (the trailing mark of one match is
+  // not the leading mark of the next). Every v_r/pc_r/m_r CTE is
+  // MATERIALIZED: each round is referenced twice (next round's counts +
+  // the merge application), and DuckDB would otherwise inline the chain
+  // ~3^rounds times. Encoding applies the merge list in rank order — for
+  // merges produced by BPE training this equals the greedy
+  // lowest-rank-first encode loop (a merge's parts exist only after their
+  // own lower-ranked merges), pinned by the cross-engine match.
+  private val bpeO = "chr(31)" // symbol open mark (never appears in text)
+  private val bpeC = "chr(30)" // symbol close mark
+
+  /** Delimited symbolization of a word expression: one mark-wrapped
+    * codepoint per character plus the end-of-word marker — the SQL mirror
+    * of `Bpe.toSymbols` (DuckDB substr/length count characters, matching
+    * the JVM's codePointAt walk).
+    */
+  private def bpeSymbolize(wordExpr: String, lamVar: String = "i") =
+    // `lamVar` must not collide with any identifier inside wordExpr (the
+    // lambda variable would shadow it); the concatenation operator sits at
+    // END of line: a continuation line starting with `||` would lose its
+    // first pipe to a caller's stripMargin (bpeTokenizeOracle strips the
+    // composed template)
+    s"""array_to_string(list_transform(generate_series(1, length($wordExpr)),
+       |    $lamVar -> $bpeO || substr($wordExpr, $lamVar, 1) || $bpeC), '') ||
+       |  $bpeO || '</w>' || $bpeC""".stripMargin
+
+  /** CTE chain w, v0, pc1, m1, v1, …, pc_R, m_R (no leading WITH). */
+  private def bpeMergeCtes(rounds: Int): String = {
+    val head = Seq(
+      s"""w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE length(word) > 0 GROUP BY word)""".stripMargin,
+      s"""v0 AS MATERIALIZED (SELECT freq, ${bpeSymbolize("word")} AS s FROM w)""")
+    val perRound = (1 to rounds).flatMap { r =>
+      val apply = if (r == rounds) Seq.empty else Seq(
+        s"""v$r AS MATERIALIZED (SELECT freq,
+           |  replace(s,
+           |    (SELECT $bpeO || sym_a || $bpeC || $bpeO || sym_b || $bpeC FROM m$r),
+           |    (SELECT $bpeO || sym_a || sym_b || $bpeC FROM m$r)) AS s
+           |  FROM v${r - 1})""".stripMargin)
+      Seq(
+        s"""pc$r AS MATERIALIZED (
+           |  SELECT pr[1] AS sym_a, pr[2] AS sym_b, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT freq,
+           |          unnest(list_transform(generate_series(1, len(ws) - 1),
+           |                 i -> [ws[i], ws[i+1]])) AS pr
+           |        FROM (SELECT freq,
+           |                string_split(trim(s, $bpeO || $bpeC), $bpeC || $bpeO) AS ws
+           |              FROM v${r - 1}) q)
+           |  GROUP BY 1, 2)""".stripMargin,
+        s"""m$r AS MATERIALIZED (SELECT sym_a, sym_b, cnt FROM pc$r
+           |  ORDER BY cnt DESC, sym_a, sym_b LIMIT 1)""".stripMargin) ++ apply
+    }
+    (head ++ perRound).mkString(",\n")
+  }
+
+  private def bpeMergesOracle(rounds: Int): String = {
+    val union = (1 to rounds)
+      .map(r => s"SELECT CAST($r AS INT) AS rank, sym_a, sym_b, cnt FROM m$r")
+      .mkString("\nUNION ALL ")
+    s"WITH ${bpeMergeCtes(rounds)}\n$union"
+  }
+
+  private def bpeTokenizeOracle(rounds: Int): String = {
+    val applied = (1 to rounds).foldLeft("s0") { (acc, r) =>
+      s"""replace($acc,
+         |  (SELECT $bpeO || sym_a || $bpeC || $bpeO || sym_b || $bpeC FROM m$r),
+         |  (SELECT $bpeO || sym_a || sym_b || $bpeC FROM m$r))""".stripMargin
+    }
+    s"""WITH ${bpeMergeCtes(rounds)},
+       |dw AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+       |       FROM documents),
+       |wd AS (SELECT doc_id, i AS wi, ${bpeSymbolize("ws[i]", lamVar = "j")} AS s0
+       |       FROM dw, generate_series(1, 8192) t(i) WHERE i <= len(ws)),
+       |enc AS (SELECT doc_id, wi,
+       |          string_split(trim($applied, $bpeO || $bpeC), $bpeC || $bpeO) AS syms
+       |        FROM wd),
+       |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+       |          CAST(sum(len(syms)) AS INT) AS n_bpe_tokens
+       |        FROM enc GROUP BY 1),
+       |fw AS (SELECT doc_id, array_to_string(syms, '|') AS first_word_tokens
+       |       FROM enc WHERE wi = 1)
+       |SELECT d.doc_id,
+       |  coalesce(agg.n_words, 0) AS n_words,
+       |  coalesce(agg.n_bpe_tokens, 0) AS n_bpe_tokens,
+       |  coalesce(fw.first_word_tokens, '') AS first_word_tokens
+       |FROM documents d
+       |LEFT JOIN agg USING (doc_id) LEFT JOIN fw USING (doc_id)""".stripMargin
+  }
 
   /** Shared CTEs for the exact-substring family: stride-1 40-char windows
     * with 0-based positions (`w`) and per-window occurrence counts (`f`).
@@ -2094,6 +2195,16 @@ object Extensions {
     // CAP on mirrored word length: a >64-char word would lose tail pairs
     // in the oracle only and hash-mismatch loudly. Fixture max is 8;
     // raise the bound with the fixture, it costs only filtered rows.
+    // full BPE TRAINING unrolled (see bpeMergesOracle): 10 chained argmax
+    // rounds over the symbolized vocab — flips the trained merge list from
+    // rows-only to hash-matched
+    "x_bpe_merges" -> bpeMergesOracle(10),
+
+    // encoding with the trained merges, applied in rank order via the same
+    // delimited-string replaces — equals the greedy encode loop for merges
+    // produced by BPE training (see bpeTokenizeOracle)
+    "x_bpe_tokenize" -> bpeTokenizeOracle(10),
+
     "x_bpe_pairs" ->
       """WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

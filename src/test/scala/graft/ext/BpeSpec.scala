@@ -61,6 +61,28 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.encodeWord("lower", ranks).mkString.stripSuffix(Bpe.Eow) === "lower")
   }
 
+  test("trainBatched: batch=1 equals sequential train exactly") {
+    assert(Bpe.trainBatched(corpus, "text", numMerges = 4, batch = 1)
+      === Bpe.train(corpus, "text", numMerges = 4))
+  }
+
+  test("trainBatched: one round picks top non-conflicting pairs, symbol-disjoint") {
+    // round-1 candidates by (cnt desc, a, b): (e,s)=9, (s,t)=9,
+    // (t,</w>)=9, (w,e)=8, (l,o)=7, (o,w)=7, (n,e)=6, (e,w)=6,
+    // (w,</w>)=5, …, (d,e)=3, (i,d)=3 — greedy skips every pair sharing a
+    // symbol with an earlier pick: (s,t)/(w,e)/(o,w)/(n,e)/(e,w)/(w,</w>)
+    // and (d,e) all conflict, so one batch-4 round picks
+    val b4 = Bpe.trainBatched(corpus, "text", numMerges = 4, batch = 4)
+    assert(b4 === Seq(("e", "s", 9L), ("t", Bpe.Eow, 9L),
+      ("l", "o", 7L), ("i", "d", 3L)))
+    // the round's picks are symbol-disjoint by construction
+    val syms = b4.flatMap(p => Seq(p._1, p._2))
+    assert(syms.distinct.size === syms.size)
+    // and the batched model still round-trips words
+    val ranks = b4.zipWithIndex.map { case ((a, b, _), i) => (a, b) -> i }.toMap
+    assert(Bpe.encodeWord("newest", ranks).mkString.stripSuffix(Bpe.Eow) === "newest")
+  }
+
   test("train stops early when no pair reaches minCount") {
     val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
     assert(Bpe.train(tiny, "text", numMerges = 10, minCount = 2L) === Seq.empty)
