@@ -1353,7 +1353,25 @@ object Extensions {
     // image dedup GROUPS: connected components over the near-dup pairs —
     // the canonical-keep ledger for images, the same Components machinery
     // (and once-per-corpus build treatment) as the text ledger x_dedup_cc
-    "x_mm_dedup_groups" -> ((s: SparkSession, dir: String) => mmCcFor(s, dir))
+    "x_mm_dedup_groups" -> ((s: SparkSession, dir: String) => mmCcFor(s, dir)),
+
+    // cross-modal curation JOIN (the LAION-style pairing gate): REAL image
+    // decode joined back to the caption text on the shared id — keep
+    // samples whose image is large enough AND whose caption passes the
+    // quality battery. Row-level output so the decode, the keyed join, and
+    // both gates are hash-pinned; at scale this is one keyed shuffle (or
+    // zero, media and captions bucketed on the id)
+    "x_mm_caption_curation" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir)
+      val feats = Multimodal.extractFeatures(
+        Multimodal.pngMediaFromDocuments(s, docs)).toDF()
+        .select(col("media_id"), col("width"), col("height"))
+      feats.join(docs.select(col("doc_id").as("media_id"),
+          TextOps.qualityScore("text").as("caption_quality")), Seq("media_id"))
+        .withColumn("keep",
+          ((col("width") * col("height") >= 256) &&
+            (col("caption_quality") >= 3)).cast("int"))
+    })
   )
 
   /** Image-dedup component ledger per corpus — built once like [[ccFor]]
@@ -2838,6 +2856,18 @@ object Extensions {
          |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
          |FROM sigs a JOIN sigs b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin,
+
+    // cross-modal curation: decoded geometry re-derived arithmetically,
+    // caption quality via the shared rule battery, both gates mirrored
+    "x_mm_caption_curation" ->
+      s"""WITH g AS (SELECT doc_id AS media_id,
+         |    CAST(n_chars % 64 + 1 AS INT) AS width,
+         |    CAST(doc_id % 48 + 1 AS INT) AS height,
+         |    ($sqlQualityScore) AS caption_quality
+         |  FROM documents)
+         |SELECT media_id, width, height, caption_quality,
+         |  CAST(width * height >= 256 AND caption_quality >= 3 AS INT) AS keep
+         |FROM g""".stripMargin,
 
     // component fixpoint over the image near-dup pairs (same recursive-CTE
     // walk as the text ledger x_dedup_cc)
