@@ -354,6 +354,44 @@ object Multimodal {
       maxDist, idCol = "media_id")
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))
 
+  /** Image dedup GROUPS — (media_id, component), component = min reachable
+    * media_id under the hamming-≤-maxDist relation — computed HASH-FIRST:
+    * identical-hash images collapse to one representative (min id per
+    * distinct dHash) BEFORE any pairing, banded near-dup search + connected
+    * components run over representatives only, and labels expand back
+    * through two keyed joins. Running CC over the fully-expanded pair
+    * graph instead blows up quadratically in the duplicate-group size —
+    * exact duplicates are the DOMINANT mass in a web image corpus (a
+    * 500-copy image is 125k pairs expanded, ONE rep row here; the expanded
+    * form OOM'd at sf1 in round 8, which is why this exists). Correctness
+    * is unchanged because adjacency depends only on the hashes: members of
+    * the same hash are mutually hamming-0, so the quotient graph on
+    * distinct hashes has exactly the original connectivity, and min-rep =
+    * min-member per hash makes the quotient's min-label the global one.
+    * Membership rule matches pairwise CC: a node appears iff it has ≥ 1
+    * pair — its hash group has ≥ 2 members, or its rep matched another
+    * hash within maxDist.
+    */
+  def imageDedupGroups(media: Dataset[MediaRecord], maxDist: Int = 3): DataFrame = {
+    val sigs = perceptualHashes(media).select(col("media_id"), col("dhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grp = sigs.groupBy(col("dhash"))
+      .agg(min(col("media_id")).as("rep"), count(lit(1)).as("grp_n"))
+    val repPairs = SimHash.nearDuplicatesFromSigs(
+      grp.select(col("rep").as("media_id"), col("dhash").as("simhash")),
+      maxDist, idCol = "media_id")
+      .select(col("doc_a"), col("doc_b"))
+    val repComp = Components.connectedComponents(repPairs)
+      .select(col("doc_id").as("rep"), col("component"))
+    val out = sigs.join(grp, Seq("dhash"))
+      .join(repComp, Seq("rep"), "left")
+      .filter(col("grp_n") >= 2 || col("component").isNotNull)
+      .select(col("media_id"), coalesce(col("component"), col("rep")).as("component"))
+    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    sigs.unpersist()
+    out
+  }
+
   /** Dedup fixture: 18×16 PNGs whose pixel content depends on `doc_id`
     * only through `seed = doc_id % 101` — so ~n/101 groups of IDENTICAL
     * images exist (exact-dup structure) — and rows with `doc_id % 3 == 0`

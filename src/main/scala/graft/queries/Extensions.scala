@@ -1383,11 +1383,11 @@ object Extensions {
   private def mmCcFor(s: SparkSession, dir: String): DataFrame =
     mmCcCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
       graft.BuildTimes.timed("mm_dedup_ledger") {
-        val pairs = Multimodal.imageNearDuplicates(
+        // hash-first: CC over DISTINCT-hash representatives, labels
+        // expanded back — never the quadratically-expanded pair graph
+        // (which OOM'd at sf1; see Multimodal.imageDedupGroups)
+        Multimodal.imageDedupGroups(
           Multimodal.dedupMediaFromDocuments(s, Tables.documents(s, dir)), maxDist = 3)
-          .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
-        Components.connectedComponents(pairs)
-          .select(col("doc_id").as("media_id"), col("component"))
       })
 
   import Util._

@@ -739,6 +739,24 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sigs(5L) ^ sigs(207L)) <= 2)
   }
 
+  test("imageDedupGroups (hash-first) == CC over the expanded pair graph") {
+    // ids chosen for structure: {5, 106, 207, 308} share seed 5 (207 is
+    // perturbed -> its own hash, bridged at small hamming); {7, 108} share
+    // seed 7; 1 and 2 are singleton seeds with no near hash
+    val ids = Seq(5L, 106L, 207L, 308L, 7L, 108L, 1L, 2L)
+    val docs = ids.map(id => (id, s"t$id", 1L)).toDF("doc_id", "text", "n_chars")
+    val media = Multimodal.dedupMediaFromDocuments(spark, docs)
+    val fast = Multimodal.imageDedupGroups(media, maxDist = 3)
+      .as[(Long, Long)].collect().toMap
+    val expanded = graft.ext.Components.connectedComponents(
+      Multimodal.imageNearDuplicates(media, maxDist = 3)
+        .select($"media_a".as("doc_a"), $"media_b".as("doc_b")))
+      .as[(Long, Long)].collect().toMap
+    assert(fast === expanded)
+    assert(fast.get(5L) === Some(5L) && fast.get(106L) === Some(5L))
+    assert(!fast.contains(1L) && !fast.contains(2L)) // no pair -> no row
+  }
+
   test("pngMediaFromDocuments: encode on executors, decode recovers formula dims") {
     val docs = Seq((5L, "hello world"), (100L, "x" * 200))
       .map { case (id, t) => (id, t, t.length.toLong) }
