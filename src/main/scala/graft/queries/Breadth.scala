@@ -350,13 +350,13 @@ object Breadth {
         |n AS (SELECT c_custkey AS node, c_name AS name FROM customer
         |      UNION ALL SELECT node, name FROM d1
         |      UNION ALL SELECT node, name FROM d2),
-        |p AS (SELECT c.c_custkey AS a, d.node AS b
+        |p AS MATERIALIZED (SELECT c.c_custkey AS a, d.node AS b
         |      FROM customer c
         |      JOIN (SELECT node, name FROM d1 UNION ALL SELECT node, name FROM d2) d
         |        ON substr(c.c_name, 14, 5) = substr(d.name, 14, 5)
         |      WHERE abs(length(c.c_name) - length(d.name)) <= 2
         |        AND levenshtein(c.c_name, d.name) <= 2),
-        |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+        |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
         |walk(node, label) AS (
         |  SELECT src, src FROM e
         |  UNION

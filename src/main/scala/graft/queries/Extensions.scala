@@ -1403,7 +1403,7 @@ object Extensions {
     * every step integer, mirroring `Multimodal.dHash60`/`aHash60` exactly.
     */
   private val mmHashCtes =
-    """px AS (SELECT doc_id, x.x, y.y,
+    """px AS MATERIALIZED (SELECT doc_id, x.x, y.y,
       |    CASE WHEN doc_id % 3 = 0 AND x.x = 0 AND y.y = 0
       |         THEN xor(((doc_id % 101) * 2654435761 + x.x * 131 + y.y * 31) & 16777215, 7)
       |         ELSE ((doc_id % 101) * 2654435761 + x.x * 131 + y.y * 31) & 16777215
@@ -1411,25 +1411,25 @@ object Extensions {
       |  FROM documents
       |  CROSS JOIN (SELECT unnest(range(0, 18)) AS x) x
       |  CROSS JOIN (SELECT unnest(range(0, 16)) AS y) y),
-      |blk AS (SELECT doc_id, x // 2 AS gx, y // 2 AS gy,
+      |blk AS MATERIALIZED (SELECT doc_id, x // 2 AS gx, y // 2 AS gy,
       |    CAST(sum((((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)) // 3) // 4 AS BIGINT) AS bval
       |  FROM px GROUP BY 1, 2, 3),
-      |dh AS (SELECT b1.doc_id,
+      |dh AS MATERIALIZED (SELECT b1.doc_id,
       |    CAST(sum(CASE WHEN b2.bval > b1.bval
       |         THEN (CAST(1 AS BIGINT) << (b1.gy * 8 + b1.gx)) ELSE 0 END) AS BIGINT) AS dhash
       |  FROM blk b1 JOIN blk b2 ON b2.doc_id = b1.doc_id
       |    AND b2.gy = b1.gy AND b2.gx = b1.gx + 1
       |  WHERE b1.gx < 8 AND b1.gy * 8 + b1.gx < 60
       |  GROUP BY 1),
-      |mn AS (SELECT doc_id, CAST(sum(bval) FILTER (WHERE gx < 8) // 64 AS BIGINT) AS m
+      |mn AS MATERIALIZED (SELECT doc_id, CAST(sum(bval) FILTER (WHERE gx < 8) // 64 AS BIGINT) AS m
       |  FROM blk GROUP BY 1),
-      |ah AS (SELECT b.doc_id,
+      |ah AS MATERIALIZED (SELECT b.doc_id,
       |    CAST(sum(CASE WHEN b.bval > mn.m
       |         THEN (CAST(1 AS BIGINT) << (b.gy * 8 + b.gx)) ELSE 0 END) AS BIGINT) AS ahash
       |  FROM blk b JOIN mn USING (doc_id)
       |  WHERE b.gx < 8 AND b.gy * 8 + b.gx < 60
       |  GROUP BY 1),
-      |sigs AS (SELECT dh.doc_id AS media_id, dh.dhash, ah.ahash
+      |sigs AS MATERIALIZED (SELECT dh.doc_id AS media_id, dh.dhash, ah.ahash
       |  FROM dh JOIN ah USING (doc_id))""".stripMargin
 
   // ---- BPE training/tokenize oracles ----------------------------------
@@ -1583,15 +1583,19 @@ object Extensions {
     * `x_dedup_cc_star` (star contraction): one oracle, two algorithms.
     */
   private val ccWalkCtes =
+    // t/p/e MATERIALIZED: the recursive walk references `e` every
+    // iteration, and DuckDB re-evaluates non-materialized CTEs per
+    // reference — without the hint each fixpoint round re-ran the ENTIRE
+    // quadratic jaccard pair join (the sf1 gate sat >30 min on one oracle)
     s"""WITH RECURSIVE
-       |t AS (SELECT doc_id, source, n_chars, list_distinct($sqlWords) AS ws
+       |t AS MATERIALIZED (SELECT doc_id, source, n_chars, list_distinct($sqlWords) AS ws
        |      FROM documents),
-       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |p AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |      FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
        |        AND abs(a.n_chars - b.n_chars) * 5 <= a.n_chars + b.n_chars
        |      WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
        |          len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5),
-       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM p
        |      UNION ALL SELECT doc_b, doc_a FROM p),
        |walk(node, label) AS (
        |  SELECT src, src FROM e
@@ -2873,10 +2877,10 @@ object Extensions {
     // walk as the text ledger x_dedup_cc)
     "x_mm_dedup_groups" ->
       s"""WITH RECURSIVE $mmHashCtes,
-         |p AS (SELECT a.media_id AS pa, b.media_id AS pb
+         |p AS MATERIALIZED (SELECT a.media_id AS pa, b.media_id AS pb
          |      FROM sigs a JOIN sigs b ON a.media_id < b.media_id
          |      WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
-         |e AS (SELECT pa AS src, pb AS dst FROM p
+         |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM p
          |      UNION ALL SELECT pb, pa FROM p),
          |walk(node, label) AS (
          |  SELECT src, src FROM e
