@@ -1355,6 +1355,37 @@ object Extensions {
     // (and once-per-corpus build treatment) as the text ledger x_dedup_cc
     "x_mm_dedup_groups" -> ((s: SparkSession, dir: String) => mmCcFor(s, dir)),
 
+    // canonical keep per image group: the decision step of image dedup —
+    // min-id representative + member count per component (the ExactDedup
+    // keep rule applied to the image ledger); one keyed agg over the
+    // cached 16 B/row labels
+    "x_mm_dedup_canonical" -> ((s: SparkSession, dir: String) => {
+      mmCcFor(s, dir)
+        .groupBy(col("component"))
+        .agg(min(col("media_id")).as("keep_id"),
+          count(lit(1)).as("n_members"))
+    }),
+
+    // image similarity SEARCH: top-k nearest corpus images per query image
+    // by dHash hamming distance (ties by id) — the retrieval form of the
+    // perceptual hash. Queries broadcast (bounded set, the bruteForceTopK
+    // scale class); corpus hashes stream through one narrow pass
+    "x_mm_sim_topk" -> ((s: SparkSession, dir: String) => {
+      val sigs = Multimodal.perceptualHashes(
+        Multimodal.dedupMediaFromDocuments(s, Tables.documents(s, dir)))
+        .select(col("media_id"), col("dhash"))
+      val q = sigs.filter(col("media_id") < 5)
+        .select(col("media_id").as("q_id"), col("dhash").as("q_hash"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("hamming"), col("n_id"))
+      sigs.select(col("media_id").as("n_id"), col("dhash").as("n_hash"))
+        .crossJoin(broadcast(q))
+        .filter(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          bit_count(col("n_hash").bitwiseXOR(col("q_hash"))).as("hamming"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+    }),
+
     // cross-modal curation JOIN (the LAION-style pairing gate): REAL image
     // decode joined back to the caption text on the shared id — keep
     // samples whose image is large enough AND whose caption passes the
@@ -2860,6 +2891,36 @@ object Extensions {
          |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
          |FROM sigs a JOIN sigs b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin,
+
+    // canonical keep: the recursive walk + one aggregation per component
+    "x_mm_dedup_canonical" ->
+      s"""WITH RECURSIVE $mmHashCtes,
+         |p AS MATERIALIZED (SELECT a.media_id AS pa, b.media_id AS pb
+         |      FROM sigs a JOIN sigs b ON a.media_id < b.media_id
+         |      WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+         |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM p
+         |      UNION ALL SELECT pb, pa FROM p),
+         |walk(node, label) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node),
+         |comp AS (SELECT node AS media_id, min(label) AS component
+         |  FROM walk GROUP BY node)
+         |SELECT component, min(media_id) AS keep_id,
+         |  CAST(count(*) AS BIGINT) AS n_members
+         |FROM comp GROUP BY component""".stripMargin,
+
+    // hamming top-k retrieval: brute scan per query, rank by (dist, id)
+    "x_mm_sim_topk" ->
+      s"""WITH $mmHashCtes,
+         |q AS (SELECT media_id AS q_id, dhash AS q_hash FROM sigs WHERE media_id < 5)
+         |SELECT q_id, n_id, hamming, rk FROM (
+         |  SELECT q.q_id, s.media_id AS n_id,
+         |    CAST(bit_count(xor(s.dhash, q.q_hash)) AS INT) AS hamming,
+         |    CAST(row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY bit_count(xor(s.dhash, q.q_hash)), s.media_id) AS INT) AS rk
+         |  FROM sigs s CROSS JOIN q WHERE s.media_id <> q.q_id)
+         |WHERE rk <= 10""".stripMargin,
 
     // cross-modal curation: decoded geometry re-derived arithmetically,
     // caption quality via the shared rule battery, both gates mirrored

@@ -150,6 +150,7 @@ class PlanShapeSpec extends SparkSpec {
       "x_sim_ivf_layout",    // same probe shape over the partitioned layout
       "x_sim_ivf_recall",    // includes the brute-force reference
       "x_sim_ann_lsh",       // queries broadcast into buckets
+      "x_mm_sim_topk",       // corpus hashes × broadcast(small query set)
       "x_text_search",       // broadcast single-row corpus count (N for idf)
       "x_text_tfidf",        // same broadcast single-row N (tf-weighted twin)
       "x_mix_temperature",   // single-row Σw aggregate broadcast back
