@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Components, ExactDedup, JaccardDedup, MinHashDedup, MinHashMergeAgg, Multimodal, Pq, SimHash, Similarity, TextOps}
+import graft.ext.{Audio, Components, ExactDedup, JaccardDedup, MinHashDedup, MinHashMergeAgg, Multimodal, Pq, SimHash, Similarity, TextOps}
 
 /** Training-data pipeline extensions (SURVEY.md §7.3 M3): dedup family,
   * similarity search, text analysis, multimodal plumbing — exercised on the
@@ -1402,8 +1402,69 @@ object Extensions {
         .withColumn("keep",
           ((col("width") * col("height") >= 256) &&
             (col("caption_quality") >= 3)).cast("int"))
-    })
+    }),
+
+    // ---- audio family -------------------------------------------------
+    // REAL container codec round trip: spec-correct RIFF/WAVE writer →
+    // binary payload → chunk-walking parser; every feature integer-exact,
+    // so the oracle re-derives them from the sample formula and a hash
+    // match pins the whole decode path (the audio analog of
+    // x_mm_image_decode)
+    "x_mm_audio_decode" -> ((s: SparkSession, dir: String) => {
+      val media = Audio.wavMediaFromDocuments(s, Tables.documents(s, dir))
+      Audio.decodeFeatures(media).toDF()
+    }),
+
+    // fixed-length analysis frames (25 ms @ 16 kHz), exact Σs² energy per
+    // frame — restricted to every 10th clip to bound the oracle's
+    // sample-expansion cost (the Spark side is map-only either way)
+    "x_mm_audio_frames" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+      Audio.frameEnergies(Audio.wavMediaFromDocuments(s, docs), frameLen = 400).toDF()
+    }),
+
+    // decimating resample re-encoded as a REAL WAV at sr/4, then re-parsed
+    // — kept-sample stats oracle-checked (stride arithmetic mirrored)
+    "x_mm_audio_resample" -> ((s: SparkSession, dir: String) => {
+      val media = Audio.wavMediaFromDocuments(s, Tables.documents(s, dir))
+      Audio.decodeFeatures(Audio.resample(media, stride = 4)).toDF()
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("sum_abs"))
+    }),
+
+    // ---- audio fingerprint dedup --------------------------------------
+    // 60-bit energy-gradient fingerprints over the dedup fixture (exact-dup
+    // groups via seed=doc_id%101, near-dup perturbation via doc_id%3) —
+    // the audio analog of x_mm_dhash_sigs
+    "x_mm_audio_fp_sigs" -> ((s: SparkSession, dir: String) => {
+      Audio.fingerprints(
+        Audio.dedupWavFromDocuments(s, Tables.documents(s, dir)))
+    }),
+
+    // near-dup PAIRS through the shared chunk-pigeonhole banding (one
+    // keyed shuffle, exact for maxDist ≤ 3) — oracle is the all-pairs
+    // hamming scan, equal by pigeonhole exactness
+    "x_mm_audio_fp_pairs" -> ((s: SparkSession, dir: String) => {
+      Audio.audioNearDuplicates(
+        Audio.dedupWavFromDocuments(s, Tables.documents(s, dir)), maxDist = 3)
+    }),
+
+    // audio dedup GROUPS: hash-first connected components over the
+    // fingerprint near-dup relation (quotient-graph argument as the image
+    // groups; built once per corpus like the other ledgers)
+    "x_mm_audio_dedup_groups" -> ((s: SparkSession, dir: String) => audioCcFor(s, dir))
   )
+
+  /** Audio-dedup component ledger per corpus — built once like [[mmCcFor]]. */
+  private val audioCcCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def audioCcFor(s: SparkSession, dir: String): DataFrame =
+    audioCcCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("audio_dedup_ledger") {
+        Audio.audioDedupGroups(
+          Audio.dedupWavFromDocuments(s, Tables.documents(s, dir)), maxDist = 3)
+      })
 
   /** Image-dedup component ledger per corpus — built once like [[ccFor]]
     * (the CC fixpoint is a build; serving reads the checkpointed labels).
@@ -1462,6 +1523,45 @@ object Extensions {
       |  GROUP BY 1),
       |sigs AS MATERIALIZED (SELECT dh.doc_id AS media_id, dh.dhash, ah.ahash
       |  FROM dh JOIN ah USING (doc_id))""".stripMargin
+
+  /** Shared CTE for the audio family: re-derives `Audio.synthSamples`'
+    * PCM arithmetically — `s(k) = (seed·2654435761 + k·48271) % 65536 −
+    * 32768` with `seed = doc_id % 1000003` and per-doc length
+    * `n = 1600 + (doc_id % 7)·160` (range to the 2560 max, filtered).
+    */
+  private val audioSynthCte =
+    """aus AS MATERIALIZED (SELECT doc_id, k.k,
+      |    ((doc_id % 1000003) * 2654435761 + k.k * 48271) % 65536 - 32768 AS s,
+      |    1600 + (doc_id % 7) * 160 AS n
+      |  FROM documents
+      |  CROSS JOIN (SELECT unnest(range(0, 2560)) AS k) k
+      |  WHERE k.k < 1600 + (doc_id % 7) * 160)""".stripMargin
+
+  /** Shared CTEs (no leading WITH) for the audio fingerprint family:
+    * re-derives the dedup fixture (`Audio.dedupWavFromDocuments` — seed
+    * `doc_id % 101`, fixed n=1220, xor-7 raw perturbation at k=0 for
+    * `doc_id % 3 = 0`), then the 61 20-sample frames (`f = k // 20`),
+    * exact Σs² energies, and the 60-bit energy-gradient fingerprint —
+    * mirroring `Audio.fingerprint60` exactly.
+    */
+  private val audioFpCtes =
+    """afx AS MATERIALIZED (SELECT doc_id, k,
+      |    CASE WHEN doc_id % 3 = 0 AND k = 0
+      |         THEN xor((x * x * 48271) % 65536, 7)
+      |         ELSE (x * x * 48271) % 65536
+      |    END - 32768 AS s
+      |  FROM (SELECT doc_id, k.k AS k, (doc_id % 101) * 1009 + k.k * 131 AS x
+      |        FROM documents
+      |        CROSS JOIN (SELECT unnest(range(0, 1220)) AS k) k) t),
+      |afe AS MATERIALIZED (SELECT doc_id, k // 20 AS f,
+      |    CAST(sum(s * s) AS BIGINT) AS e
+      |  FROM afx GROUP BY 1, 2),
+      |asig AS MATERIALIZED (SELECT e1.doc_id AS media_id,
+      |    CAST(sum(CASE WHEN e2.e > e1.e
+      |         THEN (CAST(1 AS BIGINT) << e1.f) ELSE 0 END) AS BIGINT) AS afp
+      |  FROM afe e1 JOIN afe e2 ON e2.doc_id = e1.doc_id AND e2.f = e1.f + 1
+      |  WHERE e1.f < 60
+      |  GROUP BY 1)""".stripMargin
 
   // ---- BPE training/tokenize oracles ----------------------------------
   // The merge rounds are deterministic argmaxes, so training unrolls into
@@ -2941,6 +3041,73 @@ object Extensions {
          |p AS MATERIALIZED (SELECT a.media_id AS pa, b.media_id AS pb
          |      FROM sigs a JOIN sigs b ON a.media_id < b.media_id
          |      WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+         |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM p
+         |      UNION ALL SELECT pb, pa FROM p),
+         |walk(node, label) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node)
+         |SELECT node AS media_id, min(label) AS component
+         |FROM walk GROUP BY node""".stripMargin,
+
+    // ---- audio family oracles -----------------------------------------
+    // re-derive the synthesized PCM from the sample formula
+    // (Audio.synthSamples: s(k) = (seed·2654435761 + k·48271) % 65536
+    // − 32768, seed = doc_id % 1000003, n = 1600 + (doc_id%7)·160), then
+    // compute each integer feature independently — a hash match pins the
+    // real RIFF write → parse → feature path end to end
+    "x_mm_audio_decode" ->
+      s"""WITH $audioSynthCte,
+         |z AS (SELECT doc_id, k, s, n,
+         |    lag(s) OVER (PARTITION BY doc_id ORDER BY k) AS ps
+         |  FROM aus)
+         |SELECT doc_id AS media_id, CAST(16000 AS INT) AS sample_rate,
+         |  CAST(max(n) AS INT) AS n_samples,
+         |  CAST(max(n) * 1000 // 16000 AS BIGINT) AS duration_ms,
+         |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+         |  CAST(max(abs(s)) AS INT) AS max_abs,
+         |  CAST(count(*) FILTER (WHERE ps IS NOT NULL
+         |    AND (s >= 0) <> (ps >= 0)) AS BIGINT) AS zero_cross
+         |FROM z GROUP BY 1""".stripMargin,
+
+    // 25 ms frames: frame_idx = k // 400, energy = exact Σs²
+    "x_mm_audio_frames" ->
+      s"""WITH $audioSynthCte
+         |SELECT doc_id AS media_id, CAST(k // 400 AS INT) AS frame_idx,
+         |  CAST(sum(s * s) AS BIGINT) AS energy,
+         |  CAST(count(*) AS INT) AS n_in_frame
+         |FROM aus WHERE doc_id % 10 = 0
+         |GROUP BY 1, 2""".stripMargin,
+
+    // stride-4 decimation: kept samples k % 4 = 0, re-encoded at 4 kHz
+    "x_mm_audio_resample" ->
+      s"""WITH $audioSynthCte
+         |SELECT doc_id AS media_id, CAST(4000 AS INT) AS sample_rate,
+         |  CAST(count(*) AS INT) AS n_samples,
+         |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs
+         |FROM aus WHERE k % 4 = 0
+         |GROUP BY 1""".stripMargin,
+
+    "x_mm_audio_fp_sigs" ->
+      s"""WITH $audioFpCtes
+         |SELECT media_id, afp FROM asig""".stripMargin,
+
+    // all-pairs hamming scan over the derived fingerprints — equal to the
+    // Spark side's chunk-pigeonhole banding by exactness for maxDist <= 3
+    "x_mm_audio_fp_pairs" ->
+      s"""WITH $audioFpCtes
+         |SELECT a.media_id AS media_a, b.media_id AS media_b,
+         |  CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+         |FROM asig a JOIN asig b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.afp, b.afp)) <= 3""".stripMargin,
+
+    // component fixpoint over the audio near-dup pairs (same recursive-CTE
+    // walk as the image groups)
+    "x_mm_audio_dedup_groups" ->
+      s"""WITH RECURSIVE $audioFpCtes,
+         |p AS MATERIALIZED (SELECT a.media_id AS pa, b.media_id AS pb
+         |      FROM asig a JOIN asig b ON a.media_id < b.media_id
+         |      WHERE bit_count(xor(a.afp, b.afp)) <= 3),
          |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM p
          |      UNION ALL SELECT pb, pa FROM p),
          |walk(node, label) AS (
