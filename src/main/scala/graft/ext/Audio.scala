@@ -234,6 +234,49 @@ object Audio {
     })
   }
 
+  /** Speech-shaped fixture for VAD: same pseudo-noise PCM as
+    * [[synthSamples]], but whole 100-sample frames are SILENCED (zeroed)
+    * when `((id % 1009)·2654435761 + frame·97) % 3 == 0` — pseudo-random
+    * ~⅓ silence, varying per clip, planting the burst/pause structure a
+    * voice-activity detector exists to find.
+    */
+  def speechWavFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val seed = id % 1000003L
+        val n = 1600 + ((id % 7L).toInt * 160)
+        val samples = Array.tabulate(n) { k =>
+          val silent = ((id % 1009L) * 2654435761L + (k / 100).toLong * 97L) % 3L == 0L
+          if (silent) 0.toShort else (rawSample(seed, k) - 32768L).toShort
+        }
+        MediaRecord(id, writeWav(samples, 16000), "audio/wav")
+      }
+    }
+  }
+
+  /** VOICE-ACTIVITY spans (silence removal — the first preprocessing step
+    * of any ASR/TTS corpus build): real parse → per-frame energies →
+    * active frames (energy > 0; a real VAD thresholds against a noise
+    * floor behind the same shape) → contiguous spans via the
+    * gaps-and-islands rewrite (`frame_idx − row_number` per clip). The
+    * window is keyed on media_id — bounded by one clip's frame count,
+    * never a global sort. Output `(media_id, span_start, span_end,
+    * n_frames)` per active span.
+    */
+  def vadSpans(media: Dataset[MediaRecord], frameLen: Int = 100): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frameEnergies(media, frameLen).toDF()
+      .filter(col("energy") > 0)
+      .withColumn("grp", col("frame_idx") - row_number().over(w))
+      .groupBy(col("media_id"), col("grp"))
+      .agg(min(col("frame_idx")).as("span_start"),
+        max(col("frame_idx")).as("span_end"),
+        count(lit(1)).cast("int").as("n_frames"))
+      .select(col("media_id"), col("span_start"), col("span_end"), col("n_frames"))
+  }
+
   // ---- energy-gradient fingerprint + banded dedup --------------------
 
   /** 60-bit chromaprint-shaped fingerprint: 61 contiguous frames

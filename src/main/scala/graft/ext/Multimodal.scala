@@ -188,6 +188,48 @@ object Multimodal {
     })
   }
 
+  /** One frame's brightness + shot-boundary flag (see [[shotBoundaries]]). */
+  final case class ShotFrame(media_id: Long, frame_idx: Int, mean_gray: Long,
+                             is_boundary: Int)
+
+  /** SHOT-BOUNDARY detection over a multi-frame container: decode each
+    * frame, compute its integer mean grayscale (per-pixel `(r+g+b)/3`
+    * first, then the frame mean — both floor divisions, the
+    * [[blockGrid]] convention), and flag frame i ≥ 1 as a boundary when
+    * `|mean(i) − mean(i−1)| > threshold` — the classic luma-delta shot
+    * detector (a production system would add histogram/edge deltas behind
+    * the same shape). Frames of one container are processed sequentially
+    * inside the partition — inherent to video (inter-frame deltas need
+    * decode order), and still map-only across containers: zero shuffles.
+    */
+  def shotBoundaries(media: Dataset[MediaRecord], threshold: Long = 8): Dataset[ShotFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val means = unpackFrames(r.payload).map { case (i, png) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        require(img != null, s"media ${r.media_id} frame $i: not a decodable image")
+        var sum = 0L; var n = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >>> 16) & 0xff) + ((rgb >>> 8) & 0xff) + (rgb & 0xff)) / 3
+            x += 1; n += 1
+          }
+          y += 1
+        }
+        (i, sum / n)
+      }
+      means.iterator.map { case (i, m) =>
+        val boundary =
+          if (i == 0) 0
+          else if (math.abs(m - means(i - 1)._2) > threshold) 1 else 0
+        ShotFrame(r.media_id, i, m, boundary)
+      }
+    })
+  }
+
   /** Multi-frame containers from the documents table: doc_id%5+1 frames,
     * frame i an (i+1)×2 PNG — arithmetic geometry so the sampled-frame
     * output is oracle-checkable.

@@ -1452,7 +1452,24 @@ object Extensions {
     // audio dedup GROUPS: hash-first connected components over the
     // fingerprint near-dup relation (quotient-graph argument as the image
     // groups; built once per corpus like the other ledgers)
-    "x_mm_audio_dedup_groups" -> ((s: SparkSession, dir: String) => audioCcFor(s, dir))
+    "x_mm_audio_dedup_groups" -> ((s: SparkSession, dir: String) => audioCcFor(s, dir)),
+
+    // voice-activity spans: real parse → frame energies → gaps-and-islands
+    // over active frames (the silence-removal step of an ASR corpus
+    // build); window keyed per clip, never global
+    "x_mm_audio_vad" -> ((s: SparkSession, dir: String) => {
+      Audio.vadSpans(
+        Audio.speechWavFromDocuments(s, Tables.documents(s, dir)), frameLen = 100)
+    }),
+
+    // shot-boundary detection: per-frame REAL decode → integer mean luma →
+    // consecutive-frame delta flag (the classic luma-delta detector);
+    // map-only across containers, sequential only within one video
+    "x_mm_shot_bounds" -> ((s: SparkSession, dir: String) => {
+      Multimodal.shotBoundaries(
+        Multimodal.frameMediaFromDocuments(s, Tables.documents(s, dir)),
+        threshold = 8).toDF()
+    })
   )
 
   /** Audio-dedup component ledger per corpus — built once like [[mmCcFor]]. */
@@ -3116,6 +3133,48 @@ object Extensions {
          |  SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node)
          |SELECT node AS media_id, min(label) AS component
          |FROM walk GROUP BY node""".stripMargin,
+
+    // VAD spans: the silent-frame formula is mirrored directly (an
+    // unsilenced frame always carries nonzero energy — the pseudo-noise
+    // has no all-zero frame), then the same gaps-and-islands rewrite
+    "x_mm_audio_vad" ->
+      """WITH vf AS MATERIALIZED (SELECT doc_id, f,
+        |    CASE WHEN ((doc_id % 1009) * 2654435761 + f * 97) % 3 = 0
+        |         THEN 0 ELSE 1 END AS active
+        |  FROM (SELECT doc_id,
+        |          unnest(range(0, (1600 + (doc_id % 7) * 160 + 99) // 100)) AS f
+        |        FROM documents) t),
+        |act AS (SELECT doc_id, f,
+        |    f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+        |  FROM vf WHERE active = 1)
+        |SELECT doc_id AS media_id, CAST(min(f) AS INT) AS span_start,
+        |  CAST(max(f) AS INT) AS span_end, CAST(count(*) AS INT) AS n_frames
+        |FROM act GROUP BY doc_id, grp""".stripMargin,
+
+    // shot boundaries: frame pixels re-derived from the container
+    // fixture's formula (frame i is (i+1)x2; row 0 pixel x = (id*31+x)
+    // masked, row 1 = (id*131+x) masked), per-pixel gray then frame mean
+    // (both floor divisions), lag-delta > 8 flags the boundary
+    "x_mm_shot_bounds" ->
+      """WITH sf AS MATERIALIZED (SELECT doc_id, i.i AS i, x.x AS x,
+        |    (doc_id * 31 + x.x) & 16777215 AS v0,
+        |    (doc_id * 131 + x.x) & 16777215 AS v1
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest(range(0, 5)) AS i) i
+        |  CROSS JOIN (SELECT unnest(range(0, 5)) AS x) x
+        |  WHERE i.i <= doc_id % 5 AND x.x <= i.i),
+        |mg AS MATERIALIZED (SELECT doc_id, i,
+        |    CAST(sum((((v0 >> 16) & 255) + ((v0 >> 8) & 255) + (v0 & 255)) // 3
+        |           + (((v1 >> 16) & 255) + ((v1 >> 8) & 255) + (v1 & 255)) // 3)
+        |         // (2 * (i + 1)) AS BIGINT) AS mean_gray
+        |  FROM sf GROUP BY 1, 2),
+        |lg AS (SELECT doc_id, i, mean_gray,
+        |    lag(mean_gray) OVER (PARTITION BY doc_id ORDER BY i) AS pm
+        |  FROM mg)
+        |SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx, mean_gray,
+        |  CAST(CASE WHEN pm IS NOT NULL AND abs(mean_gray - pm) > 8
+        |       THEN 1 ELSE 0 END AS INT) AS is_boundary
+        |FROM lg""".stripMargin,
 
     "x_pipeline_dataprep" ->
       s"""WITH sc AS (SELECT n_chars, text,

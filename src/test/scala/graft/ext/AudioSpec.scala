@@ -127,6 +127,25 @@ class AudioSpec extends SparkSpec {
     assert(banded === brute)
   }
 
+  test("vadSpans: spans are exactly the contiguous unsilenced frame runs") {
+    val ids = Seq(4L, 17L)
+    val docs = ids.map(id => (id, s"t$id", 1L)).toDF("doc_id", "text", "n_chars")
+    val spans = Audio.vadSpans(Audio.speechWavFromDocuments(spark, docs), frameLen = 100)
+      .as[(Long, Int, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).sortBy(_._1).toList)
+    for (id <- ids) {
+      val nFrames = (1600 + (id % 7).toInt * 160 + 99) / 100
+      val active = (0 until nFrames)
+        .filter(f => ((id % 1009) * 2654435761L + f * 97L) % 3 != 0)
+      // contiguous runs of the active set
+      val expected = active.foldLeft(List.empty[(Int, Int, Int)]) {
+        case ((s0, e0, n0) :: rest, f) if f == e0 + 1 => (s0, f, n0 + 1) :: rest
+        case (acc, f) => (f, f, 1) :: acc
+      }.reverse
+      assert(spans(id) === expected, s"clip $id")
+    }
+  }
+
   test("audioDedupGroups (hash-first) == CC over the expanded pair graph") {
     val ids = Seq(5L, 106L, 207L, 308L, 7L, 108L, 1L, 2L)
     val docs = ids.map(id => (id, s"t$id", 1L)).toDF("doc_id", "text", "n_chars")

@@ -757,6 +757,31 @@ class MultimodalSpec extends SparkSpec {
     assert(!fast.contains(1L) && !fast.contains(2L)) // no pair -> no row
   }
 
+  test("shotBoundaries: luma-delta flags match a direct per-frame recomputation") {
+    val ids = Seq(3L, 9L, 14L) // 4, 5, 5 frames respectively (id % 5 + 1)
+    val docs = ids.map(id => (id, s"t$id", 1L)).toDF("doc_id", "text", "n_chars")
+    val out = Multimodal.shotBoundaries(
+      Multimodal.frameMediaFromDocuments(spark, docs), threshold = 8)
+      .collect().groupBy(_.media_id).view
+      .mapValues(_.sortBy(_.frame_idx).toList).toMap
+    for (id <- ids) {
+      val means = (0 to (id % 5).toInt).map { i =>
+        val grays = (0 to i).flatMap { x =>
+          Seq((id * 31 + x) & 0xffffff, (id * 131 + x) & 0xffffff).map { v =>
+            (((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)) / 3
+          }
+        }
+        grays.sum / grays.size
+      }
+      val frames = out(id)
+      assert(frames.map(_.mean_gray) === means.map(_.toLong))
+      assert(frames.head.is_boundary === 0, "frame 0 is never a boundary")
+      for (i <- 1 until frames.size)
+        assert(frames(i).is_boundary ===
+          (if (math.abs(means(i) - means(i - 1)) > 8) 1 else 0))
+    }
+  }
+
   test("pngMediaFromDocuments: encode on executors, decode recovers formula dims") {
     val docs = Seq((5L, "hello world"), (100L, "x" * 200))
       .map { case (id, t) => (id, t, t.length.toLong) }
