@@ -69,6 +69,18 @@ object Extensions {
         graft.ext.LinearProbe.train(Tables.embeddings(s, dir), lambda = 1e-3)
       })
 
+  /** PCA: train-once model state like the probe — one moments pass +
+    * driver eigensolve, cached per (session, corpus).
+    */
+  private val pcaCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), graft.ext.Pca.PcaModel]
+
+  private def pcaFor(s: SparkSession, dir: String): graft.ext.Pca.PcaModel =
+    pcaCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("pca_train") {
+        graft.ext.Pca.train(Tables.embeddings(s, dir), k = 4)
+      })
+
   /** Written-once cid-partitioned layout per corpus (the serving path's
     * durable half — a deployment writes it at assignment time, probes read
     * it forever after; here it lands in a temp dir per application run).
@@ -1469,6 +1481,37 @@ object Extensions {
       Multimodal.shotBoundaries(
         Multimodal.frameMediaFromDocuments(s, Tables.documents(s, dir)),
         threshold = 8).toDF()
+    }),
+
+    // PCA projection over the trained model: one codegen dot product per
+    // component, mean-dot constant folded on the driver — map-only
+    "x_embed_pca_project" -> ((s: SparkSession, dir: String) => {
+      graft.ext.Pca.project(Tables.embeddings(s, dir), pcaFor(s, dir))
+    }),
+
+    // explained variance actually captured per component (the PCA quality
+    // check), from the rounded projections with the decimal-avg convention
+    "x_embed_pca_var" -> ((s: SparkSession, dir: String) => {
+      graft.ext.Pca.project(Tables.embeddings(s, dir), pcaFor(s, dir))
+        .select(expr("stack(4, 0, p0, 1, p1, 2, p2, 3, p3) as (component, p)"))
+        .groupBy(col("component"))
+        .agg(Util.davg(col("p") * col("p")).as("var_captured"))
+    }),
+
+    // END-TO-END multimodal corpus curation: the image-dedup ledger's
+    // canonical-keep rule (component label IS the min member id, so
+    // canonical ⇔ component == media_id; unpaired images keep themselves)
+    // composed with the caption quality gate — the final manifest a
+    // LAION-style build ships to training. Two keyed joins over cached
+    // 16 B/row labels; no decode cost beyond the once-per-corpus ledger.
+    "x_pipeline_mm_corpus" -> ((s: SparkSession, dir: String) => {
+      val cap = Tables.documents(s, dir)
+        .select(col("doc_id").as("media_id"),
+          TextOps.qualityScore("text").as("caption_quality"))
+      cap.join(mmCcFor(s, dir), Seq("media_id"), "left")
+        .filter(col("component").isNull || col("component") === col("media_id"))
+        .filter(col("caption_quality") >= 3)
+        .select(col("media_id"), col("caption_quality"))
     })
   )
 
@@ -1761,7 +1804,35 @@ object Extensions {
     * `Verify` dumps `oracleSql` last, so the timing works out).
     */
   def oracleSql: Map[String, String] =
-    staticOracleSql ++ ivfOracles ++ pqOracles ++ probeOracles
+    staticOracleSql ++ ivfOracles ++ pqOracles ++ probeOracles ++ pcaOracles
+
+  // ---- PCA oracles ----------------------------------------------------
+  // The trained mean/components are model state (same trust model as
+  // IVF/PQ/probe literals); projection and its per-component variance are
+  // exact round-6 arithmetic both engines reproduce.
+  private def pcaOracles: Map[String, String] =
+    pcaCache.toMap match {
+      case one if one.size == 1 =>
+        val (_, mdl) = one.head
+        val pcols = mdl.components.toSeq.zipWithIndex.map { case (v, i) =>
+          val off = java.lang.Double.toString(graft.ext.Pca.meanOffset(mdl, i))
+          s"round(list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), ${fmtVec(v.toSeq)}::DOUBLE[]) - $off, 6) AS p$i"
+        }
+        val projectSql =
+          s"""SELECT vec_id,
+             |  ${pcols.mkString(",\n  ")}
+             |FROM embeddings""".stripMargin
+        Map("x_embed_pca_project" -> projectSql,
+          "x_embed_pca_var" ->
+            s"""WITH pr AS ($projectSql),
+               |u AS (SELECT 0 AS component, p0 AS p FROM pr
+               |  UNION ALL SELECT 1, p1 FROM pr
+               |  UNION ALL SELECT 2, p2 FROM pr
+               |  UNION ALL SELECT 3, p3 FROM pr)
+               |SELECT component, ${Util.sqlDavg("p * p")} AS var_captured
+               |FROM u GROUP BY 1""".stripMargin)
+      case _ => Map.empty
+    }
 
   // ---- linear-probe oracles -------------------------------------------
   // The moments entry has a fully static oracle (below, in
@@ -3133,6 +3204,29 @@ object Extensions {
          |  SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node)
          |SELECT node AS media_id, min(label) AS component
          |FROM walk GROUP BY node""".stripMargin,
+
+    // end-to-end curation: the CC walk gives component labels (min id by
+    // construction), canonical ⇔ unpaired or label == id, then the shared
+    // quality battery gates captions
+    "x_pipeline_mm_corpus" ->
+      s"""WITH RECURSIVE $mmHashCtes,
+         |p AS MATERIALIZED (SELECT a.media_id AS pa, b.media_id AS pb
+         |      FROM sigs a JOIN sigs b ON a.media_id < b.media_id
+         |      WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+         |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM p
+         |      UNION ALL SELECT pb, pa FROM p),
+         |walk(node, label) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node),
+         |comp AS (SELECT node AS media_id, min(label) AS component
+         |  FROM walk GROUP BY node),
+         |q AS (SELECT doc_id AS media_id, ($sqlQualityScore) AS caption_quality
+         |  FROM documents)
+         |SELECT media_id, caption_quality
+         |FROM q LEFT JOIN comp USING (media_id)
+         |WHERE (component IS NULL OR component = media_id)
+         |  AND caption_quality >= 3""".stripMargin,
 
     // VAD spans: the silent-frame formula is mirrored directly (an
     // unsilenced frame always carries nonzero energy — the pseudo-noise

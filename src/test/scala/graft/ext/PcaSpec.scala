@@ -1,0 +1,61 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  // planted structure: x = t·dir + small noise on one other axis, so the
+  // top component must recover ±dir and capture almost all variance
+  private def plantedDf(n: Int, d: Int) = {
+    val dir = Array.tabulate(d)(j => if (j == 2) 0.8 else if (j == 5) 0.6 else 0.0)
+    (0 until n).map { i =>
+      val t = (i % 21) - 10.0 // mean-zero spread along dir
+      val noise = ((i * 7919) % 11 - 5.0) / 50.0
+      (i.toLong, Array.tabulate(d)(j =>
+        (t * dir(j) + (if (j == 9) noise else 0.0)).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("train recovers the planted dominant direction; eigenvalues descend") {
+    val m = Pca.train(plantedDf(200, 16), k = 3)
+    assert(m.dim === 16 && m.nRows === 200)
+    val v0 = m.components(0)
+    // alignment |v0 · dir| ~ 1 (dir is unit: 0.8² + 0.6² = 1)
+    val align = math.abs(v0(2) * 0.8 + v0(5) * 0.6)
+    assert(align > 0.999, s"top component misaligned: $align")
+    assert(m.eigenvalues(0) > m.eigenvalues(1) - 1e-12)
+    assert(m.eigenvalues(1) >= m.eigenvalues(2) - 1e-12)
+    // sign convention: largest-|coordinate| entry is positive
+    for (c <- m.components) {
+      val mx = c.indices.maxBy(i => (math.abs(c(i)), -i))
+      assert(c(mx) >= 0.0)
+    }
+  }
+
+  test("components are orthonormal") {
+    val m = Pca.train(plantedDf(150, 12), k = 4)
+    for (a <- 0 until 4; b <- 0 until 4) {
+      val dot = (0 until 12).map(j => m.components(a)(j) * m.components(b)(j)).sum
+      if (a == b) assert(math.abs(dot - 1.0) < 1e-9)
+      else assert(math.abs(dot) < 1e-6, s"components $a,$b not orthogonal: $dot")
+    }
+  }
+
+  test("projection variance matches the eigenvalue; mean projects to ~0") {
+    val df = plantedDf(200, 16)
+    val m = Pca.train(df, k = 2)
+    val proj = Pca.project(df, m).select($"p0", $"p1").as[(Double, Double)].collect()
+    val n = proj.length.toDouble
+    val (m0, m1) = (proj.map(_._1).sum / n, proj.map(_._2).sum / n)
+    assert(math.abs(m0) < 1e-4 && math.abs(m1) < 1e-4, "centered projections")
+    val var0 = proj.map(p => p._1 * p._1).sum / n
+    assert(math.abs(var0 - m.eigenvalues(0)) < 1e-3 * math.max(1.0, m.eigenvalues(0)),
+      s"var $var0 vs eigenvalue ${m.eigenvalues(0)}")
+  }
+
+  test("degenerate inputs fail loudly") {
+    intercept[IllegalArgumentException](
+      Pca.train(plantedDf(10, 4), k = 5))
+  }
+}
