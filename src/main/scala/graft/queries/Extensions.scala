@@ -1483,6 +1483,15 @@ object Extensions {
         threshold = 8).toDF()
     }),
 
+    // WARC container round trip: spec-correct record writer → one archive
+    // stream per task (crawler sharding) → strict Content-Length-honoring
+    // parse, warcinfo records skipped — the Common-Crawl ingestion shape;
+    // the oracle re-derives lengths from the documents table, so a hash
+    // match pins the whole encode → parse → decode path
+    "x_warc_roundtrip" -> ((s: SparkSession, dir: String) => {
+      graft.io.Warc.roundTrip(s, Tables.documents(s, dir))
+    }),
+
     // PCA projection over the trained model: one codegen dot product per
     // component, mean-dot constant folded on the driver — map-only
     "x_embed_pca_project" -> ((s: SparkSession, dir: String) => {
@@ -3204,6 +3213,12 @@ object Extensions {
          |  SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node)
          |SELECT node AS media_id, min(label) AS component
          |FROM walk GROUP BY node""".stripMargin,
+
+    "x_warc_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+        |  CAST(length(text) AS INT) AS payload_chars
+        |FROM documents""".stripMargin,
 
     // end-to-end curation: the CC walk gives component labels (min id by
     // construction), canonical ⇔ unpaired or label == id, then the shared
