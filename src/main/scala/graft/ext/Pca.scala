@@ -118,6 +118,193 @@ object Pca {
     PcaModel(d, n.toLong, mean, comps, evs)
   }
 
+  /** SKETCHED training — the large-d scale path the exact trainer cannot
+    * take: [[train]]'s moment buffer is (d+1)(d+2)/2 doubles (≈64 MB per
+    * task at d=4096), while this one-pass randomized range finder (Halko
+    * et al. 2011, single-pass Nyström variant) accumulates only
+    * `Σx·yᵀ` (d×m) and `Σy·yᵀ` (m×m) for the sketch `y = Ωᵀx`,
+    * m = k + oversample — ~256 KB per task at d=4096, m=8.
+    *
+    * Ω is a DETERMINISTIC Rademacher matrix (±1 from integer hash parity,
+    * seeded) — no RNG, so training is reproducible and retry/speculation
+    * -stable. Driver-side small algebra: `CΩ = A/n − μ(Ωᵀμ)ᵀ`,
+    * `ΩᵀCΩ = W/n − (Ωᵀμ)(Ωᵀμ)ᵀ`, then the Nyström eigensolve
+    * `C ≈ (CΩ)(ΩᵀCΩ)⁻¹(CΩ)ᵀ` via the exact [[train]] machinery on the
+    * m×m core. Returns a standard [[PcaModel]] — [[project]] is identical
+    * downstream.
+    */
+  def trainSketched(emb: DataFrame, k: Int, oversample: Int = 4,
+                    seed: Long = 42L, vecCol: String = "embedding"): PcaModel = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val d = emb.select(size(col(vecCol)).as("d")).head.getInt(0)
+    val m = k + oversample
+    require(k >= 1 && m <= d, s"trainSketched: k=$k + oversample=$oversample > dim $d")
+    // deterministic Rademacher Ω: ±1 from a FULL 64-bit mix (splitmix64
+    // finalizer). A linear formula's parity is NOT usable here — parity of
+    // `a·i + b·j` with odd a, b degenerates to (i+j) mod 2, which collapses
+    // every Ω column onto ±one direction and silently reduces the sketch
+    // to rank 1 (observed: the second eigenpair vanished entirely).
+    val omega = Array.tabulate(d, m) { (i, j) =>
+      var z = seed + i.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      if ((z & 1L) == 0L) 1.0 else -1.0
+    }
+    val bOmega = spark.sparkContext.broadcast(omega)
+    // one pass: z = [x, y, 1] (d + m + 1) — its moment matrix holds Σx·xᵀ
+    // too, which we DON'T need; accumulate only the blocks we use via a
+    // dedicated reducer to keep the buffer at d·m + m² + d + m + 1 cells.
+    val cells = d * m + m * m + d + m + 1
+    val agg = new org.apache.spark.sql.expressions.Aggregator[Seq[Double], Array[Double], Array[Double]] {
+      override def zero: Array[Double] = new Array[Double](cells)
+      override def reduce(buf: Array[Double], x: Seq[Double]): Array[Double] = {
+        val om = bOmega.value
+        val xa = x.toArray
+        val y = new Array[Double](m)
+        var j = 0
+        while (j < m) {
+          var acc = 0.0; var i = 0
+          while (i < d) { acc += xa(i) * om(i)(j); i += 1 }
+          y(j) = acc; j += 1
+        }
+        var idx = 0
+        var i = 0
+        while (i < d) { // Σ x·yᵀ
+          val xi = xa(i); var jj = 0
+          while (jj < m) { buf(idx) += xi * y(jj); idx += 1; jj += 1 }
+          i += 1
+        }
+        i = 0
+        while (i < m) { // Σ y·yᵀ
+          val yi = y(i); var jj = 0
+          while (jj < m) { buf(idx) += yi * y(jj); idx += 1; jj += 1 }
+          i += 1
+        }
+        i = 0
+        while (i < d) { buf(idx) += xa(i); idx += 1; i += 1 } // Σ x
+        i = 0
+        while (i < m) { buf(idx) += y(i); idx += 1; i += 1 }  // Σ y
+        buf(idx) += 1.0                                        // n
+        buf
+      }
+      override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+        var i = 0
+        while (i < cells) { a(i) += b(i); i += 1 }
+        a
+      }
+      override def finish(r: Array[Double]): Array[Double] = r
+      override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+      override def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    }
+    val mom = emb
+      .select(expr(s"transform($vecCol, v -> cast(v as double))").as("x"))
+      .as[Seq[Double]]
+      .select(agg.toColumn)
+      .head()
+    // unpack
+    val n = mom(cells - 1)
+    require(n > 0, "trainSketched: empty corpus")
+    val a = Array.tabulate(d, m)((i, j) => mom(i * m + j))           // Σ x·yᵀ
+    val w = Array.tabulate(m, m)((i, j) => mom(d * m + i * m + j))   // Σ y·yᵀ
+    val sx = Array.tabulate(d)(i => mom(d * m + m * m + i))          // Σ x
+    val sy = Array.tabulate(m)(j => mom(d * m + m * m + d + j))      // Σ y
+    val mu = sx.map(_ / n)
+    val muY = sy.map(_ / n) // = Ωᵀμ
+    // CΩ (d×m) and ΩᵀCΩ (m×m)
+    val cOm = Array.tabulate(d, m)((i, j) => a(i)(j) / n - mu(i) * muY(j))
+    val core = Array.tabulate(m, m)((i, j) => w(i)(j) / n - muY(i) * muY(j))
+    // Nyström: C ≈ B G⁻¹ Bᵀ with B = CΩ, G = ΩᵀCΩ. Eigenpairs: with the
+    // small symmetric eigensolve G = U Λ Uᵀ (exact-trainer machinery),
+    // F = B U Λ^{-1/2} gives C ≈ F Fᵀ; the top-k eigenpairs of C are the
+    // top-k of the m×m matrix FᵀF mapped back through F.
+    val (uG, lG) = eigSym(core, m)
+    val f = Array.tabulate(d, m) { (i, j) =>
+      if (lG(j) > 1e-12) {
+        var acc = 0.0; var t = 0
+        while (t < m) { acc += cOm(i)(t) * uG(t)(j); t += 1 }
+        acc / math.sqrt(lG(j))
+      } else 0.0
+    }
+    val ftf = Array.tabulate(m, m) { (p, q) =>
+      var acc = 0.0; var i = 0
+      while (i < d) { acc += f(i)(p) * f(i)(q); i += 1 }
+      acc
+    }
+    val (uS, lS) = eigSym(ftf, m)
+    val comps = Array.tabulate(k) { c =>
+      val v = Array.tabulate(d) { i =>
+        var acc = 0.0; var t = 0
+        while (t < m) { acc += f(i)(t) * uS(t)(c); t += 1 }
+        acc
+      }
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      val vn = if (norm > 1e-12) v.map(_ / norm) else v
+      val mx = vn.indices.maxBy(i => (math.abs(vn(i)), -i))
+      if (vn(mx) < 0) vn.map(x => -x) else vn
+    }
+    PcaModel(d, n.toLong, mu, comps, Array.tabulate(k)(c => lS(c)))
+  }
+
+  /** Small symmetric eigensolve (columns of U = eigenvectors, Λ
+    * descending) via the same deterministic power-iteration-with-deflation
+    * the exact trainer uses — adequate for m ≤ a few dozen.
+    */
+  private def eigSym(mat: Array[Array[Double]], m: Int,
+                     iters: Int = 200): (Array[Array[Double]], Array[Double]) = {
+    val c = mat.map(_.clone)
+    val vecs = new Array[Array[Double]](m)
+    val vals = new Array[Double](m)
+    for (cIdx <- 0 until m) {
+      def gs(wv: Array[Double]): Unit =
+        for (p <- 0 until cIdx) {
+          val cp = vecs(p)
+          var dp = 0.0; var j = 0
+          while (j < m) { dp += wv(j) * cp(j); j += 1 }
+          j = 0
+          while (j < m) { wv(j) -= dp * cp(j); j += 1 }
+        }
+      var v = Array.tabulate(m)(i => 1.0 / math.sqrt(m.toDouble) * (if (i % 2 == 0) 1 else -1))
+      for (_ <- 0 until iters) {
+        val wv = Array.tabulate(m) { i =>
+          var acc = 0.0; var j = 0
+          while (j < m) { acc += c(i)(j) * v(j); j += 1 }
+          acc
+        }
+        gs(wv)
+        val norm = math.sqrt(wv.map(x => x * x).sum)
+        v = if (norm > 0) wv.map(_ / norm) else wv
+      }
+      val wf = v.clone
+      gs(wf); gs(wf)
+      val nf = math.sqrt(wf.map(x => x * x).sum)
+      v = if (nf > 1e-10) wf.map(_ / nf)
+      else {
+        var chosen: Array[Double] = null
+        var b = 0
+        while (chosen == null && b < m) {
+          val e = Array.tabulate(m)(i => if (i == b) 1.0 else 0.0)
+          gs(e); gs(e)
+          val ne = math.sqrt(e.map(x => x * x).sum)
+          if (ne > 0.5) chosen = e.map(_ / ne)
+          b += 1
+        }
+        require(chosen != null, "eigSym: cannot complete basis")
+        chosen
+      }
+      var lambda = 0.0
+      for (i <- 0 until m; j <- 0 until m) lambda += v(i) * c(i)(j) * v(j)
+      vecs(cIdx) = v
+      vals(cIdx) = lambda
+      for (i <- 0 until m; j <- 0 until m) c(i)(j) -= lambda * v(i) * v(j)
+    }
+    // column-major: U(t)(j) = eigenvector j's coordinate t
+    (Array.tabulate(m, m)((t, j) => vecs(j)(t)), vals)
+  }
+
   /** `μ·vᶜ` for component c — computed with one fixed left-to-right loop
     * so the projection path and a generated oracle embed the bit-identical
     * constant.

@@ -81,6 +81,15 @@ object Extensions {
         graft.ext.Pca.train(Tables.embeddings(s, dir), k = 4)
       })
 
+  private val pcaSkCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), graft.ext.Pca.PcaModel]
+
+  private def pcaSkFor(s: SparkSession, dir: String): graft.ext.Pca.PcaModel =
+    pcaSkCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("pca_train_sketched") {
+        graft.ext.Pca.trainSketched(Tables.embeddings(s, dir), k = 4)
+      })
+
   /** Written-once cid-partitioned layout per corpus (the serving path's
     * durable half — a deployment writes it at assignment time, probes read
     * it forever after; here it lands in a temp dir per application run).
@@ -1498,6 +1507,13 @@ object Extensions {
       graft.ext.Pca.project(Tables.embeddings(s, dir), pcaFor(s, dir))
     }),
 
+    // projection through the SKETCHED trainer (randomized range finder —
+    // the large-d path whose per-task buffer is d·m, not d²/2); same
+    // map-only serving shape, independently oracled via its own literals
+    "x_embed_pca_sketch" -> ((s: SparkSession, dir: String) => {
+      graft.ext.Pca.project(Tables.embeddings(s, dir), pcaSkFor(s, dir))
+    }),
+
     // explained variance actually captured per component (the PCA quality
     // check), from the rounded projections with the decimal-avg convention
     "x_embed_pca_var" -> ((s: SparkSession, dir: String) => {
@@ -1819,18 +1835,21 @@ object Extensions {
   // The trained mean/components are model state (same trust model as
   // IVF/PQ/probe literals); projection and its per-component variance are
   // exact round-6 arithmetic both engines reproduce.
-  private def pcaOracles: Map[String, String] =
-    pcaCache.toMap match {
+  private def pcaProjectSql(mdl: graft.ext.Pca.PcaModel): String = {
+    val pcols = mdl.components.toSeq.zipWithIndex.map { case (v, i) =>
+      val off = java.lang.Double.toString(graft.ext.Pca.meanOffset(mdl, i))
+      s"round(list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), ${fmtVec(v.toSeq)}::DOUBLE[]) - $off, 6) AS p$i"
+    }
+    s"""SELECT vec_id,
+       |  ${pcols.mkString(",\n  ")}
+       |FROM embeddings""".stripMargin
+  }
+
+  private def pcaOracles: Map[String, String] = {
+    val exact = pcaCache.toMap match {
       case one if one.size == 1 =>
         val (_, mdl) = one.head
-        val pcols = mdl.components.toSeq.zipWithIndex.map { case (v, i) =>
-          val off = java.lang.Double.toString(graft.ext.Pca.meanOffset(mdl, i))
-          s"round(list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), ${fmtVec(v.toSeq)}::DOUBLE[]) - $off, 6) AS p$i"
-        }
-        val projectSql =
-          s"""SELECT vec_id,
-             |  ${pcols.mkString(",\n  ")}
-             |FROM embeddings""".stripMargin
+        val projectSql = pcaProjectSql(mdl)
         Map("x_embed_pca_project" -> projectSql,
           "x_embed_pca_var" ->
             s"""WITH pr AS ($projectSql),
@@ -1840,8 +1859,15 @@ object Extensions {
                |  UNION ALL SELECT 3, p3 FROM pr)
                |SELECT component, ${Util.sqlDavg("p * p")} AS var_captured
                |FROM u GROUP BY 1""".stripMargin)
-      case _ => Map.empty
+      case _ => Map.empty[String, String]
     }
+    val sketched = pcaSkCache.toMap match {
+      case one if one.size == 1 =>
+        Map("x_embed_pca_sketch" -> pcaProjectSql(one.head._2))
+      case _ => Map.empty[String, String]
+    }
+    exact ++ sketched
+  }
 
   // ---- linear-probe oracles -------------------------------------------
   // The moments entry has a fully static oracle (below, in

@@ -54,6 +54,29 @@ class PcaSpec extends SparkSpec {
       s"var $var0 vs eigenvalue ${m.eigenvalues(0)}")
   }
 
+  test("trainSketched recovers the exact trainer's dominant subspace on low-rank data") {
+    val df = plantedDf(200, 16)
+    val exact = Pca.train(df, k = 2)
+    val sk = Pca.trainSketched(df, k = 2, oversample = 4)
+    assert(sk.dim === 16 && sk.nRows === 200)
+    // mean identical (same Σx/n arithmetic)
+    for (i <- 0 until 16) assert(math.abs(sk.mean(i) - exact.mean(i)) < 1e-9)
+    // top-2 eigenpairs agree: the sketch is exact when rank <= m
+    for (c <- 0 until 2) {
+      val align = math.abs((0 until 16)
+        .map(j => sk.components(c)(j) * exact.components(c)(j)).sum)
+      assert(align > 0.999, s"component $c misaligned: $align")
+      assert(math.abs(sk.eigenvalues(c) - exact.eigenvalues(c)) <
+        1e-6 * math.max(1.0, exact.eigenvalues(c)),
+        s"eigenvalue $c: ${sk.eigenvalues(c)} vs ${exact.eigenvalues(c)}")
+    }
+    // reproducible: same seed -> same model (tolerance absorbs partial-agg
+    // merge-order ulps; Ω itself is exactly reproducible)
+    val sk2 = Pca.trainSketched(df, k = 2, oversample = 4)
+    for (c <- 0 until 2; j <- 0 until 16)
+      assert(math.abs(sk.components(c)(j) - sk2.components(c)(j)) < 1e-9)
+  }
+
   test("degenerate inputs fail loudly") {
     intercept[IllegalArgumentException](
       Pca.train(plantedDf(10, 4), k = 5))
