@@ -35,6 +35,10 @@ object Warc {
   def writeRecord(out: java.io.OutputStream, warcType: String,
                   targetUri: String, recordId: String,
                   payload: Array[Byte]): Unit = {
+    // header values must not break record framing (header injection)
+    Seq(warcType, targetUri, recordId).foreach(v =>
+      require(!v.exists(c => c == '\r' || c == '\n'),
+        s"WARC header value contains CR/LF: '$v'"))
     val header = new StringBuilder()
       .append("WARC/1.0").append(CRLF)
       .append("WARC-Type: ").append(warcType).append(CRLF)
@@ -76,7 +80,12 @@ object Warc {
         k match {
           case "WARC-Type" => warcType = v
           case "WARC-Target-URI" => uri = v
-          case "Content-Length" => len = v.toLong
+          case "Content-Length" =>
+            // guarded parse: a corrupt stream must fail the parser's ONE
+            // contract exception, not leak NumberFormatException
+            require(v.nonEmpty && v.forall(_.isDigit) && v.length <= 18,
+              s"WARC: bad Content-Length '$v'")
+            len = v.toLong
           case _ => // other headers (WARC-Record-ID, WARC-Date, …) — kept simple
         }
         line = readLine()
