@@ -317,6 +317,23 @@ object Pca {
     off
   }
 
+  /** Whitened projection: `round((x·vᶜ − μ·vᶜ)/√λᶜ, 6)` as `w{c}` —
+    * decorrelated unit-variance features (what a downstream probe or
+    * clusterer consumes). Eigenvalues are floored at 1e-12 so null-space
+    * components never divide by ~0. Same map-only shape as [[project]];
+    * rounding is applied AFTER the division.
+    */
+  def whiten(emb: DataFrame, model: PcaModel, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val x = col(vecCol).cast("array<double>")
+    val wcols: Seq[Column] = model.components.toSeq.zipWithIndex.map { case (v, i) =>
+      val sd = math.sqrt(math.max(model.eigenvalues(i), 1e-12))
+      round((Similarity.dot(x, typedLit(v.toSeq)) - lit(meanOffset(model, i))) / lit(sd), 6)
+        .as(s"w$i")
+    }
+    emb.select(col(idCol).as("vec_id") +: wcols: _*)
+  }
+
   /** Map-only projection: per component c, `round(x·vᶜ − μ·vᶜ, 6)` as
     * column `p{c}` — the mean-dot constant is folded on the driver so the
     * hot path is one codegen dot product per component, no centering pass.

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines: token
@@ -118,6 +118,22 @@ object TextOps {
   /** Number of quality rules passed (0..4). */
   def qualityScore(textCol: String): Column =
     qualityRules(textCol).map(_._2).reduce(_ + _)
+
+  /** Sentence segmentation (rule-based): split on `[.!?] ` — terminal
+    * punctuation followed by a space, the identical-in-Java-and-RE2 core
+    * of every rule splitter; segments that trim to empty are dropped.
+    * Per-doc stats, not per-sentence rows, so the op is one explode + one
+    * keyed agg (no per-doc window) — the chunk-at-sentence-boundary
+    * primitive sequence packing consumes.
+    */
+  def sentenceStats(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(split(col(textCol), "[.!?] ")).as("s"))
+      .filter(length(trim(col("s"))) > 0)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_sentences"),
+        sum(length(col("s"))).as("sum_sent_chars"),
+        max(length(col("s"))).cast("int").as("max_sent_chars"))
 
   /** Language-ID heuristic: CJK-codepoint check, then per-language stopword
     * scores with a fixed argmax order (en > de > fr > es). The score lists

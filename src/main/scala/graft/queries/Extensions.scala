@@ -1507,6 +1507,20 @@ object Extensions {
       graft.ext.Pca.project(Tables.embeddings(s, dir), pcaFor(s, dir))
     }),
 
+    // whitened projection: per component (x·v − μ·v)/√λ — decorrelated
+    // unit-variance features (what a downstream probe/cluster consumes);
+    // same map-only shape, rounding applied AFTER the division
+    "x_embed_pca_whiten" -> ((s: SparkSession, dir: String) => {
+      graft.ext.Pca.whiten(Tables.embeddings(s, dir), pcaFor(s, dir))
+    }),
+
+    // sentence segmentation stats: rule split on terminal punctuation +
+    // space (identical Java/RE2 semantics), one explode + one keyed agg —
+    // the chunk-at-sentence-boundary primitive
+    "x_text_sentences" -> ((s: SparkSession, dir: String) => {
+      TextOps.sentenceStats(Tables.documents(s, dir))
+    }),
+
     // projection through the SKETCHED trainer (randomized range finder —
     // the large-d path whose per-task buffer is d·m, not d²/2); same
     // map-only serving shape, independently oracled via its own literals
@@ -1850,7 +1864,17 @@ object Extensions {
       case one if one.size == 1 =>
         val (_, mdl) = one.head
         val projectSql = pcaProjectSql(mdl)
+        val wcols = mdl.components.toSeq.zipWithIndex.map { case (v, i) =>
+          val off = java.lang.Double.toString(graft.ext.Pca.meanOffset(mdl, i))
+          val sd = java.lang.Double.toString(
+            math.sqrt(math.max(mdl.eigenvalues(i), 1e-12)))
+          s"round((list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), ${fmtVec(v.toSeq)}::DOUBLE[]) - $off) / $sd, 6) AS w$i"
+        }
         Map("x_embed_pca_project" -> projectSql,
+          "x_embed_pca_whiten" ->
+            s"""SELECT vec_id,
+               |  ${wcols.mkString(",\n  ")}
+               |FROM embeddings""".stripMargin,
           "x_embed_pca_var" ->
             s"""WITH pr AS ($projectSql),
                |u AS (SELECT 0 AS component, p0 AS p FROM pr
@@ -3239,6 +3263,15 @@ object Extensions {
          |  SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node)
          |SELECT node AS media_id, min(label) AS component
          |FROM walk GROUP BY node""".stripMargin,
+
+    "x_text_sentences" ->
+      """SELECT doc_id, CAST(count(*) AS INT) AS n_sentences,
+        |  CAST(sum(length(s)) AS BIGINT) AS sum_sent_chars,
+        |  CAST(max(length(s)) AS INT) AS max_sent_chars
+        |FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[.!?] ')) AS s
+        |      FROM documents) t
+        |WHERE length(trim(s)) > 0
+        |GROUP BY 1""".stripMargin,
 
     "x_warc_roundtrip" ->
       """SELECT doc_id,

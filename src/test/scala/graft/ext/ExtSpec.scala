@@ -797,6 +797,19 @@ class MultimodalSpec extends SparkSpec {
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("sentenceStats: splits on terminal punctuation + space, drops empty segments") {
+    val docs = Seq(
+      (1L, "One. Two! Three? Four"),  // 4 sentences
+      (2L, "No terminal punctuation"), // 1
+      (3L, "Trailing. "),              // "Trailing" + empty -> 1
+      (4L, "")).toDF("doc_id", "text") // all-empty -> no row
+    val out = TextOps.sentenceStats(docs)
+      .as[(Long, Int, Long, Int)].collect().sortBy(_._1)
+    assert(out.map(t => (t._1, t._2)).toSeq === Seq((1L, 4), (2L, 1), (3L, 1)))
+    assert(out(0)._3 === ("One".length + "Two".length + "Three".length + "Four".length).toLong)
+    assert(out(2)._4 === "Trailing".length)
+  }
+
   test("compressionStats: repetitive text compresses below prose; exact byte accounting") {
     val prose = (1 to 60).map(i => s"w${i * 7919 % 997}x${i}").mkString(" ")
     val df = Seq(

@@ -77,6 +77,20 @@ class PcaSpec extends SparkSpec {
       assert(math.abs(sk.components(c)(j) - sk2.components(c)(j)) < 1e-9)
   }
 
+  test("whiten: unit variance per retained component, zero mean") {
+    val df = plantedDf(200, 16)
+    val m = Pca.train(df, k = 2)
+    val w = Pca.whiten(df, m).select($"w0", $"w1").as[(Double, Double)].collect()
+    val n = w.length.toDouble
+    for ((get, name) <- Seq(((p: (Double, Double)) => p._1, "w0"),
+                            ((p: (Double, Double)) => p._2, "w1"))) {
+      val mean = w.map(get).sum / n
+      val variance = w.map(p => { val v = get(p) - mean; v * v }).sum / n
+      assert(math.abs(mean) < 1e-3, s"$name mean $mean")
+      assert(math.abs(variance - 1.0) < 1e-2, s"$name variance $variance")
+    }
+  }
+
   test("degenerate inputs fail loudly") {
     intercept[IllegalArgumentException](
       Pca.train(plantedDf(10, 4), k = 5))
