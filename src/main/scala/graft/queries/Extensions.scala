@@ -56,6 +56,23 @@ object Extensions {
         (model, codes)
       })
 
+  /** Scalar quantization: same train-once shape (model state = 2·d range
+    * doubles); entries measure the serving cost — encode / probe over the
+    * int8 code column — never the range pass.
+    */
+  private val sqCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (graft.ext.Sq.SqModel, DataFrame)]
+
+  private def sqFor(s: SparkSession, dir: String): (graft.ext.Sq.SqModel, DataFrame) =
+    sqCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("sq_train_encode") {
+        val emb = Tables.embeddings(s, dir)
+        val model = graft.ext.Sq.sqTrain(emb)
+        val codes = graft.ext.Sq.sqEncode(emb, model).persist()
+        codes.count() // materialize: probes must not pay encoding
+        (model, codes)
+      })
+
   /** Linear probe: train-once model state like IVF/PQ — the ridge solve
     * runs on collected moments (driver-side, (d+1)² — model state), cached
     * per (session, corpus) so the scoring entry measures serving cost.
@@ -1551,6 +1568,39 @@ object Extensions {
         .filter(col("component").isNull || col("component") === col("media_id"))
         .filter(col("caption_quality") >= 3)
         .select(col("media_id"), col("caption_quality"))
+    }),
+
+    // ---- scalar quantization (int8 compressed-vector serving) ----------
+    // the encoded code table: 4× scan-size reduction with NO codebook join
+    // at probe time (the PQ/SQ tradeoff — see ext.Sq's scaladoc). Exploded
+    // (vec_id, dim, code) so the oracle compares scalars
+    "x_sq_codes" -> ((s: SparkSession, dir: String) => {
+      val (_, codes) = sqFor(s, dir)
+      codes.select(col("n_id").as("vec_id"),
+        posexplode(col("codes")).as(Seq("dim", "code")))
+    }),
+
+    // SQ probe: dequantize inline (same codegen span as the scan — no
+    // join, no LUT), exact top-k semantics over approximate cosines
+    "x_sq_topk" -> ((s: SparkSession, dir: String) => {
+      val (model, codes) = sqFor(s, dir)
+      graft.ext.Sq.sqProbe(codes, model,
+        Tables.embeddings(s, dir).filter(col("vec_id") < 5), k = 10)
+    }),
+
+    // recall@10 of the int8 probe vs exact brute force — unlike PQ, the
+    // entire SQ chain is SQL-expressible, so recall itself hash-matches
+    "x_sq_recall" -> ((s: SparkSession, dir: String) => {
+      val (model, codes) = sqFor(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 5)
+      val sq = graft.ext.Sq.sqProbe(codes, model, q, k = 10)
+        .select(col("q_id"), col("n_id"))
+      val brute = Similarity.bruteForceTopK(emb, q, k = 10)
+        .select(col("q_id"), col("n_id"))
+      brute.join(sq.withColumn("hit", lit(1)), Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg((sum(coalesce(col("hit"), lit(0))) / 10.0).as("recall_at_10"))
     })
   )
 
@@ -1843,7 +1893,63 @@ object Extensions {
     * `Verify` dumps `oracleSql` last, so the timing works out).
     */
   def oracleSql: Map[String, String] =
-    staticOracleSql ++ ivfOracles ++ pqOracles ++ probeOracles ++ pcaOracles
+    staticOracleSql ++ ivfOracles ++ pqOracles ++ probeOracles ++ pcaOracles ++ sqOracles
+
+  // ---- scalar-quantization oracles ------------------------------------
+  // The trained per-dimension lo/span arrays are model state (the IVF/PQ
+  // trust model); everything downstream — encode, dequantize, cosine, rank
+  // — is exact IEEE double arithmetic both engines reproduce bit-identically
+  // (the cosine select mirrors Similarity.cosine's dot/‖a‖/‖b‖ fold, NOT
+  // list_cosine_similarity, so even the division order matches).
+  private def sqOracles: Map[String, String] =
+    sqCache.toMap match {
+      case one if one.size == 1 =>
+        val (_, (model, _)) = one.head
+        val d = model.d
+        val prefix =
+          s"""WITH mdl AS (SELECT ${fmtVec(model.lo.toSeq)}::DOUBLE[] AS lo,
+             |      ${fmtVec(model.span.toSeq)}::DOUBLE[] AS sp),
+             |cds AS (SELECT vec_id,
+             |      list_transform(generate_series(1, $d), i ->
+             |        CAST(least(255, greatest(0, floor((embedding[i]::DOUBLE - mdl.lo[i]) * 255 / mdl.sp[i]))) AS INT)) AS codes
+             |    FROM embeddings CROSS JOIN mdl),
+             |xh AS (SELECT vec_id AS n_id,
+             |      list_transform(generate_series(1, $d), i ->
+             |        mdl.lo[i] + CAST(codes[i] AS DOUBLE) * mdl.sp[i] / 255) AS xh
+             |    FROM cds CROSS JOIN mdl),
+             |q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_vec
+             |      FROM embeddings WHERE vec_id < 5),
+             |sq AS (SELECT q_id, n_id, cos, rk FROM (
+             |    SELECT q.q_id, x.n_id,
+             |      round(list_inner_product(x.xh, q.q_vec) / sqrt(list_inner_product(x.xh, x.xh)) / sqrt(list_inner_product(q.q_vec, q.q_vec)), 6) AS cos,
+             |      CAST(row_number() OVER (PARTITION BY q.q_id
+             |        ORDER BY round(list_inner_product(x.xh, q.q_vec) / sqrt(list_inner_product(x.xh, x.xh)) / sqrt(list_inner_product(q.q_vec, q.q_vec)), 6) DESC, x.n_id) AS INT) AS rk
+             |    FROM xh x CROSS JOIN q WHERE x.n_id <> q.q_id)
+             |  WHERE rk <= 10)""".stripMargin
+        Map(
+          "x_sq_codes" ->
+            s"""$prefix
+               |SELECT vec_id, CAST(u.i - 1 AS INT) AS dim, codes[u.i] AS code
+               |FROM cds CROSS JOIN (SELECT unnest(generate_series(1, $d)) AS i) u""".stripMargin,
+          "x_sq_topk" ->
+            s"""$prefix
+               |SELECT q_id, n_id, cos, rk FROM sq""".stripMargin,
+          "x_sq_recall" ->
+            s"""$prefix,
+               |c AS (SELECT vec_id AS n_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS n_vec
+               |      FROM embeddings),
+               |brute AS (SELECT q_id, n_id FROM (
+               |    SELECT q.q_id, c.n_id,
+               |      row_number() OVER (PARTITION BY q.q_id
+               |        ORDER BY round(list_cosine_similarity(q.q_vec, c.n_vec), 6) DESC, c.n_id) AS rk
+               |    FROM q JOIN c ON c.n_id <> q.q_id)
+               |  WHERE rk <= 10)
+               |SELECT b.q_id,
+               |  CAST(sum(CASE WHEN s.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) / 10.0 AS recall_at_10
+               |FROM brute b LEFT JOIN sq s ON b.q_id = s.q_id AND b.n_id = s.n_id
+               |GROUP BY b.q_id""".stripMargin)
+      case _ => Map.empty // zero or ambiguous model state: rows-only fallback
+    }
 
   // ---- PCA oracles ----------------------------------------------------
   // The trained mean/components are model state (same trust model as
@@ -1851,7 +1957,7 @@ object Extensions {
   // exact round-6 arithmetic both engines reproduce.
   private def pcaProjectSql(mdl: graft.ext.Pca.PcaModel): String = {
     val pcols = mdl.components.toSeq.zipWithIndex.map { case (v, i) =>
-      val off = java.lang.Double.toString(graft.ext.Pca.meanOffset(mdl, i))
+      val off = fmtD(graft.ext.Pca.meanOffset(mdl, i))
       s"round(list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), ${fmtVec(v.toSeq)}::DOUBLE[]) - $off, 6) AS p$i"
     }
     s"""SELECT vec_id,
@@ -1865,9 +1971,8 @@ object Extensions {
         val (_, mdl) = one.head
         val projectSql = pcaProjectSql(mdl)
         val wcols = mdl.components.toSeq.zipWithIndex.map { case (v, i) =>
-          val off = java.lang.Double.toString(graft.ext.Pca.meanOffset(mdl, i))
-          val sd = java.lang.Double.toString(
-            math.sqrt(math.max(mdl.eigenvalues(i), 1e-12)))
+          val off = fmtD(graft.ext.Pca.meanOffset(mdl, i))
+          val sd = fmtD(math.sqrt(math.max(mdl.eigenvalues(i), 1e-12)))
           s"round((list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), ${fmtVec(v.toSeq)}::DOUBLE[]) - $off) / $sd, 6) AS w$i"
         }
         Map("x_embed_pca_project" -> projectSql,
@@ -1904,7 +2009,7 @@ object Extensions {
         val scoresSql =
           s"""SELECT vec_id,
              |  round(list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
-             |    ${fmtVec(w.toSeq)}::DOUBLE[]) + ${java.lang.Double.toString(b)}, 6) AS score
+             |    ${fmtVec(w.toSeq)}::DOUBLE[]) + ${fmtD(b)}, 6) AS score
              |FROM embeddings""".stripMargin
         Map("x_probe_scores" -> scoresSql,
           "x_probe_eval" ->
@@ -1926,8 +2031,20 @@ object Extensions {
   // inlined as double literals via Double.toString (shortest round-trip
   // repr — parses back to the identical bits in both engines).
 
+  /** Double literal that parses to the IDENTICAL bits in DuckDB. A bare
+    * decimal literal ("0.5252062082290649") is parsed as DECIMAL first and
+    * the common-scale integer can exceed 2⁵³, so `::DOUBLE` loses the last
+    * ulp — one ulp is invisible under round(,6) almost everywhere, but at a
+    * floor()/threshold boundary it flips a bucket (found by x_sq_codes).
+    * E-notation forces the direct string→double parse, which is exact.
+    */
+  private def fmtD(x: Double): String = {
+    val s = java.lang.Double.toString(x)
+    if (s.contains("E")) s else s + "E0"
+  }
+
   private def fmtVec(v: Seq[Double]): String =
-    v.map(java.lang.Double.toString).mkString("[", ", ", "]")
+    v.map(fmtD).mkString("[", ", ", "]")
 
   /** Shared CTE prefix: centroid VALUES table, corpus as double lists,
     * query set, and the nprobe=4 probe selection (round-6 cosine desc,
@@ -2033,7 +2150,7 @@ object Extensions {
     val rows = model.codebook.sortBy(t => (t._1, t._2)).map { case (s, k, v) =>
       // csq literal via the same sequential fold the native dot kernel uses
       val csq = v.foldLeft(0.0)((a, x) => a + x * x)
-      s"($s, $k, ${fmtVec(v)}::DOUBLE[], ${java.lang.Double.toString(csq)})"
+      s"($s, $k, ${fmtVec(v)}::DOUBLE[], ${fmtD(csq)})"
     }.mkString(",\n      ")
     val d = model.dsub
     s"""WITH cb AS (SELECT * FROM (VALUES
