@@ -495,6 +495,15 @@ object Extensions {
         .withColumn("n_docs", col("csize") * col("n_clusters"))
     }),
 
+    // per-node triangle counts over the SAME cached pair graph (degree-
+    // ordered orientation: each triangle enumerated from its unique
+    // two-out-edge apex, wedge fan-out capped at O(√m) — see ext.Triangles)
+    // — the local-clustering signal that separates tight template families
+    // from chains of borderline matches in the dedup ledger
+    "x_graph_triangles" -> ((s: SparkSession, dir: String) => {
+      graft.ext.Triangles.triangleCounts(ccPairsFor(s, dir))
+    }),
+
     // incremental dedup: a "new batch" (source src0) probed against the
     // rest of the corpus by content hash, exact text verify for candidates
     "x_dedup_incremental" -> ((s: SparkSession, dir: String) => {
@@ -1862,19 +1871,23 @@ object Extensions {
     * walk) — shared by `x_dedup_cc` (min-label propagation) and
     * `x_dedup_cc_star` (star contraction): one oracle, two algorithms.
     */
-  private val ccWalkCtes =
-    // t/p/e MATERIALIZED: the recursive walk references `e` every
-    // iteration, and DuckDB re-evaluates non-materialized CTEs per
-    // reference — without the hint each fixpoint round re-ran the ENTIRE
-    // quadratic jaccard pair join (the sf1 gate sat >30 min on one oracle)
-    s"""WITH RECURSIVE
-       |t AS MATERIALIZED (SELECT doc_id, source, n_chars, list_distinct($sqlWords) AS ws
+  // t/p MATERIALIZED: consumers reference them repeatedly (the recursive
+  // walk every iteration; the triangle close three times), and DuckDB
+  // re-evaluates non-materialized CTEs per reference — without the hint
+  // each fixpoint round re-ran the ENTIRE quadratic jaccard pair join
+  // (the sf1 gate sat >30 min on one oracle)
+  private val ccPairCtes =
+    s"""t AS MATERIALIZED (SELECT doc_id, source, n_chars, list_distinct($sqlWords) AS ws
        |      FROM documents),
        |p AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |      FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
        |        AND abs(a.n_chars - b.n_chars) * 5 <= a.n_chars + b.n_chars
        |      WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
-       |          len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5),
+       |          len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5)""".stripMargin
+
+  private val ccWalkCtes =
+    s"""WITH RECURSIVE
+       |$ccPairCtes,
        |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM p
        |      UNION ALL SELECT doc_b, doc_a FROM p),
        |walk(node, label) AS (
@@ -3017,6 +3030,20 @@ object Extensions {
         |FROM t GROUP BY 1""".stripMargin,
 
     "x_dedup_cc" -> ccOracleSqlRef,
+
+    // canonical-triple enumeration (p is doc_a < doc_b, so each triangle
+    // appears exactly once as a<b<c) — orientation-free, which is the
+    // point: the Spark side's degree-ordered orientation must not change
+    // the counts
+    "x_graph_triangles" ->
+      s"""WITH
+         |$ccPairCtes,
+         |tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+         |      FROM p e1 JOIN p e2 ON e2.doc_a = e1.doc_b
+         |      JOIN p e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+         |nodes AS (SELECT a AS doc_id FROM tri
+         |      UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+         |SELECT doc_id, count(*) AS triangles FROM nodes GROUP BY doc_id""".stripMargin,
 
     // star contraction computes the SAME fixpoint — one oracle, two algorithms
     "x_dedup_cc_star" -> ccOracleSqlRef,
