@@ -168,4 +168,37 @@ object Sampling {
     }
     df.filter(pmod(key, k) === 0)
   }
+
+  /** Deterministic EXACTLY-k-per-group sample (a "reservoir" whose draws
+    * are hash-derived, so the same k rows survive every run/retry): keep
+    * each group's k smallest rows under the order
+    * (md5(salt:id) first 13 hex chars, id).
+    *
+    * Scale shape: [[graft.ext.TopKAgg]]'s k-bounded PARTIAL aggregation,
+    * never `row_number().over(Window.partitionBy(group))` — a windowed rank
+    * forces every row of a group into one task, and a skewed mega-group is
+    * one straggler/OOM; the bounded aggregator keeps ≤ k pairs per group
+    * per map task so the exchange carries a result-sized summary (the
+    * domainQuota argument, see `pipeline.DataPrep`).
+    *
+    * Determinism/portability: 13 hex chars = 52 bits — exact in a double
+    * (the aggregator's rank type) AND numerically ordered exactly like the
+    * fixed-length lowercase hex string, so a SQL engine mirrors the
+    * selection with `ORDER BY substring(md5(...), 1, 13), id`. Prefix
+    * collisions fall through to the id tiebreak identically on both sides.
+    * `idCol` must be unique (the corpus contract all dedup operators here
+    * share); groups with ≤ k rows survive whole.
+    */
+  def sampleKPerGroup(df: DataFrame, groupCol: String, idCol: String, k: Int,
+                      salt: String = "res"): DataFrame = {
+    require(k >= 1, s"sampleKPerGroup: k must be >= 1, got $k")
+    val topk = udaf(new graft.ext.TopKAgg(k))
+    val rank = conv(substring(
+      md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 13), 16, 10)
+      .cast("long").cast("double")
+    df.groupBy(col(groupCol))
+      // TopKAgg keeps the k LARGEST by value — negate for smallest-md5-first
+      .agg(topk(-rank, col(idCol).cast("long")).as("top"))
+      .select(col(groupCol), explode(col("top._2")).as(idCol))
+  }
 }

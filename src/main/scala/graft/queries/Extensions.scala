@@ -1019,6 +1019,14 @@ object Extensions {
         .select("doc_id", "lang", "source")
     }),
 
+    // exactly-k-per-group deterministic sample ("reservoir" with
+    // hash-derived draws): k-bounded partial aggregation, never a window
+    // over the group — see ops.Sampling.sampleKPerGroup's scale note
+    "x_sample_group_reservoir" -> ((s: SparkSession, dir: String) => {
+      graft.ops.Sampling.sampleKPerGroup(
+        Tables.documents(s, dir), "source", "doc_id", k = 7)
+    }),
+
     // embedding-cosine near-dup pairs, exact form — quadratic by nature
     // (dimension-table scale / the oracle for the LSH form below)
     "x_dedup_embed_exact" -> ((s: SparkSession, dir: String) => {
@@ -3006,6 +3014,17 @@ object Extensions {
     "x_sample_stratified" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id % (CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 2 ELSE 1 END) = 0""".stripMargin,
+
+    // mirrors Sampling.sampleKPerGroup: the 13-hex md5 prefix is ordered
+    // identically as a fixed-length lowercase hex string and as the 52-bit
+    // number the Spark aggregator ranks on; ties fall to doc_id both sides
+    "x_sample_group_reservoir" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY substr(md5('res:' || CAST(doc_id AS VARCHAR)), 1, 13), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 7""".stripMargin,
 
     // mirrors Sampling.byWeight: uniform = first 4 md5 hex chars,
     // threshold = floor(weight*65536) as zero-padded lowercase hex —

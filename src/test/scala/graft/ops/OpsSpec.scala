@@ -290,4 +290,27 @@ class OpsSpec extends SparkSpec {
     assert(got("e2") === 12L) // latest earlier right row
     assert(got("e3") === -1L) // key 2 has no right rows -> null
   }
+
+  test("sampleKPerGroup: exactly k per big group, whole small groups, window-equal") {
+    val df = (0 until 300).map(i => (i.toLong, s"g${i % 3}")).toDF("doc_id", "grp")
+      .union(Seq((1000L, "tiny"), (1001L, "tiny")).toDF("doc_id", "grp"))
+    val got = graft.ops.Sampling.sampleKPerGroup(df, "grp", "doc_id", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byGrp = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byGrp("g0").size === 5 && byGrp("g1").size === 5 && byGrp("g2").size === 5)
+    assert(byGrp("tiny") === Set(1000L, 1001L)) // <= k survives whole
+    // equals the window form it replaces (same total order)
+    import org.apache.spark.sql.expressions.Window
+    val rank = conv(substring(md5(concat(lit("res:"),
+      col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
+    val win = df.withColumn("rk", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(rank, col("doc_id"))))
+      .filter(col("rk") <= 5)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(got.toSet === win)
+    // run-stable
+    val again = graft.ops.Sampling.sampleKPerGroup(df, "grp", "doc_id", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again === got.toSet)
+  }
 }
