@@ -36,4 +36,28 @@ object Salting {
       .agg(sum(valueDecimal).as("__partial"))
       .groupBy(col(key))
       .agg(sum(col("__partial")).as(as))
+
+  /** Inner join where `fact.key` is SKEWED: a hot key otherwise lands its
+    * entire fact volume in one shuffle partition. The fact side gets a
+    * deterministic per-row salt in [0, salts) (hash-derived from `saltBy` —
+    * never partition-dependent, so retries and speculative attempts
+    * re-derive the same salt); the dim side replicates each row once per
+    * salt value; the join runs on (key, salt), spreading a hot key across
+    * `salts` partitions. Output is EXACTLY the plain inner join: each fact
+    * row carries one salt and meets each matching dim row exactly once —
+    * in that salt's replica.
+    *
+    * This is the manual form for plans AQE's skew split does not cover
+    * (shuffled hash joins, or skew known ahead of time — AQE's
+    * skewJoin rewrites sort-merge partitions only); the dim side grows
+    * `salts`×, so size `salts` to the skew, not to the cluster.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltBy: Column, salts: Int = 8): DataFrame = {
+    require(salts >= 1, s"saltedJoin: salts must be >= 1, got $salts")
+    val f = fact.withColumn("__salt", pmod(xxhash64(saltBy), lit(salts.toLong)))
+    val d = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    f.join(d, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -212,6 +212,22 @@ object TpchCore {
         GROUP BY o_orderstatus""")
     }),
 
+    // skew-safe SALTED JOIN — the join-side counterpart of q21: the fact
+    // side salts on its primary key, the dim side replicates ×salts, the
+    // join runs on (key, salt). Must equal the plain join exactly (the
+    // technique's correctness property, oracle-pinned); per-nation revenue
+    // keeps the checked result small while the joined volume is the
+    // whole lineitem table
+    "q24_salted_join" -> ((s: SparkSession, dir: String) => {
+      import graft.ops.Salting
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      Salting.saltedJoin(Tables.lineitem(s, dir), sup, "l_suppkey",
+          saltBy = col("l_orderkey") * lit(8) + col("l_linenumber"), salts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+    }),
+
     // multi-dimensional aggregates
     "q13_rollup_status" -> ((s: SparkSession, dir: String) => {
       Tables.orders(s, dir)
@@ -332,6 +348,13 @@ object TpchCore {
     "q21_salted_sum" ->
       s"""SELECT o_orderstatus, ${sqlDsum("o_totalprice")} AS total
          |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // the PLAIN join — salting must be invisible in the result
+    "q24_salted_join" ->
+      s"""SELECT s_nationkey, ${sqlCount("1")} AS n,
+         |  ${sqlDsum("l_extendedprice")} AS revenue
+         |FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         |GROUP BY s_nationkey""".stripMargin,
 
     "q22_rich_without_orders" ->
       s"""SELECT c_nationkey, ${sqlCount("1")} AS n_custs,

@@ -164,6 +164,8 @@ class PlanShapeSpec extends SparkSpec {
       "x_pq_recall",         // includes the brute-force reference
       "x_pq_refine",         // inherits the ADC shortlist's LUT cross join;
                              // the re-rank joins are keyed (n_id, q_id)
+      "x_sq_topk",           // code scan × broadcast(small query set)
+      "x_sq_recall",         // includes the brute-force reference
       "x_dedup_semantic")    // inherits the nlist-bounded assignment cross
                              // join from the cached IVF lineage; the pair
                              // join itself is keyed on cid (pinned below)

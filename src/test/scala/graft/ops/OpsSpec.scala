@@ -291,6 +291,25 @@ class OpsSpec extends SparkSpec {
     assert(got("e3") === -1L) // key 2 has no right rows -> null
   }
 
+  test("saltedJoin equals the plain inner join; the hot key spreads across salts") {
+    // key 1 is hot (every 5th row); dim has a DUPLICATE key row (7) so the
+    // replicate-once-per-salt rule is exercised on multi-row matches too
+    val fact = (0 until 500).map(i =>
+      (i.toLong, if (i % 5 == 0) 1L else (i % 50).toLong)).toDF("row_id", "k")
+    val dim = ((0L until 50L).map(k => (k, s"d$k")) :+ (7L, "d7b")).toDF("k", "payload")
+    val got = graft.ops.Salting.saltedJoin(fact, dim, "k", saltBy = col("row_id"), salts = 4)
+      .select("k", "row_id", "payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val plain = fact.join(dim, Seq("k"))
+      .select("k", "row_id", "payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(got.toSeq === plain.toSeq)
+    // the hot key's fact rows actually fan out over multiple salt values
+    val hotSalts = fact.filter(col("k") === 1L)
+      .select(pmod(xxhash64(col("row_id")), lit(4L))).distinct().count()
+    assert(hotSalts > 1)
+  }
+
   test("sampleKPerGroup: exactly k per big group, whole small groups, window-equal") {
     val df = (0 until 300).map(i => (i.toLong, s"g${i % 3}")).toDF("doc_id", "grp")
       .union(Seq((1000L, "tiny"), (1001L, "tiny")).toDF("doc_id", "grp"))
