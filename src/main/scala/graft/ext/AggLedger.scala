@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incrementally maintained aggregate ledger — a materialized rollup whose
+  * per-ingest cost is proportional to the BATCH, never the history (the
+  * incremental-view-maintenance shape: dashboards / data-quality monitors
+  * over an append-only 100 TB fact table cannot re-aggregate the table per
+  * day; they fold each day's partial aggregates into a key-sized state
+  * table).
+  *
+  * State is one row per key holding MERGEABLE partials: count, an exact
+  * DECIMAL(28,10) sum (associative — fold order across batches provably
+  * cannot change it, which is what makes `maintained == recompute` an
+  * exact contract rather than a float-tolerance one), min, max. A new
+  * batch reduces to its own per-key partials first (map-side combine
+  * onto |batch keys| rows), then one keyed merge against the state table.
+  * Averages and other derived forms are computed at READ time by
+  * [[finalizeLedger]] — never stored, so merging stays trivially
+  * associative.
+  *
+  * Durable form: [[maintain]] persists state through
+  * [[graft.streaming.VersionedState]] (atomic pointer flip, replay-
+  * idempotent by batch id — the DedupLedgerStream discipline), so the
+  * ledger survives restarts and serves readers between ingests.
+  */
+object AggLedger {
+
+  private val Dec = DecimalType(28, 10)
+
+  private def stateSchema(keys: Seq[String], keyTypes: Seq[DataType]): StructType =
+    StructType(keys.zip(keyTypes).map { case (k, t) => StructField(k, t) } ++ Seq(
+      StructField("cnt", LongType), StructField("sum_dec", Dec),
+      StructField("vmin", DoubleType), StructField("vmax", DoubleType)))
+
+  /** Per-key mergeable partials of one batch (the delta table). */
+  def partial(batch: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    batch.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(valueCol).cast(Dec)).as("sum_dec"),
+        min(col(valueCol).cast("double")).as("vmin"),
+        max(col(valueCol).cast("double")).as("vmax"))
+
+  /** Merge two partial tables (state ⊎ delta): one keyed aggregation —
+    * every partial is mergeable, so this is exact and associative.
+    */
+  def merge(state: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame =
+    state.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("sum_dec")).cast(Dec).as("sum_dec"),
+        min(col("vmin")).as("vmin"),
+        max(col("vmax")).as("vmax"))
+
+  /** Read-time finalization: the served rollup. Sum/avg follow the
+    * registry's engine-exact decimal conventions (`queries.Util`), so the
+    * served table is SQL-oracle-checkable against a direct aggregate of
+    * the full history.
+    */
+  def finalizeLedger(state: DataFrame): DataFrame =
+    state.select(
+      state.columns.filterNot(
+        Set("cnt", "sum_dec", "vmin", "vmax")).map(col) ++ Seq(
+        col("cnt").as("n"),
+        round(col("sum_dec"), 2).cast("double").as("total"),
+        col("vmin"),
+        col("vmax"),
+        (round(col("sum_dec"), 6).cast("double") / col("cnt")).as("vavg")): _*)
+
+  /** Fold one batch into the persisted ledger (the foreachBatch body —
+    * attach to a stream exactly like DedupLedgerStream.attach). Empty
+    * batches are a no-op; replaying a batch id overwrites its own version
+    * dir (idempotent under Structured Streaming's at-least-once replay
+    * ONLY if the batch content is the replay's content — the streaming
+    * checkpoint guarantees exactly that).
+    */
+  def maintain(batch: DataFrame, batchId: Long, root: String,
+               keys: Seq[String], valueCol: String): Unit = {
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val keyTypes = keys.map(k => batch.schema(k).dataType)
+      val state = graft.streaming.VersionedState.current(
+        spark, root, stateSchema(keys, keyTypes))
+      graft.streaming.VersionedState.commit(
+        merge(state, partial(batch, keys, valueCol), keys), batchId, root)
+    }
+  }
+
+  /** The served rollup from the persisted state. */
+  def serve(spark: SparkSession, root: String, keys: Seq[String],
+            keyTypes: Seq[DataType]): DataFrame =
+    finalizeLedger(graft.streaming.VersionedState.current(
+      spark, root, stateSchema(keys, keyTypes)))
+}

@@ -122,6 +122,29 @@ object Extensions {
         path
       })
 
+  /** Incremental aggregate ledger per corpus: the events table folded in
+    * as three waves (event_id mod 3) through the versioned-parquet
+    * maintainer — maintained == recompute is the checked contract, so the
+    * oracle is the DIRECT aggregate over the full table.
+    */
+  private val aggLedgerCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def aggLedgerFor(s: SparkSession, dir: String): String =
+    aggLedgerCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("agg_ledger") {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-agg-ledger").toString + "/state"
+        val ev = Tables.events(s, dir)
+          .withColumn("hr", expr("unix_timestamp(ts) div 3600 % 24"))
+        (0 until 3).foreach { w =>
+          graft.ext.AggLedger.maintain(
+            ev.filter(pmod(col("event_id"), lit(3)) === w), w, root,
+            keys = Seq("event_type", "hr"), valueCol = "value")
+        }
+        root
+      })
+
   /** Component labels per corpus — the "dedup ledger": computed once (the
     * result is already lineage-checkpointed by connectedComponents, so the
     * cached frame serves without recompute).
@@ -1017,6 +1040,17 @@ object Extensions {
         Tables.documents(s, dir), col("lang"), col("doc_id"),
         Map("en" -> 3, "de" -> 2))
         .select("doc_id", "lang", "source")
+    }),
+
+    // incrementally maintained rollup (materialized-view maintenance):
+    // three event waves folded into a per-(type, hour-of-day) partial-
+    // aggregate state table at batch cost; the served finalization must
+    // equal a direct aggregate of the WHOLE history — exact, because the
+    // stored sum is associative decimal (see ext.AggLedger)
+    "x_agg_incremental" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.types.{LongType, StringType}
+      graft.ext.AggLedger.serve(s, aggLedgerFor(s, dir),
+        keys = Seq("event_type", "hr"), keyTypes = Seq(StringType, LongType))
     }),
 
     // exactly-k-per-group deterministic sample ("reservoir" with
@@ -3014,6 +3048,19 @@ object Extensions {
     "x_sample_stratified" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id % (CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 2 ELSE 1 END) = 0""".stripMargin,
+
+    // the maintained ledger vs the DIRECT aggregate of the whole history —
+    // the incremental-view-maintenance contract, exact by decimal sums
+    "x_agg_incremental" ->
+      s"""SELECT event_type,
+         |  CAST(floor(epoch(ts)) AS BIGINT) // 3600 % 24 AS hr,
+         |  ${Util.sqlCount("1")} AS n,
+         |  ${Util.sqlDsum("value")} AS total,
+         |  min(CAST(value AS DOUBLE)) AS vmin,
+         |  max(CAST(value AS DOUBLE)) AS vmax,
+         |  CAST(round(sum(CAST(value AS DECIMAL(28,10))), 6) AS DOUBLE)
+         |    / CAST(count(1) AS BIGINT) AS vavg
+         |FROM events GROUP BY 1, 2""".stripMargin,
 
     // mirrors Sampling.sampleKPerGroup: the 13-hex md5 prefix is ordered
     // identically as a fixed-length lowercase hex string and as the 52-bit

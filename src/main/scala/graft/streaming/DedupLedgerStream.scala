@@ -33,42 +33,11 @@ object DedupLedgerStream {
   private val LedgerSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("component", LongType)))
 
-  private def fs(spark: SparkSession, root: String) =
-    new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  /** Committed version dirs under `root`, highest batch id first. */
-  private def versionDirs(f: org.apache.hadoop.fs.FileSystem,
-                          root: String): Seq[org.apache.hadoop.fs.Path] = {
-    val rp = new org.apache.hadoop.fs.Path(root)
-    if (!f.exists(rp)) Seq.empty
-    else f.listStatus(rp).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
-      .sortBy(-_.getPath.getName.drop(1).toLong)
-      .map(_.getPath)
-  }
-
-  /** The current ledger: the version `_LATEST` points at. If the pointer is
-    * ABSENT but committed version dirs exist (a crash in a non-atomic flip
-    * on a FileSystem without overwriting rename), recover from the highest
-    * version instead of silently serving an empty ledger — returning empty
-    * here would make the next batch rebuild from only its own edges and
-    * then PRUNE the orphaned good state. Empty is returned only before the
-    * first commit, when no version dir exists either.
+  /** The current ledger (pointer-resolved, highest-version recovery,
+    * empty-before-first-commit) — see [[VersionedState.current]].
     */
-  def currentLedger(spark: SparkSession, root: String): DataFrame = {
-    val f = fs(spark, root)
-    val ptr = new org.apache.hadoop.fs.Path(root, "_LATEST")
-    if (f.exists(ptr)) {
-      val in = f.open(ptr)
-      val v = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-      spark.read.parquet(s"$root/$v")
-    } else versionDirs(f, root) match {
-      case latest +: _ => spark.read.parquet(latest.toString)
-      case _ => spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), LedgerSchema)
-    }
-  }
+  def currentLedger(spark: SparkSession, root: String): DataFrame =
+    VersionedState.current(spark, root, LedgerSchema)
 
   /** Fold one batch of edges into the persisted ledger (the foreachBatch
     * body). Empty batches are a no-op — no version churn.
@@ -78,28 +47,7 @@ object DedupLedgerStream {
       val spark = edges.sparkSession
       val updated = graft.ext.Components
         .incrementalComponents(currentLedger(spark, root), edges)
-      val version = s"v$batchId"
-      updated.write.mode("overwrite").parquet(s"$root/$version")
-      val f = fs(spark, root)
-      val tmp = new org.apache.hadoop.fs.Path(root, s"_LATEST.tmp$batchId")
-      val ptr = new org.apache.hadoop.fs.Path(root, "_LATEST")
-      val out = f.create(tmp, true)
-      try out.write(version.getBytes("UTF-8")) finally out.close()
-      // commit point: ONE overwriting rename onto the pointer
-      // (FileContext.rename with Options.Rename.OVERWRITE — atomic on
-      // HDFS/local). delete-then-rename would open a window where a crash
-      // leaves NO pointer; currentLedger's highest-version fallback covers
-      // even that on stores lacking overwrite-rename, but here the window
-      // simply doesn't exist.
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        f.getUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(f.makeQualified(tmp), f.makeQualified(ptr),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      // prune superseded versions (best-effort, AFTER the flip; never
-      // touches the version the pointer now references)
-      versionDirs(f, root).foreach { p =>
-        if (p.getName != version) f.delete(p, true)
-      }
+      VersionedState.commit(updated, batchId, root)
     }
   }
 

@@ -1,0 +1,70 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AggLedgerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(n: Int) =
+    (0 until n).map(i => (i.toLong, s"k${i % 4}", (i % 13) * 0.37 - 1.0))
+      .toDF("id", "k", "v")
+
+  private def served(root: String) =
+    AggLedger.serve(spark, root, Seq("k"),
+      Seq(org.apache.spark.sql.types.StringType))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+
+  private def direct(df: org.apache.spark.sql.DataFrame) =
+    AggLedger.finalizeLedger(AggLedger.partial(df, Seq("k"), "v"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+
+  test("maintained over waves equals a direct aggregate of the history") {
+    val root = java.nio.file.Files.createTempDirectory("aggledger").toString + "/st"
+    val df = rows(200)
+    (0 until 5).foreach { w =>
+      AggLedger.maintain(df.filter(pmod(col("id"), lit(5)) === w), w, root,
+        Seq("k"), "v")
+    }
+    assert(served(root) === direct(df))
+  }
+
+  test("replaying a batch id overwrites its version (idempotent), empty batch is a no-op") {
+    val root = java.nio.file.Files.createTempDirectory("aggledger").toString + "/st"
+    val df = rows(60)
+    AggLedger.maintain(df, 0L, root, Seq("k"), "v")
+    val first = served(root)
+    // empty batch: no version churn, same state
+    AggLedger.maintain(df.filter(lit(false)), 1L, root, Seq("k"), "v")
+    assert(served(root) === first)
+    // replay batch 0 with the same content on a FRESH root reproduces it
+    val root2 = java.nio.file.Files.createTempDirectory("aggledger").toString + "/st"
+    AggLedger.maintain(df, 0L, root2, Seq("k"), "v")
+    assert(served(root2) === first)
+  }
+
+  test("merge is associative across wave orderings (decimal sums)") {
+    val df = rows(90)
+    val p = (0 until 3).map(w =>
+      AggLedger.partial(df.filter(pmod(col("id"), lit(3)) === w), Seq("k"), "v"))
+    val ab_c = AggLedger.merge(AggLedger.merge(p(0), p(1), Seq("k")), p(2), Seq("k"))
+    val a_bc = AggLedger.merge(p(0), AggLedger.merge(p(1), p(2), Seq("k")), Seq("k"))
+    val l = AggLedger.finalizeLedger(ab_c).collect().map(_.toSeq).toSet
+    val r = AggLedger.finalizeLedger(a_bc).collect().map(_.toSeq).toSet
+    assert(l === r)
+  }
+
+  test("null values: count counts rows, sum/min/max skip nulls") {
+    val df = Seq((1L, "a", Some(2.0)), (2L, "a", None), (3L, "a", Some(4.0)))
+      .toDF("id", "k", "v")
+    val got = AggLedger.finalizeLedger(AggLedger.partial(df, Seq("k"), "v"))
+      .head
+    assert(got.getLong(1) === 3L)        // n: all rows
+    assert(got.getDouble(2) === 6.0)     // total
+    assert(got.getDouble(3) === 2.0 && got.getDouble(4) === 4.0)
+  }
+}
