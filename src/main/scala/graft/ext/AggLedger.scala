@@ -93,4 +93,15 @@ object AggLedger {
             keyTypes: Seq[DataType]): DataFrame =
     finalizeLedger(graft.streaming.VersionedState.current(
       spark, root, stateSchema(keys, keyTypes)))
+
+  /** Attach the maintainer to a fact stream: each micro-batch folds into
+    * the persisted rollup (the DedupLedgerStream shape). Caller starts/
+    * stops the query; state lives under `root`.
+    */
+  def attach(facts: DataFrame, root: String, checkpoint: String,
+             keys: Seq[String], valueCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    facts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((df: DataFrame, id: Long) =>
+        maintain(df, id, root, keys, valueCol))
 }

@@ -56,4 +56,24 @@ object Triangles {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("triangles"))
   }
+
+  /** Local clustering coefficient per node of degree ≥ 2:
+    * `2·T / (deg·(deg−1))` — how close each node's neighbourhood is to a
+    * clique (the template-family-vs-chain discriminator in a dedup pair
+    * graph; a spam signal in link graphs). Degrees and triangle counts are
+    * exact integers, the coefficient one IEEE division — engine-portable.
+    * Adds one keyed agg + one keyed join over [[triangleCounts]].
+    */
+  def clusteringCoefficients(pairs: DataFrame, aCol: String = "doc_a",
+                             bCol: String = "doc_b"): DataFrame = {
+    val e = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    val deg = e.select(col("a").as("doc_id")).unionAll(e.select(col("b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(triangleCounts(pairs, aCol, bCol), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        (coalesce(col("triangles"), lit(0L)) * lit(2.0) /
+          (col("deg") * (col("deg") - 1))).as("coeff"))
+  }
 }

@@ -219,6 +219,23 @@ object Breadth {
           min_by(col("name"), col("node")).as("canonical_name"))
     }),
 
+    // FULL OUTER join — the one join type the surface lacked: two per-key
+    // aggregates with partially overlapping key sets (open vs filled
+    // orders per customer), null sides made explicit with coalesce. Plans
+    // as one keyed sort-merge join; both inputs are pre-aggregated so the
+    // shuffle carries key-sized summaries
+    "b15_outer_join" -> ((s: SparkSession, dir: String) => {
+      val o = Tables.orders(s, dir)
+      val open = o.filter(col("o_orderstatus") === "O")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_open"))
+      val filled = o.filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_filled"))
+      open.join(filled, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("n_open"), lit(0L)).as("n_open"),
+          coalesce(col("n_filled"), lit(0L)).as("n_filled"))
+    }),
+
     // math scalar breadth (IEEE-deterministic ops only)
     "b6_math_funcs" -> ((s: SparkSession, dir: String) => {
       Tables.orders(s, dir).select(
@@ -336,6 +353,16 @@ object Breadth {
         |  ON substr(c.c_name, 14, 5) = substr(d.d_name, 14, 5)
         |WHERE abs(length(c.c_name) - length(d.d_name)) <= 2
         |  AND levenshtein(c.c_name, d.d_name) <= 2""".stripMargin,
+
+    "b15_outer_join" ->
+      """WITH open_o AS (SELECT o_custkey, CAST(count(1) AS BIGINT) AS n_open
+        |    FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey),
+        |filled AS (SELECT o_custkey, CAST(count(1) AS BIGINT) AS n_filled
+        |    FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey)
+        |SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+        |  coalesce(a.n_open, 0) AS n_open,
+        |  coalesce(b.n_filled, 0) AS n_filled
+        |FROM open_o a FULL OUTER JOIN filled b ON a.o_custkey = b.o_custkey""".stripMargin,
 
     "x_entity_resolution" ->
       """WITH RECURSIVE

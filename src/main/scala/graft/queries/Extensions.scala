@@ -527,6 +527,12 @@ object Extensions {
       graft.ext.Triangles.triangleCounts(ccPairsFor(s, dir))
     }),
 
+    // local clustering coefficient (2T/deg(deg−1)) for degree-≥2 nodes —
+    // one keyed degree agg + a keyed join over the triangle counts
+    "x_graph_clustering" -> ((s: SparkSession, dir: String) => {
+      graft.ext.Triangles.clusteringCoefficients(ccPairsFor(s, dir))
+    }),
+
     // incremental dedup: a "new batch" (source src0) probed against the
     // rest of the corpus by content hash, exact text verify for candidates
     "x_dedup_incremental" -> ((s: SparkSession, dir: String) => {
@@ -3110,6 +3116,26 @@ object Extensions {
          |nodes AS (SELECT a AS doc_id FROM tri
          |      UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
          |SELECT doc_id, count(*) AS triangles FROM nodes GROUP BY doc_id""".stripMargin,
+
+    // deg and T are exact integers; the coefficient is one IEEE division —
+    // the DOUBLE cast goes FIRST so DuckDB can't route through DECIMAL
+    "x_graph_clustering" ->
+      s"""WITH
+         |$ccPairCtes,
+         |tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+         |      FROM p e1 JOIN p e2 ON e2.doc_a = e1.doc_b
+         |      JOIN p e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+         |tcnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS triangles FROM (
+         |      SELECT a AS doc_id FROM tri
+         |      UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+         |    GROUP BY doc_id),
+         |deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |      SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b FROM p)
+         |    GROUP BY doc_id)
+         |SELECT d.doc_id, d.deg, coalesce(t.triangles, 0) AS triangles,
+         |  CAST(coalesce(t.triangles, 0) AS DOUBLE) * 2 / (d.deg * (d.deg - 1)) AS coeff
+         |FROM deg d LEFT JOIN tcnt t ON t.doc_id = d.doc_id
+         |WHERE d.deg >= 2""".stripMargin,
 
     // star contraction computes the SAME fixpoint — one oracle, two algorithms
     "x_dedup_cc_star" -> ccOracleSqlRef,

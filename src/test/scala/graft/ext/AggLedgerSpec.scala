@@ -58,6 +58,28 @@ class AggLedgerSpec extends SparkSpec {
     assert(l === r)
   }
 
+  test("streamed fact batches converge to the direct aggregate; versions pruned") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("aggledger-st").toString + "/st"
+    val ckpt = java.nio.file.Files.createTempDirectory("aggledger-ck").toString
+    val input = MemoryStream[(Long, String, Double)]
+    val q = AggLedger.attach(input.toDF().toDF("id", "k", "v"),
+      root, ckpt, Seq("k"), "v").start()
+    try {
+      input.addData((1L, "a", 1.5), (2L, "b", 2.0))
+      q.processAllAvailable()
+      input.addData((3L, "a", -0.5), (4L, "a", 3.0))
+      q.processAllAvailable()
+      val all = Seq((1L, "a", 1.5), (2L, "b", 2.0), (3L, "a", -0.5), (4L, "a", 3.0))
+        .toDF("id", "k", "v")
+      assert(served(root) === direct(all))
+      val dirs = new java.io.File(root).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("v"))
+      assert(dirs.length === 1, dirs.mkString(","))
+    } finally q.stop()
+  }
+
   test("null values: count counts rows, sum/min/max skip nulls") {
     val df = Seq((1L, "a", Some(2.0)), (2L, "a", None), (3L, "a", Some(4.0)))
       .toDF("id", "k", "v")

@@ -47,6 +47,20 @@ class TrianglesSpec extends SparkSpec {
     assert(counts(g) === Map(0L -> 1L, 5L -> 1L, 6L -> 1L))
   }
 
+  test("clustering coefficients: clique 1.0, path interior 0.0, shared-edge graph exact") {
+    def coeffs(edges: Seq[(Long, Long)]) =
+      Triangles.clusteringCoefficients(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)).toSeq
+    assert(coeffs(k4).values.forall { case (d, t, c) => d == 3 && t == 3 && c == 1.0 })
+    val path = coeffs(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(path(2L) === ((2L, 0L, 0.0)) && path(3L) === ((2L, 0L, 0.0)))
+    assert(!path.contains(1L)) // degree-1 nodes excluded (undefined coeff)
+    val shared = coeffs(Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L)))
+    assert(shared(2L) === ((3L, 2L, 2.0 * 2 / (3 * 2))))
+    assert(shared(1L) === ((2L, 1L, 1.0)))
+  }
+
   test("matches driver-side brute force on a pseudo-random graph") {
     val edges = (0 until 160).map { i =>
       val a = (i * 7919 % 37).toLong; val b = (i * 104729 % 37).toLong
