@@ -213,6 +213,28 @@ object Sinks {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** K1e — parquet BLOOM FILTERS: point-lookup data skipping for columns
+    * where min/max stats are useless because values are high-cardinality
+    * and unordered (content hashes, canonical URLs, doc ids after a
+    * shuffle — exactly the probe keys of the dedup ledger). A sorted/
+    * z-ordered layout skips by RANGE; a bloom filter skips a row group
+    * when a point predicate's value is provably absent, at ~1 byte/value
+    * — the difference between an incremental-dedup probe that reads the
+    * whole corpus table and one that reads the few row groups that might
+    * contain its hashes. `ndv` sizes the filter (expected distinct values
+    * per ROW GROUP — overestimating wastes footer bytes, underestimating
+    * inflates false positives; size it to rowGroupRows, not table NDV).
+    */
+  def writeBloomFiltered(df: DataFrame, path: String, bloomCols: Seq[String],
+                         ndv: Long = 100000L): Unit = {
+    require(bloomCols.nonEmpty, "writeBloomFiltered: need at least one column")
+    val w = bloomCols.foldLeft(df.write.mode("overwrite")) { (acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    w.parquet(path)
+  }
+
   /** Z-ORDER layout: multi-dimension data skipping. [[writeSorted]] makes
     * row-group stats tight on ONE key; a predicate on any other column
     * still reads everything. Z-ordering interleaves the bits of several

@@ -99,6 +99,49 @@ class SinksSpec2 extends SparkSpec {
     assert(spark.read.parquet(out).count() === 2)
   }
 
+  test("bloom-filtered write: filter present on the enabled column only; reads intact") {
+    val out = Files.createTempDirectory("graft-bloom").toString + "/t"
+    // unordered high-cardinality hashes — the case where min/max stats
+    // cannot skip anything and the bloom filter is the only point-lookup
+    // pruning available
+    val df = (0 until 5000).map { i =>
+      (i.toLong, ((i * 0x9E3779B97F4A7C15L) ^ (i << 7)).toString, i % 10)
+    }.toDF("id", "h", "b")
+    Sinks.writeBloomFiltered(df.repartition(1), out, Seq("h"), ndv = 5000)
+    // footer: the h column carries a bloom filter, id does not
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val file = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toString),
+      spark.sparkContext.hadoopConfiguration))
+    try {
+      val cols = rd.getFooter.getBlocks.get(0).getColumns
+      val byName = (0 until cols.size).map(i => cols.get(i))
+        .map(c => c.getPath.toDotString -> c).toMap
+      assert(byName("h").getBloomFilterOffset > 0, "bloom filter missing on h")
+      assert(byName("id").getBloomFilterOffset <= 0, "unexpected bloom filter on id")
+      // the filter itself answers membership: a present value hits, and
+      // most absent probes miss (false positives allowed, negatives not)
+      val bfr = rd.getBloomFilterDataReader(rd.getFooter.getBlocks.get(0))
+      val bf = bfr.readBloomFilter(byName("h"))
+      import org.apache.parquet.io.api.Binary
+      def mightContain(s: String) =
+        bf.findHash(bf.hash(Binary.fromString(s)))
+      val present = (0 until 100).map(i =>
+        ((i * 0x9E3779B97F4A7C15L) ^ (i << 7)).toString)
+      assert(present.forall(mightContain), "bloom filter dropped a present value")
+      val absentHits = (0 until 1000).count(i => mightContain(s"absent-$i"))
+      assert(absentHits < 100, s"bloom filter too dense: $absentHits/1000 false positives")
+    } finally rd.close()
+    // data integrity + point-lookup correctness through the Spark reader
+    val back = spark.read.parquet(out)
+    assert(back.count() === 5000)
+    val probe = ((7 * 0x9E3779B97F4A7C15L) ^ (7 << 7)).toString
+    assert(back.filter($"h" === probe).select("id").as[Long].collect().toSeq === Seq(7L))
+  }
+
   test("z-order layout: both dimensions' per-file spans shrink vs a one-key sort") {
     val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
     import spark.implicits._
