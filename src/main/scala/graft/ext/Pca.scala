@@ -118,6 +118,47 @@ object Pca {
     PcaModel(d, n.toLong, mean, comps, evs)
   }
 
+  /** Deterministic Rademacher matrix: ±1 from a FULL 64-bit mix (splitmix64
+    * finalizer), seeded — no RNG, so every consumer is reproducible and
+    * retry/speculation-stable. A linear formula's parity is NOT usable
+    * here — parity of `a·i + b·j` with odd a, b degenerates to (i+j) mod 2,
+    * which collapses every column onto ±one direction and silently reduces
+    * a sketch to rank 1 (observed: the second eigenpair vanished entirely).
+    * Shared by [[trainSketched]] (range finder) and [[randomProject]] (JL).
+    */
+  private[graft] def rademacher(d: Int, m: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(d, m) { (i, j) =>
+      var z = seed + i.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      if ((z & 1L) == 0L) 1.0 else -1.0
+    }
+
+  /** Johnson–Lindenstrauss random projection: TRAINING-FREE dimensionality
+    * reduction — `r_j = (x · ω_j)/√m` for the deterministic [[rademacher]]
+    * matrix. Where PCA needs a moments pass and an eigensolve, this needs
+    * NOTHING before the first row flows: map-only, one codegen dot product
+    * per output dimension, no shuffle, no model state beyond the seed —
+    * the right first move at web-scale dims (d=4096 → m=64 preserves
+    * pairwise distances within ~1/√m distortion by the JL lemma) before
+    * any trained structure exists. Engine-portable: ±1 literals and one
+    * IEEE division, rounded at 1e-6 like the PCA projections.
+    */
+  def randomProject(emb: DataFrame, m: Int, seed: Long = 42L,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1, s"randomProject: m must be >= 1, got $m")
+    val d = emb.select(size(col(vecCol)).as("d")).head.getInt(0)
+    val om = rademacher(d, m, seed)
+    val sqrtM = math.sqrt(m.toDouble)
+    val x = col(vecCol).cast("array<double>")
+    val rcols: Seq[Column] = (0 until m).map { j =>
+      val colv = Array.tabulate(d)(i => om(i)(j))
+      round(Similarity.dot(x, typedLit(colv.toSeq)) / lit(sqrtM), 6).as(s"r$j")
+    }
+    emb.select(col(idCol).as("vec_id") +: rcols: _*)
+  }
+
   /** SKETCHED training — the large-d scale path the exact trainer cannot
     * take: [[train]]'s moment buffer is (d+1)(d+2)/2 doubles (≈64 MB per
     * task at d=4096), while this one-pass randomized range finder (Halko
@@ -140,18 +181,7 @@ object Pca {
     val d = emb.select(size(col(vecCol)).as("d")).head.getInt(0)
     val m = k + oversample
     require(k >= 1 && m <= d, s"trainSketched: k=$k + oversample=$oversample > dim $d")
-    // deterministic Rademacher Ω: ±1 from a FULL 64-bit mix (splitmix64
-    // finalizer). A linear formula's parity is NOT usable here — parity of
-    // `a·i + b·j` with odd a, b degenerates to (i+j) mod 2, which collapses
-    // every Ω column onto ±one direction and silently reduces the sketch
-    // to rank 1 (observed: the second eigenpair vanished entirely).
-    val omega = Array.tabulate(d, m) { (i, j) =>
-      var z = seed + i.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^= z >>> 31
-      if ((z & 1L) == 0L) 1.0 else -1.0
-    }
+    val omega = rademacher(d, m, seed)
     val bOmega = spark.sparkContext.broadcast(omega)
     // one pass: z = [x, y, 1] (d + m + 1) — its moment matrix holds Σx·xᵀ
     // too, which we DON'T need; accumulate only the blocks we use via a

@@ -1588,6 +1588,13 @@ object Extensions {
       graft.ext.Pca.whiten(Tables.embeddings(s, dir), pcaFor(s, dir))
     }),
 
+    // Johnson–Lindenstrauss random projection: training-free dim
+    // reduction (map-only, zero model state beyond the seed) — the first
+    // move at web-scale dims before any trained structure exists
+    "x_embed_rp_project" -> ((s: SparkSession, dir: String) => {
+      graft.ext.Pca.randomProject(Tables.embeddings(s, dir), m = 8)
+    }),
+
     // sentence segmentation stats: rule split on terminal punctuation +
     // space (identical Java/RE2 semantics), one explode + one keyed agg —
     // the chunk-at-sentence-boundary primitive
@@ -1954,7 +1961,27 @@ object Extensions {
     * `Verify` dumps `oracleSql` last, so the timing works out).
     */
   def oracleSql: Map[String, String] =
-    staticOracleSql ++ ivfOracles ++ pqOracles ++ probeOracles ++ pcaOracles ++ sqOracles
+    staticOracleSql ++ ivfOracles ++ pqOracles ++ probeOracles ++ pcaOracles ++ sqOracles ++ rpOracle
+
+  // ---- random-projection oracle ---------------------------------------
+  // No model state at all: the Rademacher matrix is a deterministic
+  // function of (d, m, seed), so the oracle is generated STATICALLY from
+  // the same code path the operator runs (d = 64 is the fixture embedding
+  // dimension; a drift would surface as a Spark-side column-count change
+  // and fail the compare loudly).
+  private def rpOracle: Map[String, String] = {
+    val (d, m, seed) = (64, 8, 42L)
+    val om = graft.ext.Pca.rademacher(d, m, seed)
+    val sqrtM = fmtD(math.sqrt(m.toDouble))
+    val cols = (0 until m).map { j =>
+      val v = (0 until d).map(i => om(i)(j))
+      s"round(list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), ${fmtVec(v)}::DOUBLE[]) / $sqrtM, 6) AS r$j"
+    }
+    Map("x_embed_rp_project" ->
+      s"""SELECT vec_id,
+         |  ${cols.mkString(",\n  ")}
+         |FROM embeddings""".stripMargin)
+  }
 
   // ---- scalar-quantization oracles ------------------------------------
   // The trained per-dimension lo/span arrays are model state (the IVF/PQ

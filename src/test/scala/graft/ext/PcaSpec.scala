@@ -95,4 +95,36 @@ class PcaSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Pca.train(plantedDf(10, 4), k = 5))
   }
+
+  test("random projection: matches a driver-side recompute; reproducible; JL distortion bounded") {
+    val d = 32; val m = 16
+    val df = (0 until 80).map { i =>
+      (i.toLong, Array.tabulate(d)(j => math.sin(i * 0.61 + j * 0.29).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val got = Pca.randomProject(df, m, seed = 7L).collect()
+      .map(r => r.getLong(0) -> (1 until m + 1).map(r.getDouble)).toMap
+    // driver-side recompute with the same matrix
+    val om = Pca.rademacher(d, m, 7L)
+    val raw = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    for ((id, vec) <- raw; j <- 0 until m) {
+      var acc = 0.0; var i = 0
+      while (i < d) { acc += vec(i) * om(i)(j); i += 1 }
+      val want = math.rint(acc / math.sqrt(m.toDouble) * 1e6) / 1e6
+      assert(math.abs(got(id)(j) - want) < 1e-9, s"id=$id j=$j")
+    }
+    // reproducible
+    val again = Pca.randomProject(df, m, seed = 7L).collect()
+      .map(r => r.getLong(0) -> (1 until m + 1).map(r.getDouble)).toMap
+    assert(again === got)
+    // JL: pairwise squared distances preserved within a loose 3/sqrt(m) band
+    val ids = raw.keys.toSeq.sorted.take(20)
+    for (a <- ids; b <- ids if a < b) {
+      val orig = raw(a).zip(raw(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+      val proj = got(a).zip(got(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+      if (orig > 1e-9) {
+        val ratio = proj / orig
+        assert(ratio > 0.25 && ratio < 4.0, s"distortion $ratio for ($a,$b)")
+      }
+    }
+  }
 }
