@@ -65,12 +65,14 @@ object Triangles {
     * Adds one keyed agg + one keyed join over [[triangleCounts]].
     */
   def clusteringCoefficients(pairs: DataFrame, aCol: String = "doc_a",
-                             bCol: String = "doc_b"): DataFrame = {
+                             bCol: String = "doc_b",
+                             precomputedCounts: Option[DataFrame] = None): DataFrame = {
     val e = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
     val deg = e.select(col("a").as("doc_id")).unionAll(e.select(col("b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
     deg.filter(col("deg") >= 2)
-      .join(triangleCounts(pairs, aCol, bCol), Seq("doc_id"), "left")
+      .join(precomputedCounts.getOrElse(triangleCounts(pairs, aCol, bCol)),
+        Seq("doc_id"), "left")
       .select(col("doc_id"), col("deg"),
         coalesce(col("triangles"), lit(0L)).as("triangles"),
         (coalesce(col("triangles"), lit(0L)) * lit(2.0) /

@@ -145,6 +145,21 @@ object Extensions {
         root
       })
 
+  /** Per-node triangle counts over the cached pair graph — computed once
+    * per corpus (the CC-ledger discipline): both graph entries serve from
+    * this persisted result instead of re-running the wedge joins.
+    */
+  private val triCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def triFor(s: SparkSession, dir: String): DataFrame =
+    triCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("tri_counts") {
+        val t = graft.ext.Triangles.triangleCounts(ccPairsFor(s, dir)).persist()
+        t.count() // materialize: consumers must not re-run the wedge joins
+        t
+      })
+
   /** Component labels per corpus — the "dedup ledger": computed once (the
     * result is already lineage-checkpointed by connectedComponents, so the
     * cached frame serves without recompute).
@@ -522,15 +537,15 @@ object Extensions {
     // ordered orientation: each triangle enumerated from its unique
     // two-out-edge apex, wedge fan-out capped at O(√m) — see ext.Triangles)
     // — the local-clustering signal that separates tight template families
-    // from chains of borderline matches in the dedup ledger
-    "x_graph_triangles" -> ((s: SparkSession, dir: String) => {
-      graft.ext.Triangles.triangleCounts(ccPairsFor(s, dir))
-    }),
+    // from chains of borderline matches in the dedup ledger. Computed once
+    // per corpus like the CC ledger (the counts serve both graph entries)
+    "x_graph_triangles" -> ((s: SparkSession, dir: String) => triFor(s, dir)),
 
     // local clustering coefficient (2T/deg(deg−1)) for degree-≥2 nodes —
-    // one keyed degree agg + a keyed join over the triangle counts
+    // one keyed degree agg + a keyed join over the CACHED triangle counts
     "x_graph_clustering" -> ((s: SparkSession, dir: String) => {
-      graft.ext.Triangles.clusteringCoefficients(ccPairsFor(s, dir))
+      graft.ext.Triangles.clusteringCoefficients(ccPairsFor(s, dir),
+        precomputedCounts = Some(triFor(s, dir)))
     }),
 
     // incremental dedup: a "new batch" (source src0) probed against the
