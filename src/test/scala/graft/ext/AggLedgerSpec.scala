@@ -47,6 +47,15 @@ class AggLedgerSpec extends SparkSpec {
     assert(served(root2) === first)
   }
 
+  test("serve recovers the highest version when the _LATEST pointer is lost") {
+    val root = java.nio.file.Files.createTempDirectory("aggledger-rec").toString + "/st"
+    val df = rows(50)
+    AggLedger.maintain(df, 0L, root, Seq("k"), "v")
+    val want = served(root)
+    assert(new java.io.File(root, "_LATEST").delete())
+    assert(served(root) === want) // VersionedState's highest-version fallback
+  }
+
   test("merge is associative across wave orderings (decimal sums)") {
     val df = rows(90)
     val p = (0 until 3).map(w =>
