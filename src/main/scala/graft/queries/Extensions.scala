@@ -541,6 +541,15 @@ object Extensions {
     // per corpus like the CC ledger (the counts serve both graph entries)
     "x_graph_triangles" -> ((s: SparkSession, dir: String) => triFor(s, dir)),
 
+    // weighted (tf-vector) cosine similarity self-join — AllPairs prefix
+    // filter (suffix-norm bound, lossless) + integer-exact dot verify over
+    // rare-token (df ≤ 100) sub-vectors; the multiset counterpart of the
+    // jaccard join (see ext.CosineJoin's scale notes)
+    "x_dedup_cosine" -> ((s: SparkSession, dir: String) => {
+      graft.ext.CosineJoin.similarPairs(Tables.documents(s, dir),
+        threshold = 0.5, maxDf = 100L)
+    }),
+
     // local clustering coefficient (2T/deg(deg−1)) for degree-≥2 nodes —
     // one keyed degree agg + a keyed join over the CACHED triangle counts
     "x_graph_clustering" -> ((s: SparkSession, dir: String) => {
@@ -3158,6 +3167,25 @@ object Extensions {
          |nodes AS (SELECT a AS doc_id FROM tri
          |      UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
          |SELECT doc_id, count(*) AS triangles FROM nodes GROUP BY doc_id""".stripMargin,
+
+    // naive all-shared-token pairs (any pair sharing NO rare token has
+    // cos 0) — integer dot, division order mirrors Similarity.cosine;
+    // the Spark side's prefix filter must be invisible in the result
+    "x_dedup_cosine" ->
+      """WITH tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM (
+        |        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |      GROUP BY doc_id, tok),
+        |d AS (SELECT tok FROM tf GROUP BY tok HAVING count(*) <= 100),
+        |w AS (SELECT tf.* FROM tf JOIN d USING (tok)),
+        |n AS (SELECT doc_id, sum(tf*tf) AS nsq FROM w GROUP BY doc_id),
+        |dot AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.tf*b.tf) AS d
+        |        FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(d / sqrt(na.nsq) / sqrt(nb.nsq), 6) AS cos
+        |FROM dot JOIN n na ON na.doc_id = dot.doc_a
+        |         JOIN n nb ON nb.doc_id = dot.doc_b
+        |WHERE round(d / sqrt(na.nsq) / sqrt(nb.nsq), 6) >= 0.5""".stripMargin,
 
     // deg and T are exact integers; the coefficient is one IEEE division —
     // the DOUBLE cast goes FIRST so DuckDB can't route through DECIMAL
