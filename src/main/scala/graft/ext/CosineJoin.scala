@@ -35,14 +35,32 @@ import org.apache.spark.sql.functions._
   */
 object CosineJoin {
 
+  /** Word n-gram MULTISET terms (duplicates kept — tf counts them); the
+    * non-distinct sibling of [[JaccardDedup.ngramSet]], same split rule.
+    */
+  private def ngrams(textColName: String, n: Int): org.apache.spark.sql.Column = {
+    require(n >= 1)
+    if (n == 1) split(col(textColName), " ")
+    else {
+      val w = s"split($textColName, ' ')"
+      val parts = (0 until n).map(j => s"element_at($w, i + $j)").mkString(", ")
+      expr(s"""CASE WHEN size($w) >= $n THEN
+        transform(sequence(1, size($w) - ${n - 1}), i -> concat_ws(' ', $parts))
+        ELSE CAST(array() AS array<string>) END""")
+    }
+  }
+
   /** `(doc_a, doc_b, cos)` for pairs with `round(cos, 6) ≥ threshold`,
-    * cosine over rare-token (df ≤ maxDf) tf sub-vectors.
+    * cosine over rare-term (df ≤ maxDf) tf sub-vectors of word `ngram`
+    * multisets (ngram ≥ 2 is the phrase-level form — on small-vocabulary
+    * corpora unigram tf degenerates, exactly as for the jaccard family).
     */
   def similarPairs(docs: DataFrame, threshold: Double, maxDf: Long = 100L,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   ngram: Int = 1, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     val tf = docs
-      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
+      .select(col(idCol).as("doc_id"), explode(ngrams(textCol, ngram)).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
@@ -93,10 +111,11 @@ object CosineJoin {
     * the spec's equivalence baseline; same verify arithmetic.
     */
   private[ext] def similarPairsNaive(docs: DataFrame, threshold: Double,
-                                     maxDf: Long = 100L, idCol: String = "doc_id",
+                                     maxDf: Long = 100L, ngram: Int = 1,
+                                     idCol: String = "doc_id",
                                      textCol: String = "text"): DataFrame = {
     val tf = docs
-      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
+      .select(col(idCol).as("doc_id"), explode(ngrams(textCol, ngram)).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)

@@ -547,7 +547,7 @@ object Extensions {
     // jaccard join (see ext.CosineJoin's scale notes)
     "x_dedup_cosine" -> ((s: SparkSession, dir: String) => {
       graft.ext.CosineJoin.similarPairs(Tables.documents(s, dir),
-        threshold = 0.5, maxDf = 100L)
+        threshold = 0.4, maxDf = 100L, ngram = 3)
     }),
 
     // local clustering coefficient (2T/deg(deg−1)) for degree-≥2 nodes —
@@ -3172,20 +3172,23 @@ object Extensions {
     // cos 0) — integer dot, division order mirrors Similarity.cosine;
     // the Spark side's prefix filter must be invisible in the result
     "x_dedup_cosine" ->
-      """WITH tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM (
-        |        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-        |      GROUP BY doc_id, tok),
-        |d AS (SELECT tok FROM tf GROUP BY tok HAVING count(*) <= 100),
-        |w AS (SELECT tf.* FROM tf JOIN d USING (tok)),
-        |n AS (SELECT doc_id, sum(tf*tf) AS nsq FROM w GROUP BY doc_id),
-        |dot AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.tf*b.tf) AS d
-        |        FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
-        |        GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |  round(d / sqrt(na.nsq) / sqrt(nb.nsq), 6) AS cos
-        |FROM dot JOIN n na ON na.doc_id = dot.doc_a
-        |         JOIN n nb ON nb.doc_id = dot.doc_b
-        |WHERE round(d / sqrt(na.nsq) / sqrt(nb.nsq), 6) >= 0.5""".stripMargin,
+      s"""WITH tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM (
+         |        SELECT doc_id, unnest(list_transform(
+         |          generate_series(1, len($sqlWords) - 2),
+         |          i -> $sqlWords[i] || ' ' || $sqlWords[i+1] || ' ' || $sqlWords[i+2])) AS tok
+         |        FROM documents)
+         |      GROUP BY doc_id, tok),
+         |d AS (SELECT tok FROM tf GROUP BY tok HAVING count(*) <= 100),
+         |w AS (SELECT tf.* FROM tf JOIN d USING (tok)),
+         |n AS (SELECT doc_id, sum(tf*tf) AS nsq FROM w GROUP BY doc_id),
+         |dot AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.tf*b.tf) AS d
+         |        FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(d / sqrt(na.nsq) / sqrt(nb.nsq), 6) AS cos
+         |FROM dot JOIN n na ON na.doc_id = dot.doc_a
+         |         JOIN n nb ON nb.doc_id = dot.doc_b
+         |WHERE round(d / sqrt(na.nsq) / sqrt(nb.nsq), 6) >= 0.4""".stripMargin,
 
     // deg and T are exact integers; the coefficient is one IEEE division —
     // the DOUBLE cast goes FIRST so DuckDB can't route through DECIMAL

@@ -59,6 +59,21 @@ class CosineJoinSpec extends SparkSpec {
     assert(pairs(df, 0.5).toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("3-gram terms: phrase-level match pairs, word-shuffled docs do not") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // shared phrases
+      (3L, "dog lazy the over jumps fox brown quick the today")    // same words, no shared 3-grams
+    ).toDF("doc_id", "text")
+    val tri = CosineJoin.similarPairs(df, 0.4, maxDf = 100L, ngram = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tri === Set((1L, 2L)))
+    // prefix == naive holds for n-gram terms too
+    val a = CosineJoin.similarPairs(df, 0.2, 100L, 3).collect().map(_.toSeq).toSet
+    val b = CosineJoin.similarPairsNaive(df, 0.2, 100L, 3).collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
   test("equals naive on a pseudo-random corpus (lossless filter)") {
     val vocab = Array("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen", "ibex", "jay")
     val df = (0 until 60).map { i =>
