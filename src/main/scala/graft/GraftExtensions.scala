@@ -60,7 +60,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es => RollingWindowHashes(es.head, intArg(es(1), "rolling_window_hashes k"))),
       ("canonical_url", "graft.functions.CanonicalUrl",
         "canonical_url(url) - one-pass crawl-grade URL canonicalization",
-        es => CanonicalUrl(es.head)))
+        es => CanonicalUrl(es.head)),
+      ("nfc_normalize", "graft.functions.NfcNormalize",
+        "nfc_normalize(text) - Unicode canonical composition (NFC)",
+        es => NfcNormalize(es.head)))
     functions.foreach { case (name, className, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),

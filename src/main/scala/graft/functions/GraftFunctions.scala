@@ -55,6 +55,10 @@ object GraftFunctions {
   def canonical_url(url: Column): Column =
     GraftColumnBridge.column(CanonicalUrl(GraftColumnBridge.expression(url)))
 
+  /** Unicode canonical composition (NFC) — [[NfcNormalize]]. */
+  def nfc_normalize(text: Column): Column =
+    GraftColumnBridge.column(NfcNormalize(GraftColumnBridge.expression(text)))
+
   private val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("pandas_title", "str - pandas-exact title case", (es: Seq[Expression]) => PandasTitle(es.head))
   )

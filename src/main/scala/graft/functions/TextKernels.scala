@@ -119,6 +119,14 @@ object TextKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** NFC normalization; see [[NfcNormalize]] for the contract. */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 }
 
 /** `top_run_length(array<string>)` — count of the most frequent element. */
@@ -161,5 +169,31 @@ case class WordNgrams(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.wordNgrams($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+/** `nfc_normalize(text)` — Unicode canonical composition (NFC), the
+  * encoding-hygiene step that makes `café` (e + U+0301) and `café`
+  * (U+00E9) byte-identical before any hash/dedup/tokenize touches the
+  * text — without it, visually identical documents hash apart and
+  * near-dup recall silently drops on non-ASCII corpora.
+  *
+  * Fast path: `Normalizer.isNormalized` is a cheap scan that short-
+  * circuits on ASCII (the overwhelming majority of a web corpus), so the
+  * already-normal case allocates nothing beyond the String view. Unicode's
+  * normalization-stability policy guarantees NFC output is stable across
+  * Unicode versions, which is what makes the DuckDB (utf8proc) oracle a
+  * fair cross-engine pin for the JDK implementation.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.nfcNormalize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.nfcNormalize($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 }

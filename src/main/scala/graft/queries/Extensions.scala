@@ -1612,6 +1612,18 @@ object Extensions {
       graft.ext.Pca.whiten(Tables.embeddings(s, dir), pcaFor(s, dir))
     }),
 
+    // Unicode NFC normalization (native codegen kernel): the text is
+    // adversarially DECOMPOSED first (every 'a' → 'a' + combining acute),
+    // then composed back — the normalized TEXT itself is compared, plus
+    // the code-point lengths before/after (composition must shrink them)
+    "x_text_nfc" -> ((s: SparkSession, dir: String) => {
+      val raw = regexp_replace(col("text"), "a", "a\u0301") // 'a' + combining acute
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.functions.GraftFunctions.nfc_normalize(raw).as("text_nfc"),
+        length(raw).as("len_raw"),
+        length(graft.functions.GraftFunctions.nfc_normalize(raw)).as("len_nfc"))
+    }),
+
     // Johnson–Lindenstrauss random projection: training-free dim
     // reduction (map-only, zero model state beyond the seed) — the first
     // move at web-scale dims before any trained structure exists
@@ -3118,6 +3130,14 @@ object Extensions {
          |  CAST(round(sum(CAST(value AS DECIMAL(28,10))), 6) AS DOUBLE)
          |    / CAST(count(1) AS BIGINT) AS vavg
          |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // utf8proc's NFC == the JDK's (Unicode normalization-stability policy)
+    "x_text_nfc" ->
+      """SELECT doc_id,
+        |  nfc_normalize(replace(text, 'a', 'a' || chr(769))) AS text_nfc,
+        |  CAST(length(replace(text, 'a', 'a' || chr(769))) AS INT) AS len_raw,
+        |  CAST(length(nfc_normalize(replace(text, 'a', 'a' || chr(769)))) AS INT) AS len_nfc
+        |FROM documents""".stripMargin,
 
     // mirrors Sampling.sampleKPerGroup: the 13-hex md5 prefix is ordered
     // identically as a fixed-length lowercase hex string and as the 52-bit

@@ -14,7 +14,8 @@ class SqlSurfaceSpec extends SparkSpec {
         |  top_run_length(array('a','b','a')) AS trl,
         |  ws_tokens(' a\tb ') AS wt,
         |  word_ngrams(array('a','b','c'), 2) AS ng,
-        |  size(rolling_window_hashes('abcd', 3)) AS nrh""".stripMargin).head()
+        |  size(rolling_window_hashes('abcd', 3)) AS nrh,
+        |  nfc_normalize('café') AS nfc""".stripMargin).head()
     assert(r.getString(0) === "A-B C")
     assert(r.getAs[Int]("nsh") === 2 && r.getAs[Int]("nmh") === 16)
     assert(r.getDouble(4) === 11.0)
@@ -22,6 +23,9 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getSeq[String](7) === Seq("a", "b"))
     assert(r.getSeq[String](8) === Seq("a b", "b c"))
     assert(r.getAs[Int]("nrh") === 2)
+    // 'e' + combining acute (U+0301) composes to U+00E9; length shrinks 5 -> 4
+    assert(r.getAs[String]("nfc") === "café")
+    assert(r.getAs[String]("nfc").length === 4)
     // sketch is deterministic: same call, same session, same value
     val again = spark.sql(
       "SELECT hyperplane_sketch(array(1.0d, 0.0d), 0L, 8)").head().getLong(0)
