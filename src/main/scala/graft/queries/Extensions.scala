@@ -1949,6 +1949,11 @@ object Extensions {
     * battery summed) — identical text to the `x_text_quality` /
     * `x_quality_gate_lang` oracles.
     */
+  /** Shared with [[WebPipeline]] (the crawl-pipeline oracle applies the
+    * same battery to WARC-round-tripped, markup-stripped text).
+    */
+  private[queries] def sqlQualityScoreOverText: String = sqlQualityScore
+
   private def sqlQualityScore =
     s"""CAST(len($sqlWords) BETWEEN 20 AND 1000 AS INT)
        |    + CAST(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len($sqlWords)

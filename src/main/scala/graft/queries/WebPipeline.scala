@@ -174,6 +174,30 @@ object WebPipeline {
         .select(col("doc_id"), col("host"), col("split"))
     }),
 
+    // END-TO-END crawl ingestion: docs wrapped in the planted HTML are
+    // written as REAL WARC archives (once per corpus, the crawler-shard
+    // layout), read back via the binaryFile source, markup-stripped with
+    // the generated-rule chain, quality-gated, and exact-deduped on the
+    // CLEANED text (crawls re-serve pages; the keep rule is min doc_id).
+    // Every stage is individually oracled elsewhere — this entry pins the
+    // COMPOSITION, WARC files included, against one SQL mirror
+    "x_pipeline_crawl" -> ((s: SparkSession, dir: String) => {
+      val parsed = graft.io.Warc.readArchives(s, warcDirFor(s, dir))
+        .select(
+          regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          Markup.stripMarkup(col("text")).as("text"))
+      parsed
+        .withColumn("quality", TextOps.qualityScore("text"))
+        .filter(col("quality") >= 3)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"),
+          max(col("quality")).as("quality"))
+        .select(col("keep_id"), col("n_copies"), col("quality"),
+          length(col("text")).cast("int").as("n_clean"))
+    }),
+
     // CCNet head/middle/tail bucketing: every doc labeled against its own
     // language's LM-score quartiles (exact twin = the oracle; the default
     // approx_percentile path is the 100 TB shape)
@@ -186,6 +210,24 @@ object WebPipeline {
         .select(col("doc_id"), col("lang"), col("lm_score"), col("bucket"))
     })
   )
+
+  /** WARC archives of the planted-HTML corpus — written ONCE per corpus
+    * (the crawler-shard layout: one archive per task via the Hadoop FS
+    * API), then every read goes through the real binaryFile + parser path.
+    */
+  private val warcCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def warcDirFor(s: SparkSession, dir: String): String =
+    warcCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("warc_archives") {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-warc-crawl").toString + "/archives"
+        graft.io.Warc.writeArchives(
+          Tables.documents(s, dir).select(col("doc_id"), plantedHtml.as("text")),
+          out)
+        out
+      })
 
   /** Planted host-bearing URL for the blocklist fixture: every 11th row a
     * non-URL (host `''`, never blockable), every 4th host carries an
@@ -295,6 +337,22 @@ object WebPipeline {
          |c AS (SELECT doc_id, ${Markup.stripMarkupSql} AS clean_text FROM h)
          |SELECT doc_id, clean_text, CAST(length(clean_text) AS INT) AS n_clean
          |FROM c""".stripMargin,
+
+    // the WARC leg is payload-identity (pinned by x_warc_roundtrip), so
+    // the SQL mirror starts from the same planted HTML; quality battery =
+    // Extensions' shared rule text applied to the CLEANED column
+    "x_pipeline_crawl" ->
+      s"""WITH h AS (SELECT doc_id, $plantedHtmlSql AS html FROM documents),
+         |c AS (SELECT doc_id, ${Markup.stripMarkupSql} AS text FROM h),
+         |q AS (SELECT doc_id, text,
+         |    ${Extensions.sqlQualityScoreOverText} AS quality
+         |  FROM c),
+         |g AS (SELECT * FROM q WHERE quality >= 3)
+         |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+         |  CAST(count(*) AS BIGINT) AS n_copies,
+         |  CAST(max(quality) AS INT) AS quality,
+         |  CAST(length(text) AS INT) AS n_clean
+         |FROM g GROUP BY text""".stripMargin,
 
     "x_text_classifier" ->
       """WITH v AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
