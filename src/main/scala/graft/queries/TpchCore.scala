@@ -220,8 +220,11 @@ object TpchCore {
     // whole lineitem table
     "q24_salted_join" -> ((s: SparkSession, dir: String) => {
       import graft.ops.Salting
+      // shuffle_hash hint: a broadcast dim has no skew problem to solve —
+      // the demonstrated plan must be the shuffled form salting exists for
       val sup = Tables.supplier(s, dir)
         .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+        .hint("shuffle_hash")
       Salting.saltedJoin(Tables.lineitem(s, dir), sup, "l_suppkey",
           saltBy = col("l_orderkey") * lit(8) + col("l_linenumber"), salts = 8)
         .groupBy(col("s_nationkey"))
