@@ -53,8 +53,15 @@ object VersionedState {
     }
   }
 
-  /** Write `updated` as version `batchId` and flip the pointer to it. */
-  def commit(updated: DataFrame, batchId: Long, root: String): Unit = {
+  /** Write `updated` as version `batchId` and flip the pointer to it.
+    * `keepVersions` (≥ 1) retains that many NEWEST version dirs after the
+    * flip — retained history is what [[readVersion]] time-travels to; the
+    * default keeps only the pointer target (the ledger maintainers'
+    * original behavior).
+    */
+  def commit(updated: DataFrame, batchId: Long, root: String,
+             keepVersions: Int = 1): Unit = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val spark = updated.sparkSession
     val version = s"v$batchId"
     updated.write.mode("overwrite").parquet(s"$root/$version")
@@ -72,9 +79,28 @@ object VersionedState {
     fc.rename(f.makeQualified(tmp), f.makeQualified(ptr),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     // prune superseded versions (best-effort, AFTER the flip; never
-    // touches the version the pointer now references)
-    versionDirs(f, root).foreach { p =>
+    // touches the version the pointer now references). Retention keeps
+    // the newest `keepVersions` — the pointer target is always newest-or-
+    // equal by batch id, so it is always retained.
+    versionDirs(f, root).drop(keepVersions).foreach { p =>
       if (p.getName != version) f.delete(p, true)
     }
+  }
+
+  /** Committed version ids under `root`, newest first. */
+  def versions(spark: SparkSession, root: String): Seq[Long] =
+    versionDirs(fs(spark, root), root).map(_.getName.drop(1).toLong)
+
+  /** Time-travel read of a RETAINED version (commit with `keepVersions`
+    * > 1 to retain history). Fails loudly on a pruned/unknown id — a
+    * silent empty frame here would masquerade as real state.
+    */
+  def readVersion(spark: SparkSession, root: String, batchId: Long): DataFrame = {
+    val f = fs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(root, s"v$batchId")
+    require(f.exists(p),
+      s"version v$batchId not retained under $root " +
+        s"(have: ${versions(spark, root).mkString(", ")})")
+    spark.read.parquet(p.toString)
   }
 }
