@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round bench capture parses the LAST stdout line as JSON. Two
+// things defeat that by default: sbt logs forked `run` output through its
+// logger (an "[info] " prefix glued onto every line), and prints
+// "[success] Total time: ..." AFTER the program's final line. Route forked
+// output straight to this process's stdout/stderr (no prefix) and drop the
+// success banner so graft.Bench's compact summary line is genuinely last.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, which the unused-key
+// lint can't see
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

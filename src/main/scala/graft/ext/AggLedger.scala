@@ -71,20 +71,34 @@ object AggLedger {
 
   /** Fold one batch into the persisted ledger (the foreachBatch body —
     * attach to a stream exactly like DedupLedgerStream.attach). Empty
-    * batches are a no-op; replaying a batch id overwrites its own version
-    * dir (idempotent under Structured Streaming's at-least-once replay
-    * ONLY if the batch content is the replay's content — the streaming
-    * checkpoint guarantees exactly that).
+    * batches are a no-op.
+    *
+    * Replay safety: Structured Streaming's foreachBatch is at-least-once —
+    * a crash after [[graft.streaming.VersionedState.commit]] flips
+    * `_LATEST` to v<batchId> but BEFORE the streaming checkpoint records
+    * the batch makes the engine re-deliver the SAME (batchId, content).
+    * Unlike DedupLedgerStream (whose component-merge is idempotent), sums
+    * and counts are NOT — merging the replayed partials into state that
+    * already contains them would double-count. So maintain() is guarded by
+    * the transaction-log rule: if a committed version id ≥ batchId exists,
+    * this batch's effects are already in state and the replay is a no-op.
+    * (Batch ids are monotone within one stream, which is what makes ≥ the
+    * correct test; replayed content is bit-identical per the checkpoint
+    * contract, so skipping loses nothing.)
     */
   def maintain(batch: DataFrame, batchId: Long, root: String,
                keys: Seq[String], valueCol: String): Unit = {
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
-      val keyTypes = keys.map(k => batch.schema(k).dataType)
-      val state = graft.streaming.VersionedState.current(
-        spark, root, stateSchema(keys, keyTypes))
-      graft.streaming.VersionedState.commit(
-        merge(state, partial(batch, keys, valueCol), keys), batchId, root)
+      val applied = graft.streaming.VersionedState.appliedVersion(spark, root)
+        .exists(_ >= batchId)
+      if (!applied) {
+        val keyTypes = keys.map(k => batch.schema(k).dataType)
+        val state = graft.streaming.VersionedState.current(
+          spark, root, stateSchema(keys, keyTypes))
+        graft.streaming.VersionedState.commit(
+          merge(state, partial(batch, keys, valueCol), keys), batchId, root)
+      }
     }
   }
 

@@ -114,7 +114,7 @@ object Audio {
 
   /** Raw (pre-bias) sample value — non-negative < 65536 in both engines:
     * seed is bounded first so the product stays far from Long overflow
-    * (same convention as [[Multimodal.fakeDecode]]), and `%` of a
+    * (same convention as [[Multimodal.opaqueFeatures]]), and `%` of a
     * non-negative value is non-negative in the JVM and DuckDB alike.
     */
   @inline private def rawSample(seed: Long, k: Int): Long =
@@ -231,6 +231,63 @@ object Audio {
       val kept = Array.tabulate((w.samples.length + stride - 1) / stride)(j =>
         w.samples(j * stride))
       MediaRecord(r.media_id, writeWav(kept, w.sampleRate / stride), r.media_type)
+    })
+  }
+
+  /** Windowed-sinc resample of one clip to `outRate` — the production
+    * kernel behind the same map-only shape as the decimating [[resample]]
+    * (which stays as the integer-exact oracle twin). Band-limited
+    * interpolation: each output sample at input-time `x = j·inRate/outRate`
+    * is `Σ_k s(k)·fc·sinc(fc·(k−x))·hann((k−x)/half)` over the `taps`-wide
+    * support, with cutoff `fc = min(1, outRate/inRate)` so downsampling
+    * low-passes at the OUTPUT Nyquist first (plain decimation aliases
+    * everything above it back into band). Edges are zero-padded; outputs
+    * round-half-up and clamp to 16-bit. Float arithmetic → rows-only
+    * registry entry + property pins in AudioSpec (DC preservation, tone
+    * frequency preservation, alias attenuation), not a DuckDB hash.
+    */
+  def resampleSincSamples(s: Array[Short], inRate: Int, outRate: Int,
+                          taps: Int = 16): Array[Short] = {
+    require(inRate >= 1 && outRate >= 1, s"rates must be >= 1: $inRate -> $outRate")
+    require(taps >= 4, s"taps must be >= 4, got $taps")
+    val fc = math.min(1.0, outRate.toDouble / inRate)
+    val half = taps / fc // support half-width in input samples
+    val outLen = (s.length.toLong * outRate / inRate).toInt
+    val out = new Array[Short](outLen)
+    var j = 0
+    while (j < outLen) {
+      val x = j.toDouble * inRate / outRate
+      var k = math.ceil(x - half).toInt
+      val kEnd = math.floor(x + half).toInt
+      var acc = 0.0
+      while (k <= kEnd) {
+        if (k >= 0 && k < s.length) {
+          val u = k - x
+          val t = fc * u
+          val sinc = if (t == 0.0) 1.0 else math.sin(math.Pi * t) / (math.Pi * t)
+          val wnd = 0.5 * (1.0 + math.cos(math.Pi * u / half))
+          acc += s(k) * fc * sinc * wnd
+        }
+        k += 1
+      }
+      val r = math.rint(acc)
+      out(j) = math.max(Short.MinValue.toDouble, math.min(Short.MaxValue.toDouble, r)).toShort
+      j += 1
+    }
+    out
+  }
+
+  /** Dataset form of [[resampleSincSamples]]: decode → filter → re-encode
+    * per record, map-only (no shuffle — the codec amortizes per partition).
+    */
+  def resampleSinc(media: Dataset[MediaRecord], outRate: Int,
+                   taps: Int = 16): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val w = parseWav(r.payload)
+      MediaRecord(r.media_id,
+        writeWav(resampleSincSamples(w.samples, w.sampleRate, outRate, taps), outRate),
+        r.media_type)
     })
   }
 

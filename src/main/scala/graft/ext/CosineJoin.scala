@@ -77,12 +77,28 @@ object CosineJoin {
       .join(nsq, Seq("doc_id"))
       // sqrt(sufsq/nsq) >= cut  <=>  sufsq >= cut² · nsq
       .filter(col("sufsq").cast("double") >= lit(cut * cut) * col("nsq").cast("double"))
-      .select(col("tok"), col("doc_id"))
-    val cand = prefix.select(col("tok"), col("doc_id").as("doc_a"))
-      .join(prefix.select(col("tok"), col("doc_id").as("doc_b")), Seq("tok"))
+      // s² = sufsq/nsq: the normalized SUFFIX-norm square at this token,
+      // carried into candidate generation for the positional bound below
+      .select(col("tok"), col("doc_id"),
+        (col("sufsq").cast("double") / col("nsq").cast("double")).as("ssq"))
+    // ppjoin positional upper bound (the cosine form of the bound the
+    // jaccard sibling carries): for any shared token, cos(x,y) ≤
+    // s_x(i)·s_y(j) (Cauchy–Schwarz on the suffixes from the shared token
+    // on). A TRUE pair's FIRST shared token in the global rarity order has
+    // both sides in the prefix (if s_x < cut there, cos ≤ s_x·1 < cut) and
+    // s_x·s_y ≥ cos ≥ threshold, so keeping a pair iff its BEST shared
+    // prefix token has s_a²·s_b² ≥ cut² is lossless — and prunes pairs
+    // that share only deep-suffix tokens before the 3-join verify pays
+    // for them. Same shuffle as the dropDuplicates it replaces (one keyed
+    // aggregation on the pair), strictly fewer rows out.
+    val cand = prefix.select(col("tok"), col("doc_id").as("doc_a"), col("ssq").as("sa"))
+      .join(prefix.select(col("tok"), col("doc_id").as("doc_b"), col("ssq").as("sb")),
+        Seq("tok"))
       .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("sa") * col("sb")).as("bound"))
+      .filter(col("bound") >= lit(cut * cut))
       .select(col("doc_a"), col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
     verify(cand, w, nsq, threshold)
   }
 

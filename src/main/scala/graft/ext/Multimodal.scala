@@ -17,8 +17,15 @@ import org.apache.spark.sql.functions._
   *    The oracle-checked query `x_mm_image_decode` proves the round trip —
   *    PNGs encoded from the documents table decode back to dimensions an
   *    independent engine computes arithmetically.
-  *  - anything else → [[fakeDecode]], a clearly-marked deterministic stub
-  *    (audio/video codecs don't exist in this container).
+  *  - audio types → [[audioDecode]], the REAL in-house RIFF/WAVE codec
+  *    ([[Audio.parseWav]], itself pinned against `javax.sound.sampled`):
+  *    true sample count/rate + signal features. `x_mm_decode_dispatch`
+  *    oracles a mixed image+audio table through this dispatch.
+  *  - anything else → [[opaqueFeatures]], the declared featurizer for
+  *    payloads with NO registered codec: deterministic integer arithmetic
+  *    over (media_id, n_bytes), chosen precisely so an independent SQL
+  *    engine can mirror it (`x_mm_features`) — it exercises the batch
+  *    plumbing, not a codec claim.
   */
 object Multimodal {
 
@@ -31,16 +38,18 @@ object Multimodal {
                                  media_type: String, width: Int, height: Int,
                                  feature: Array[Float])
 
-  /** STUB decode: a real implementation would decode the payload with an
-    * image/audio codec. This deterministic fake derives pseudo-dimensions
-    * and a tiny feature vector from (media_id, n_bytes) with plain integer
-    * arithmetic — deterministic, no RNG, and (deliberately) computable by
-    * an independent SQL engine, which is what lets `x_mm_features` carry a
-    * DuckDB oracle just like the real decoders' geometry queries. Feature
-    * components are k/256 (exactly representable in float AND double), so
-    * a float→double cast is lossless cross-engine.
+  /** Featurizer for OPAQUE payloads — media types with no registered codec
+    * (image and audio dispatch to their real decoders). Derives pseudo-
+    * dimensions and a tiny feature vector from (media_id, n_bytes) with
+    * plain integer arithmetic — deterministic, no RNG, and (deliberately)
+    * computable by an independent SQL engine, which is what lets
+    * `x_mm_features` carry a DuckDB oracle just like the real decoders'
+    * geometry queries: it pins the BATCH PLUMBING (schema, partition
+    * iteration, dispatch) independently of any codec. Feature components
+    * are k/256 (exactly representable in float AND double), so a
+    * float→double cast is lossless cross-engine.
     */
-  def fakeDecode(r: MediaRecord): MediaFeatures = {
+  def opaqueFeatures(r: MediaRecord): MediaFeatures = {
     val n = r.payload.length.toLong
     // media_id is folded mod 1000003 first so h stays ≪ Long.MaxValue for
     // ANY id: unbounded ids would wrap negative in the JVM (negative
@@ -78,9 +87,41 @@ object Multimodal {
       Array(sr / n / 255f, sg / n / 255f, sb / n / 255f, w.toFloat / h))
   }
 
-  /** Type-dispatching decoder: real for images, stub otherwise. */
+  /** REAL audio decode via the in-house RIFF/WAVE codec ([[Audio.parseWav]],
+    * pinned against `javax.sound.sampled` in AudioSpec): width carries the
+    * sample count, height the sample rate (the geometry analog — both true
+    * container facts), feature = [duration s, mean |s|/32768, max |s|/32768,
+    * zero-crossing rate].
+    */
+  def audioDecode(r: MediaRecord): MediaFeatures = {
+    val w = Audio.parseWav(r.payload)
+    val s = w.samples
+    val n = s.length
+    var sumAbs = 0L; var maxAbs = 0; var zc = 0L
+    var k = 0
+    while (k < n) {
+      val a = math.abs(s(k).toInt)
+      sumAbs += a
+      if (a > maxAbs) maxAbs = a
+      if (k > 0 && (s(k) >= 0) != (s(k - 1) >= 0)) zc += 1
+      k += 1
+    }
+    val nf = math.max(n, 1)
+    MediaFeatures(r.media_id, r.payload.length.toLong, r.media_type,
+      width = n, height = w.sampleRate,
+      feature = Array(n.toFloat / w.sampleRate,
+        (sumAbs.toDouble / nf / 32768.0).toFloat,
+        maxAbs / 32768f,
+        (zc.toDouble / nf).toFloat))
+  }
+
+  /** Type-dispatching decoder: real codecs for image and audio, the
+    * declared opaque featurizer otherwise.
+    */
   def decode(r: MediaRecord): MediaFeatures =
-    if (r.media_type.startsWith("image/")) imageDecode(r) else fakeDecode(r)
+    if (r.media_type.startsWith("image/")) imageDecode(r)
+    else if (r.media_type.startsWith("audio/")) audioDecode(r)
+    else opaqueFeatures(r)
 
   /** The mapInPandas-shaped batch transform: per-partition iterator in,
     * iterator out; decoder state initialized once per partition (where a

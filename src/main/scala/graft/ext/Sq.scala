@@ -34,7 +34,13 @@ object Sq {
   final case class SqModel(lo: Array[Double], span: Array[Double]) {
     def d: Int = lo.length
     private def arr(a: Array[Double]): String =
-      a.map(x => java.lang.Double.toString(x) + "D").mkString("array(", ", ", ")")
+      a.map { x =>
+        // Inf/NaN render as "InfinityD"/"NaND" — not SQL; fail at the
+        // literal so a poisoned range can't break codegen opaquely
+        require(java.lang.Double.isFinite(x),
+          s"SqModel: non-finite range value $x cannot be inlined as SQL")
+        java.lang.Double.toString(x) + "D"
+      }.mkString("array(", ", ", ")")
     /** Spark SQL literal arrays (`array(…D, …)`), inlined into codegen. */
     def loArr: String = arr(lo)
     def spanArr: String = arr(span)
@@ -54,12 +60,25 @@ object Sq {
     val d = stats.map(_.getInt(0)).max + 1
     val lo = new Array[Double](d)
     val span = new Array[Double](d)
+    val seen = new Array[Boolean](d)
     stats.foreach { r =>
       val i = r.getInt(0)
+      // an all-NULL dimension aggregates to NULL min/max — getDouble would
+      // NPE three lines from the cause; name the dimension instead
+      require(!r.isNullAt(1) && !r.isNullAt(2),
+        s"sqTrain: dimension $i has no non-null values — the embedding " +
+          "column carries NULL entries at this position for every vector")
       lo(i) = r.getDouble(1)
       val s = r.getDouble(2) - lo(i)
       span(i) = if (s > 0) s else 1.0
+      seen(i) = true
     }
+    // ragged vectors: a dim index absent from stats would silently keep
+    // lo=0/span=0 and sqEncode would divide by zero row-side
+    val missing = seen.indices.filterNot(seen)
+    require(missing.isEmpty,
+      s"sqTrain: dimensions ${missing.mkString(",")} absent from the corpus " +
+        s"(ragged embedding arrays — expected every vector to have $d dims)")
     SqModel(lo, span)
   }
 

@@ -182,6 +182,23 @@ object Extensions {
         p
       })
 
+  /** Cosine pair graph, same once-per-corpus ledger treatment as
+    * [[ccPairsFor]]: the AllPairs join was re-running end-to-end on every
+    * serve — 15.3 s isolated, the single largest line of the r8 bench —
+    * while its jaccard sibling served from a persisted build.
+    */
+  private val cosinePairCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def cosinePairsFor(s: SparkSession, dir: String): DataFrame =
+    cosinePairCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("cosine_pair_graph") {
+        val p = graft.ext.CosineJoin.similarPairs(Tables.documents(s, dir),
+          threshold = 0.4, maxDf = 100L, ngram = 3).persist()
+        p.count() // materialize: consumers must not re-run the pair join
+        p
+      })
+
   private def ccFor(s: SparkSession, dir: String): DataFrame =
     ccCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
       graft.BuildTimes.timed("cc_ledger") {
@@ -544,11 +561,10 @@ object Extensions {
     // weighted (tf-vector) cosine similarity self-join — AllPairs prefix
     // filter (suffix-norm bound, lossless) + integer-exact dot verify over
     // rare-token (df ≤ 100) sub-vectors; the multiset counterpart of the
-    // jaccard join (see ext.CosineJoin's scale notes)
-    "x_dedup_cosine" -> ((s: SparkSession, dir: String) => {
-      graft.ext.CosineJoin.similarPairs(Tables.documents(s, dir),
-        threshold = 0.4, maxDf = 100L, ngram = 3)
-    }),
+    // jaccard join (see ext.CosineJoin's scale notes); built once per
+    // corpus and served from the persisted pair set, like the jaccard
+    // pair graph — build cost itemized as cosine_pair_graph
+    "x_dedup_cosine" -> ((s: SparkSession, dir: String) => cosinePairsFor(s, dir)),
 
     // local clustering coefficient (2T/deg(deg−1)) for degree-≥2 nodes —
     // one keyed degree agg + a keyed join over the CACHED triangle counts
@@ -1434,6 +1450,22 @@ object Extensions {
         .select(col("media_id"), col("width"), col("height"))
     }),
 
+    // MIXED media table (PNG ∪ WAV, audio ids offset to disjoint range)
+    // through the one type-dispatching decode: images land on ImageIO,
+    // audio on the RIFF codec — width/height carry true pixel geometry
+    // for images and (n_samples, sample_rate) for audio, both re-derived
+    // arithmetically by the oracle, so a hash match pins the DISPATCH
+    // itself, not just each codec in isolation
+    "x_mm_decode_dispatch" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val png = Multimodal.pngMediaFromDocuments(s, docs)
+      val wav = Audio.wavMediaFromDocuments(s, docs)
+        .map(r => r.copy(media_id = r.media_id + 1000000000L))
+      Multimodal.extractFeatures(png.union(wav)).toDF()
+        .select(col("media_id"), col("media_type"), col("width"), col("height"))
+    }),
+
     // real resize (Graphics2D bilinear, re-encoded PNG) then real decode;
     // target geometry is integer arithmetic -> oracle-checked
     "x_mm_resize" -> ((s: SparkSession, dir: String) => {
@@ -1546,6 +1578,18 @@ object Extensions {
     "x_mm_audio_resample" -> ((s: SparkSession, dir: String) => {
       val media = Audio.wavMediaFromDocuments(s, Tables.documents(s, dir))
       Audio.decodeFeatures(Audio.resample(media, stride = 4)).toDF()
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("sum_abs"))
+    }),
+
+    // production-kernel twin of x_mm_audio_resample: windowed-sinc
+    // band-limited 16 kHz → 4 kHz (anti-aliased, unlike plain decimation),
+    // same map-only shape. Float kernel → rows-only here; the kernel's
+    // contracts (DC/tone preservation, alias attenuation, length/rate)
+    // are property-pinned in AudioSpec
+    "x_mm_audio_resample_sinc" -> ((s: SparkSession, dir: String) => {
+      val media = Audio.wavMediaFromDocuments(s, Tables.documents(s, dir))
+      Audio.decodeFeatures(Audio.resampleSinc(media, outRate = 4000)).toDF()
         .select(col("media_id"), col("sample_rate"), col("n_samples"),
           col("sum_abs"))
     }),
@@ -2186,6 +2230,12 @@ object Extensions {
     * E-notation forces the direct string→double parse, which is exact.
     */
   private def fmtD(x: Double): String = {
+    // non-finite values would render as "InfinityE0"/"NaNE0" — SQL neither
+    // engine parses, surfacing as an opaque oracle-generation failure far
+    // from the bad embedding that caused it. Fail loudly at the source.
+    require(java.lang.Double.isFinite(x),
+      s"fmtD: non-finite value $x cannot be rendered as a SQL double " +
+        "literal — an embedding/centroid carries Inf/NaN upstream")
     val s = java.lang.Double.toString(x)
     if (s.contains("E")) s else s + "E0"
   }
@@ -3411,7 +3461,7 @@ object Extensions {
     "x_mm_bytes" ->
       "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes FROM documents",
 
-    // mirrors fakeDecode's arithmetic pseudo-geometry in (media_id, n_bytes);
+    // mirrors opaqueFeatures' arithmetic pseudo-geometry in (media_id, n_bytes);
     // n_bytes = UTF-8 byte length of text (mediaFromDocuments' payload)
     "x_mm_features" ->
       """WITH h AS (SELECT doc_id AS media_id,
@@ -3428,6 +3478,19 @@ object Extensions {
       """SELECT doc_id AS media_id,
         |  CAST(n_chars % 64 + 1 AS INT) AS width,
         |  CAST(doc_id % 48 + 1 AS INT) AS height
+        |FROM documents""".stripMargin,
+
+    // the dispatch union: image rows carry PNG pixel geometry, audio rows
+    // (ids offset by 1e9) carry (n_samples = 1600 + (doc_id%7)·160, 16000)
+    "x_mm_decode_dispatch" ->
+      """SELECT doc_id AS media_id, 'image/png' AS media_type,
+        |  CAST(n_chars % 64 + 1 AS INT) AS width,
+        |  CAST(doc_id % 48 + 1 AS INT) AS height
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 1000000000 AS media_id, 'audio/wav' AS media_type,
+        |  CAST(1600 + (doc_id % 7) * 160 AS INT) AS width,
+        |  CAST(16000 AS INT) AS height
         |FROM documents""".stripMargin,
 
     // mirrors resizeImage's integer geometry: downscale so max(w,h) <= 16,

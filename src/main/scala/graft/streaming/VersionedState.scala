@@ -46,8 +46,11 @@ object VersionedState {
       val in = f.open(ptr)
       val v = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
       spark.read.parquet(s"$root/$v")
-    } else versionDirs(f, root) match {
-      case latest +: _ => spark.read.parquet(latest.toString)
+    } else versionDirs(f, root)
+      // a dir without Spark's _SUCCESS marker is a crash mid-write — its
+      // contents are partial and must never be served as state
+      .find(p => f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) match {
+      case Some(latest) => spark.read.parquet(latest.toString)
       case _ => spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
     }
@@ -90,6 +93,26 @@ object VersionedState {
   /** Committed version ids under `root`, newest first. */
   def versions(spark: SparkSession, root: String): Seq[Long] =
     versionDirs(fs(spark, root), root).map(_.getName.drop(1).toLong)
+
+  /** Highest batch id whose effects are DURABLY APPLIED — the replay-
+    * idempotency test for non-idempotent maintainers (AggLedger): the
+    * pointer target when present, else the highest version dir carrying
+    * Spark's `_SUCCESS` marker. A bare `v<id>` dir without `_SUCCESS` is a
+    * crash mid-`updated.write` — its batch's effects are NOT in state, so
+    * counting it would make a maintainer skip a genuine replay and lose
+    * the batch (the dual failure of the double-count this test prevents).
+    */
+  def appliedVersion(spark: SparkSession, root: String): Option[Long] = {
+    val f = fs(spark, root)
+    val ptr = new org.apache.hadoop.fs.Path(root, "_LATEST")
+    if (f.exists(ptr)) {
+      val in = f.open(ptr)
+      val v = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      Some(v.drop(1).toLong)
+    } else versionDirs(f, root)
+      .find(p => f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .map(_.getName.drop(1).toLong)
+  }
 
   /** Time-travel read of a RETAINED version (commit with `keepVersions`
     * > 1 to retain history). Fails loudly on a pruned/unknown id — a

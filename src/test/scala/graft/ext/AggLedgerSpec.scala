@@ -47,6 +47,47 @@ class AggLedgerSpec extends SparkSpec {
     assert(served(root2) === first)
   }
 
+  test("at-least-once replay of an applied batch is a no-op (no double count)") {
+    val root = java.nio.file.Files.createTempDirectory("aggledger-rp").toString + "/st"
+    val df = rows(80)
+    val b0 = df.filter(col("id") < 40)
+    val b1 = df.filter(col("id") >= 40)
+    AggLedger.maintain(b0, 0L, root, Seq("k"), "v")
+    AggLedger.maintain(b1, 1L, root, Seq("k"), "v")
+    val want = served(root)
+    assert(want === direct(df))
+    // crash after VersionedState.commit flipped _LATEST to v1 but before
+    // the streaming checkpoint recorded batch 1: the engine re-delivers
+    // the SAME (1, content) — merging it again would double cnt/sum_dec
+    AggLedger.maintain(b1, 1L, root, Seq("k"), "v")
+    assert(served(root) === want)
+    // and replaying an even older applied batch is equally a no-op
+    AggLedger.maintain(b0, 0L, root, Seq("k"), "v")
+    assert(served(root) === want)
+  }
+
+  test("a crashed mid-write version dir (no _SUCCESS) does not mask a replay") {
+    val root = java.nio.file.Files.createTempDirectory("aggledger-cw").toString + "/st"
+    val df = rows(80)
+    val b0 = df.filter(col("id") < 40)
+    val b1 = df.filter(col("id") >= 40)
+    AggLedger.maintain(b0, 0L, root, Seq("k"), "v")
+    // crash DURING batch 1's updated.write: a bare v1 dir exists but the
+    // pointer was never flipped — batch 1's effects are NOT in state, so
+    // the redelivery must APPLY, not be skipped as "already seen"
+    assert(new java.io.File(root, "v1").mkdirs())
+    AggLedger.maintain(b1, 1L, root, Seq("k"), "v")
+    assert(served(root) === direct(df))
+    // same discipline with the pointer ALSO lost (non-atomic-flip store):
+    // appliedVersion/current must ignore a bare dir lacking _SUCCESS
+    assert(new java.io.File(root, "v7").mkdirs())
+    assert(new java.io.File(root, "_LATEST").delete())
+    val want = served(root) // still batch 0+1 state, not empty/corrupt v7
+    assert(want === direct(df))
+    AggLedger.maintain(b1.limit(5), 7L, root, Seq("k"), "v") // genuine batch 7
+    assert(served(root) !== want)
+  }
+
   test("serve recovers the highest version when the _LATEST pointer is lost") {
     val root = java.nio.file.Files.createTempDirectory("aggledger-rec").toString + "/st"
     val df = rows(50)

@@ -89,6 +89,53 @@ class AudioSpec extends SparkSpec {
     }.toSeq)
   }
 
+  test("resampleSinc: length/rate contract, DC preserved, pure tone survives, alias killed") {
+    def sine(f: Double, sr: Int, n: Int, amp: Double = 10000.0): Array[Short] =
+      Array.tabulate(n)(k => math.rint(amp * math.sin(2 * math.Pi * f * k / sr)).toShort)
+    def energy(s: Array[Short]): Double = s.map(v => v.toDouble * v).sum / s.length
+
+    // length and rate: 16 kHz, 1600 samples -> 4 kHz, 400 samples
+    val dc = Array.fill(1600)(5000.toShort)
+    val dcOut = Audio.resampleSincSamples(dc, 16000, 4000)
+    assert(dcOut.length === 400)
+    // DC (0 Hz) passes the low-pass untouched away from the zero-padded
+    // edges (the kernel sums to ~1 there)
+    val interior = dcOut.slice(20, 380)
+    assert(interior.forall(v => math.abs(v - 5000) <= 50),
+      s"DC drifted: ${interior.min}..${interior.max}")
+
+    // a 500 Hz tone is far below the 2 kHz output Nyquist: energy survives
+    val tone = sine(500, 16000, 1600)
+    val toneOut = Audio.resampleSincSamples(tone, 16000, 4000)
+    val keep = energy(toneOut.slice(20, 380)) / energy(tone)
+    assert(keep > 0.8 && keep < 1.2, s"passband energy ratio $keep")
+
+    // a 3.5 kHz tone is ABOVE the output Nyquist: plain decimation aliases
+    // it to 500 Hz at full energy; the sinc low-pass must crush it
+    val hi = sine(3500, 16000, 1600)
+    val hiOut = Audio.resampleSincSamples(hi, 16000, 4000)
+    val leak = energy(hiOut.slice(20, 380)) / energy(hi)
+    assert(leak < 0.02, s"stopband leak $leak")
+    val aliased = Audio.resampleSincSamples(hi, 16000, 16000 / 4) // == decim rate
+    assert(leak < 0.02 && energy(hi.indices.collect { case k if k % 4 == 0 => hi(k) }
+      .toArray) / energy(hi) > 0.8, s"decimation control should alias, sinc must not")
+
+    // upsample: 1:2 preserves the tone too (fc = 1, pure interpolation)
+    val up = Audio.resampleSincSamples(tone, 16000, 32000)
+    assert(up.length === 3200)
+    val upKeep = energy(up.slice(40, 3160)) / energy(tone)
+    assert(upKeep > 0.8 && upKeep < 1.2, s"upsample energy ratio $upKeep")
+
+    // Dataset form: real WAV out at the target rate, same kernel
+    val docs = Seq((8L, "t", 1L)).toDF("doc_id", "text", "n_chars")
+    val media = Audio.wavMediaFromDocuments(spark, docs)
+    val res = Audio.resampleSinc(media, outRate = 4000).collect().head
+    val parsed = Audio.parseWav(res.payload)
+    assert(parsed.sampleRate === 4000)
+    assert(parsed.samples.toSeq ===
+      Audio.resampleSincSamples(Audio.synthSamples(8L), 16000, 4000).toSeq)
+  }
+
   test("frameEnergies: exact per-frame sums incl. the short tail frame") {
     val docs = Seq((20L, "t", 1L)).toDF("doc_id", "text", "n_chars")
     val out = Audio.frameEnergies(Audio.wavMediaFromDocuments(spark, docs), 400)

@@ -639,6 +639,22 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).width < 640 && out(0).height < 480)
   }
 
+  test("decode dispatch: audio/* lands on the real RIFF codec, true count/rate/features") {
+    val samples = Array.tabulate(800)(k => ((k * 48271) % 65536 - 32768).toShort)
+    val media = Seq(
+      Multimodal.MediaRecord(3L, Audio.writeWav(samples, 8000), "audio/wav"),
+      Multimodal.MediaRecord(4L, "opaque".getBytes("UTF-8"), "application/x-unknown")).toDS()
+    val out = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    // audio: width = n_samples, height = sample rate — true container facts
+    assert(out(0).width === 800 && out(0).height === 8000)
+    assert(out(0).feature(0) === 800f / 8000) // duration s
+    val expMean = samples.map(s => math.abs(s.toInt).toLong).sum.toDouble / 800 / 32768.0
+    assert(math.abs(out(0).feature(1) - expMean) < 1e-6)
+    assert(out(0).feature(2) === samples.map(s => math.abs(s.toInt)).max / 32768f)
+    // unknown type still flows through the opaque featurizer, not a codec
+    assert(out(1).width < 640 && out(1).height < 480)
+  }
+
   test("real ImageIO decode: hand-built PNG round-trips dimensions and mean RGB") {
     val img = new java.awt.image.BufferedImage(3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
     // six known pixels: pure red, green, blue on row 0; black ×3 on row 1
