@@ -4,7 +4,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val warmRuns = sys.env.getOrElse("SPARK_GRAFT_WARM_RUNS", "3").toInt
+    // default 5 (was 3 through r9): the warm medians are the round-over-
+    // round signal, and in BENCH_r09 two of them came out 6-28× their
+    // isolated values because a contention window (the driver's concurrent
+    // 1-core DuckDB oracle run) contaminated 2 of 3 reps — a median of 5
+    // survives 2 contaminated reps, a median of 3 does not
+    val warmRuns = sys.env.getOrElse("SPARK_GRAFT_WARM_RUNS", "5").toInt
     // optional skip list (comma-separated names) for out-of-contract runs,
     // e.g. excluding the by-spec-quadratic pair forms from scale-up benches;
     // empty by default so the driver's per-round run is unchanged
@@ -56,6 +61,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
     val warmTotal = results.values.map(_._2).sum
+    // evaluated here, BEFORE the isolated blocks below can touch builds
     val builds = BuildTimes.times.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     // Isolated re-measure of the 10 most expensive queries (by warm
@@ -73,9 +79,34 @@ object Bench {
       if (failed.contains(name)) None else Some(name -> reps(reps.size / 2))
     }
     val isoObj = isolated.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    // rendered AFTER the isolated block so its failures are included
+    // Isolated re-measure of expensive BUILDS (round-9 verdict item 1):
+    // the once-per-corpus builds are single-shot in the sweep — first
+    // touch inside whichever query hits them — so they had no contention
+    // defense (BENCH_r09: cc_pair_graph 74.0 s with zero code change vs
+    // 22.8 s in r08). For every build whose first-touch cost exceeds the
+    // threshold, evict its cache via BuildRebuild and rebuild N times
+    // back-to-back, nothing else in flight; the median is the number to
+    // read. Snapshot the itemization FIRST — the reps accumulate into
+    // BuildTimes and must not inflate the reported `builds`.
+    val buildItem = BuildTimes.times.toMap
+    val buildsTotal = buildItem.values.sum
+    val buildIsoSec = sys.env.getOrElse("SPARK_GRAFT_BUILD_ISO_SEC", "8.0").toDouble
+    val buildIsoRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BUILD_ISO_RUNS", "3").toInt)
+    val buildsIso = buildItem.toSeq.filter(_._2 >= buildIsoSec).map(_._1).sorted.flatMap { name =>
+      BuildRebuild.get(name).map { hook =>
+        val reps = Seq.fill(buildIsoRuns) {
+          val t0 = System.nanoTime()
+          try hook(spark, sfDir)
+          catch { case e: Throwable => System.err.println(s"[bench] rebuild $name: $e") }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        name -> reps(reps.size / 2)
+      }
+    }
+    val buildsIsoObj = buildsIso.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    // rendered AFTER the isolated blocks so their failures are included
     val errs = failed.map(n => s"\"$n\"").mkString("[", ",", "]")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._1)},"warm_total":$warmTotal,"warm_queries":${obj(_._2)},"warm_runs":$warmRuns,"isolated":$isoObj,"isolated_runs":$isolatedRuns,"builds":$builds,"builds_total":${BuildTimes.total},"errors":$errs,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._1)},"warm_total":$warmTotal,"warm_queries":${obj(_._2)},"warm_runs":$warmRuns,"isolated":$isoObj,"isolated_runs":$isolatedRuns,"builds":$builds,"builds_total":$buildsTotal,"builds_isolated":$buildsIsoObj,"build_iso_runs":$buildIsoRuns,"errors":$errs,"sf":"$sfDir"}"""
     println(fullLine)
     // full record also lands in a sidecar file — the stdout line above
     // outgrew the driver's tail capture once the registry passed ~150
@@ -89,7 +120,8 @@ object Bench {
     // lives on the full line / sidecar
     def r3(d: Double) = math.rint(d * 1000) / 1000
     val topObj = isolated.map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$topObj,"n_queries":${results.size},"warm_total":${r3(warmTotal)},"builds_total":${r3(BuildTimes.total)},"errors":$errs,"summary_of":"top-10 isolated medians; full per-query record in $sidecar","sf":"$sfDir"}""")
+    val topBuilds = buildsIso.map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$topObj,"n_queries":${results.size},"warm_total":${r3(warmTotal)},"builds_total":${r3(buildsTotal)},"builds_isolated":$topBuilds,"errors":$errs,"summary_of":"top-10 isolated medians; full per-query record in $sidecar","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -82,22 +82,47 @@ object AggLedger {
     * already contains them would double-count. So maintain() is guarded by
     * the transaction-log rule: if a committed version id ≥ batchId exists,
     * this batch's effects are already in state and the replay is a no-op.
-    * (Batch ids are monotone within one stream, which is what makes ≥ the
-    * correct test; replayed content is bit-identical per the checkpoint
-    * contract, so skipping loses nothing.)
+    *
+    * Batch ids are only monotone WITHIN one logical stream — a new/reset
+    * streaming checkpoint restarts them at 0, and a version-only `≥` guard
+    * would then SILENTLY SKIP every new batch until ids climbed past the
+    * old applied version (round-9 ADVICE: silent data loss). So replay
+    * detection is keyed on (streamId, batchId), Delta-`txnAppId`-style:
+    * `streamId` names the logical stream ([[attach]] passes its checkpoint
+    * path — same checkpoint = same id across restarts; a reset checkpoint
+    * = a new id) and is committed atomically with each version
+    * ([[graft.streaming.VersionedState.commit]]'s `txnId`). A maintain()
+    * whose streamId MISMATCHES the recorded one fails loudly: neither
+    * skipping (loses the new stream's batches) nor merging (double-counts
+    * if the new stream re-reads old data) is safe to guess — point the new
+    * checkpoint at a fresh state root, or deliberately delete the state.
+    * A recorded txn of None (pre-txn state, a txn-less maintainer, or the
+    * rare `_SUCCESS`-without-`_TXN` crash window) falls back to the
+    * version-only test — the pre-existing contract.
     */
   def maintain(batch: DataFrame, batchId: Long, root: String,
-               keys: Seq[String], valueCol: String): Unit = {
+               keys: Seq[String], valueCol: String,
+               streamId: Option[String] = None): Unit = {
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
-      val applied = graft.streaming.VersionedState.appliedVersion(spark, root)
-        .exists(_ >= batchId)
-      if (!applied) {
+      val applied = graft.streaming.VersionedState.appliedState(spark, root)
+      (applied.flatMap(_._2), streamId) match {
+        case (Some(recorded), Some(sid)) if recorded != sid =>
+          throw new IllegalStateException(
+            s"AggLedger state at $root was committed by stream " +
+              s"'$recorded' but maintain() arrived from stream '$sid' " +
+              s"(batch $batchId). Refusing to guess between skip (data " +
+              "loss) and merge (double count): point the new checkpoint " +
+              "at a fresh state root, or delete this state to rebuild.")
+        case _ => ()
+      }
+      if (!applied.exists(_._1 >= batchId)) {
         val keyTypes = keys.map(k => batch.schema(k).dataType)
         val state = graft.streaming.VersionedState.current(
           spark, root, stateSchema(keys, keyTypes))
         graft.streaming.VersionedState.commit(
-          merge(state, partial(batch, keys, valueCol), keys), batchId, root)
+          merge(state, partial(batch, keys, valueCol), keys), batchId, root,
+          txnId = streamId)
       }
     }
   }
@@ -110,12 +135,15 @@ object AggLedger {
 
   /** Attach the maintainer to a fact stream: each micro-batch folds into
     * the persisted rollup (the DedupLedgerStream shape). Caller starts/
-    * stops the query; state lives under `root`.
+    * stops the query; state lives under `root`. The checkpoint path is the
+    * stream identity for replay detection (see [[maintain]]): same
+    * checkpoint across restarts = same id; a reset checkpoint = a new id,
+    * which maintain() rejects loudly instead of silently skipping batches.
     */
   def attach(facts: DataFrame, root: String, checkpoint: String,
              keys: Seq[String], valueCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     facts.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch((df: DataFrame, id: Long) =>
-        maintain(df, id, root, keys, valueCol))
+        maintain(df, id, root, keys, valueCol, streamId = Some(checkpoint)))
 }

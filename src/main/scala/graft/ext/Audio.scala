@@ -94,6 +94,10 @@ object Audio {
           require(fmtTag == 1, s"only PCM supported, got format $fmtTag")
           channels = buf.getShort.toInt
           sampleRate = buf.getInt
+          // a declared rate < 1 would poison every downstream consumer
+          // (duration = n/sr → Infinity/negative features) — reject here,
+          // once, like the non-PCM/non-16-bit checks (round-9 ADVICE)
+          require(sampleRate >= 1, s"sample rate must be >= 1, got $sampleRate")
           buf.getInt; buf.getShort // byte rate, block align
           bits = buf.getShort.toInt
           require(bits == 16, s"only 16-bit PCM supported, got $bits")
@@ -242,7 +246,7 @@ object Audio {
     * support, with cutoff `fc = min(1, outRate/inRate)` so downsampling
     * low-passes at the OUTPUT Nyquist first (plain decimation aliases
     * everything above it back into band). Edges are zero-padded; outputs
-    * round-half-up and clamp to 16-bit. Float arithmetic → rows-only
+    * round half-to-even (`math.rint`) and clamp to 16-bit. Float arithmetic → rows-only
     * registry entry + property pins in AudioSpec (DC preservation, tone
     * frequency preservation, alias attenuation), not a DuckDB hash.
     */

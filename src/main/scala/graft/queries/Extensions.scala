@@ -140,7 +140,8 @@ object Extensions {
         (0 until 3).foreach { w =>
           graft.ext.AggLedger.maintain(
             ev.filter(pmod(col("event_id"), lit(3)) === w), w, root,
-            keys = Seq("event_type", "hr"), valueCol = "value")
+            keys = Seq("event_type", "hr"), valueCol = "value",
+            streamId = Some("agg-ledger-waves")) // txn-guard path exercised
         }
         root
       })
@@ -3776,4 +3777,46 @@ object Extensions {
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM sc GROUP BY 1""".stripMargin
   )
+
+  // ---- bench rebuild hooks (graft.BuildRebuild) ----------------------
+  // One per once-per-corpus build above: evict THIS build's cache entry
+  // (unpinning any persisted frame so reps don't stack executor storage)
+  // and re-force it; dependencies stay cached, so a rebuild measures the
+  // build's exclusive cost — the BuildTimes accounting being re-checked.
+  // Object-body statements, placed LAST so every cache val is initialized.
+  // blocking: a lazily-dropped cache entry would let the rebuilt plan
+  // re-attach to the OLD cached blocks (CacheManager keys on the analyzed
+  // plan) and the rep would time a cache read, not a rebuild
+  private def unpin(df: DataFrame): Unit = {
+    try df.unpersist(blocking = true) catch { case _: Throwable => }
+    ()
+  }
+  private def reg[V](name: String,
+                     cache: scala.collection.concurrent.TrieMap[(String, String), V],
+                     force: (SparkSession, String) => Any)
+                    (release: V => Unit = (_: V) => ()): Unit =
+    graft.BuildRebuild.register(name) { (s, dir) =>
+      cache.remove((s.sparkContext.applicationId, dir)).foreach(release)
+      force(s, dir): Unit
+    }
+  reg("ivf_train_assign", ivfCache, ivfFor)(v => unpin(v._2))
+  reg("pq_train_encode", pqCache, pqFor)(v => unpin(v._2))
+  reg("sq_train_encode", sqCache, sqFor)(v => unpin(v._2))
+  reg("probe_train", probeCache, probeFor)()
+  reg("pca_train", pcaCache, pcaFor)()
+  reg("pca_train_sketched", pcaSkCache, pcaSkFor)()
+  reg("ivf_layout_write", ivfLayoutCache, ivfLayoutFor)()
+  reg("agg_ledger", aggLedgerCache, aggLedgerFor)()
+  reg("tri_counts", triCache, triFor)(unpin)
+  reg("cc_pair_graph", ccPairCache, ccPairsFor)(unpin)
+  reg("cosine_pair_graph", cosinePairCache, cosinePairsFor)(unpin)
+  reg("cc_ledger", ccCache, ccFor)(unpin)
+  reg("cc_star_ledger", ccStarCache, ccStarFor)(unpin)
+  reg("cc_incr_prestate", ccIncrCache, ccIncrFor)(v => { unpin(v._1); unpin(v._2) })
+  reg("bpe_train", bpeCache, bpeFor)()
+  reg("cms_sketch", cmsCache, cmsFor)()
+  reg("substr_dup_scan", substrOccCache, substrOccFor)(unpin)
+  reg("audio_dedup_ledger", audioCcCache, audioCcFor)(unpin)
+  reg("mm_sig_ledger", mmSigCache, mmSigsFor)(unpin)
+  reg("mm_dedup_ledger", mmCcCache, mmCcFor)(unpin)
 }

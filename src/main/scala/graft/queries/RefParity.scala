@@ -169,4 +169,11 @@ object RefParity {
     "ref_dedup_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
   )
+
+  // bench rebuild hook (see graft.BuildRebuild; registered last so the
+  // cache val above is initialized)
+  graft.BuildRebuild.register("incremental_silver_staging") { (s, dir) =>
+    incrCache.remove((s.sparkContext.applicationId, dir)): Unit
+    incrementalSilverFor(s, dir): Unit
+  }
 }

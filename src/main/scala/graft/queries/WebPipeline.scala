@@ -423,4 +423,15 @@ object WebPipeline {
         |       ELSE 'middle' END AS bucket
         |FROM sl JOIN thr USING (lang)""".stripMargin
   )
+
+  // bench rebuild hooks (see graft.BuildRebuild; registered last so the
+  // cache vals above are initialized)
+  graft.BuildRebuild.register("pagerank_ledger") { (s, dir) =>
+    prCache.remove((s.sparkContext.applicationId, dir)): Unit
+    prFor(s, dir): Unit
+  }
+  graft.BuildRebuild.register("warc_archives") { (s, dir) =>
+    warcCache.remove((s.sparkContext.applicationId, dir)): Unit
+    warcDirFor(s, dir): Unit
+  }
 }

@@ -41,6 +41,19 @@ object DedupLedgerStream {
 
   /** Fold one batch of edges into the persisted ledger (the foreachBatch
     * body). Empty batches are a no-op — no version churn.
+    *
+    * Replay safety — by IDEMPOTENCE, not a guard (contrast
+    * [[graft.ext.AggLedger.maintain]], which needs the (streamId, batchId)
+    * transaction test because sums double-count): the component merge is
+    * a set union followed by connected components, and
+    * `cc(ledger ∪ E ∪ E) = cc(ledger ∪ E)` — re-folding an already-applied
+    * edge batch recomputes the SAME labels and overwrites version
+    * `v<batchId>` with identical content. At-least-once redelivery, a
+    * reset checkpoint replaying old edges, even a different stream
+    * delivering overlapping edges all converge to the same fixpoint, so
+    * no transaction id is needed. The one contract this leans on: edges
+    * are FACTS (doc a ~ doc b), never retractions — this maintainer has
+    * no delete path.
     */
   def maintain(edges: DataFrame, batchId: Long, root: String): Unit = {
     if (!edges.isEmpty) {

@@ -36,6 +36,18 @@ object VersionedState {
       .map(_.getPath)
   }
 
+  /** Pointer file content: first line `v<id>`, optional second line the
+    * committing transaction id (see [[commit]]'s `txnId`). Reading just
+    * the first line keeps pre-txn pointer files (one line) readable.
+    */
+  private def readPointer(f: org.apache.hadoop.fs.FileSystem,
+                          ptr: org.apache.hadoop.fs.Path): (String, Option[String]) = {
+    val in = f.open(ptr)
+    val lines = try scala.io.Source.fromInputStream(in).mkString.split("\n").toSeq
+      finally in.close()
+    (lines.head.trim, lines.drop(1).map(_.trim).find(_.nonEmpty))
+  }
+
   /** The current state table, or an empty frame of `schema` before the
     * first commit (see the pointer-recovery contract in the class doc).
     */
@@ -43,8 +55,7 @@ object VersionedState {
     val f = fs(spark, root)
     val ptr = new org.apache.hadoop.fs.Path(root, "_LATEST")
     if (f.exists(ptr)) {
-      val in = f.open(ptr)
-      val v = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      val v = readPointer(f, ptr)._1
       spark.read.parquet(s"$root/$v")
     } else versionDirs(f, root)
       // a dir without Spark's _SUCCESS marker is a crash mid-write — its
@@ -61,18 +72,37 @@ object VersionedState {
     * flip — retained history is what [[readVersion]] time-travels to; the
     * default keeps only the pointer target (the ledger maintainers'
     * original behavior).
+    *
+    * `txnId` is the committing STREAM's identity (Delta `txnAppId` shape:
+    * the caller picks a stable id — [[graft.ext.AggLedger.attach]] uses
+    * its checkpoint path). It rides the pointer file's second line (the
+    * same single atomic rename — no second commit point) and is mirrored
+    * as a `_TXN` file INSIDE the version dir (written before the flip) so
+    * the no-pointer crash-recovery path can recover it too. Non-idempotent
+    * maintainers key replay detection on (txnId, batchId), not batchId
+    * alone: batch ids restart at 0 when a checkpoint is reset, and a
+    * version-only `≥` guard would then SILENTLY SKIP every new batch
+    * until ids climb past the old applied version (round-9 ADVICE).
     */
   def commit(updated: DataFrame, batchId: Long, root: String,
-             keepVersions: Int = 1): Unit = {
+             keepVersions: Int = 1, txnId: Option[String] = None): Unit = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    require(txnId.forall(t => t.nonEmpty && !t.contains("\n")),
+      s"txnId must be non-empty and newline-free, got $txnId")
     val spark = updated.sparkSession
     val version = s"v$batchId"
     updated.write.mode("overwrite").parquet(s"$root/$version")
     val f = fs(spark, root)
+    txnId.foreach { t =>
+      val marker = new org.apache.hadoop.fs.Path(s"$root/$version", "_TXN")
+      val mo = f.create(marker, true)
+      try mo.write(t.getBytes("UTF-8")) finally mo.close()
+    }
     val tmp = new org.apache.hadoop.fs.Path(root, s"_LATEST.tmp$batchId")
     val ptr = new org.apache.hadoop.fs.Path(root, "_LATEST")
     val out = f.create(tmp, true)
-    try out.write(version.getBytes("UTF-8")) finally out.close()
+    try out.write((version + txnId.fold("")("\n" + _)).getBytes("UTF-8"))
+    finally out.close()
     // commit point: ONE overwriting rename onto the pointer.
     // delete-then-rename would open a window where a crash leaves NO
     // pointer; current()'s highest-version fallback covers even that on
@@ -102,16 +132,31 @@ object VersionedState {
     * counting it would make a maintainer skip a genuine replay and lose
     * the batch (the dual failure of the double-count this test prevents).
     */
-  def appliedVersion(spark: SparkSession, root: String): Option[Long] = {
+  def appliedVersion(spark: SparkSession, root: String): Option[Long] =
+    appliedState(spark, root).map(_._1)
+
+  /** [[appliedVersion]] plus the transaction id that committed it (None
+    * for pre-txn state or a txn-less committer). The crash-recovery path
+    * (no pointer) recovers the id from the version dir's `_TXN` mirror.
+    */
+  def appliedState(spark: SparkSession, root: String): Option[(Long, Option[String])] = {
     val f = fs(spark, root)
+    def dirTxn(p: org.apache.hadoop.fs.Path): Option[String] = {
+      val m = new org.apache.hadoop.fs.Path(p, "_TXN")
+      if (!f.exists(m)) None
+      else {
+        val in = f.open(m)
+        val t = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+        Some(t).filter(_.nonEmpty)
+      }
+    }
     val ptr = new org.apache.hadoop.fs.Path(root, "_LATEST")
     if (f.exists(ptr)) {
-      val in = f.open(ptr)
-      val v = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-      Some(v.drop(1).toLong)
+      val (v, txn) = readPointer(f, ptr)
+      Some((v.drop(1).toLong, txn))
     } else versionDirs(f, root)
       .find(p => f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-      .map(_.getName.drop(1).toLong)
+      .map(p => (p.getName.drop(1).toLong, dirTxn(p)))
   }
 
   /** Time-travel read of a RETAINED version (commit with `keepVersions`

@@ -130,6 +130,49 @@ class AggLedgerSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("reset checkpoint (mismatched stream id) fails loudly, never skips silently") {
+    val root = java.nio.file.Files.createTempDirectory("aggledger-txn").toString + "/st"
+    val df = rows(80)
+    val b0 = df.filter(col("id") < 40)
+    val b1 = df.filter(col("id") >= 40)
+    AggLedger.maintain(b0, 0L, root, Seq("k"), "v", streamId = Some("ckpt-A"))
+    AggLedger.maintain(b1, 1L, root, Seq("k"), "v", streamId = Some("ckpt-A"))
+    val want = served(root)
+    // same stream replays batch 1 (at-least-once): still a no-op
+    AggLedger.maintain(b1, 1L, root, Seq("k"), "v", streamId = Some("ckpt-A"))
+    assert(served(root) === want)
+    // a RESET checkpoint restarts batch ids at 0 under a NEW stream id.
+    // The old version-only guard would silently skip this batch (its id 0
+    // is ≤ applied version 1 — data loss); the txn guard must throw.
+    val e = intercept[IllegalStateException] {
+      AggLedger.maintain(b0, 0L, root, Seq("k"), "v", streamId = Some("ckpt-B"))
+    }
+    assert(e.getMessage.contains("ckpt-A") && e.getMessage.contains("ckpt-B"))
+    assert(served(root) === want) // state untouched by the rejected batch
+    // the recorded stream id survives pointer loss (the _TXN mirror in the
+    // version dir) — the guard still fires on the crash-recovery path
+    assert(new java.io.File(root, "_LATEST").delete())
+    intercept[IllegalStateException] {
+      AggLedger.maintain(b0, 0L, root, Seq("k"), "v", streamId = Some("ckpt-B"))
+    }
+    // and the same-stream path still works after recovery
+    AggLedger.maintain(b1.limit(7), 2L, root, Seq("k"), "v", streamId = Some("ckpt-A"))
+    assert(served(root) !== want)
+  }
+
+  test("pre-txn state (no recorded stream id) falls back to the version-only guard") {
+    val root = java.nio.file.Files.createTempDirectory("aggledger-pretxn").toString + "/st"
+    val df = rows(60)
+    AggLedger.maintain(df, 0L, root, Seq("k"), "v") // txn-less commit
+    val want = served(root)
+    // a txn-carrying maintainer adopting old state: replay skipped by
+    // version id (no recorded txn to mismatch), new batch applied
+    AggLedger.maintain(df, 0L, root, Seq("k"), "v", streamId = Some("ckpt-N"))
+    assert(served(root) === want)
+    AggLedger.maintain(df.limit(10), 1L, root, Seq("k"), "v", streamId = Some("ckpt-N"))
+    assert(served(root) !== want)
+  }
+
   test("null values: count counts rows, sum/min/max skip nulls") {
     val df = Seq((1L, "a", Some(2.0)), (2L, "a", None), (3L, "a", Some(4.0)))
       .toDF("id", "k", "v")
