@@ -374,6 +374,29 @@ object Extensions {
         .orderBy(col("tf_score").desc, col("doc_id")).limit(10)
     }),
 
+    // per-query-doc keyword retrieval: x_text_search generalized from one
+    // global query to a broadcast query-doc term-set join (df-capped so
+    // per-term fan-out is bounded); word-3-gram phrase terms — the
+    // jaccard/cosine small-vocabulary convention (this corpus has 31
+    // distinct words, all df 25-402, so unigram retrieval degenerates;
+    // its 16k distinct 3-grams have median df 1). The keyword half of the
+    // hybrid fusion below, oracled on its own.
+    "x_retrieval_kw_topk" -> ((s: SparkSession, dir: String) => {
+      graft.ext.Retrieval.keywordTopK(Tables.documents(s, dir),
+        nQueries = 5, ngram = 3)
+    }),
+
+    // hybrid retrieval: keyword top-10 ⊕ exact-cosine top-10 fused by
+    // Reciprocal Rank Fusion (1/(60+rank), the zero-tuning BM25+dense
+    // standard) — both lists k-bounded per query, so fusion touches ≤ 2k
+    // rows/query; the RRF doubles are two IEEE divisions + one add,
+    // bit-identical cross-engine, rounded before the final ordering
+    "x_retrieval_hybrid_rrf" -> ((s: SparkSession, dir: String) => {
+      graft.ext.Retrieval.hybridRrf(
+        Tables.documents(s, dir), Tables.embeddings(s, dir),
+        nQueries = 5, ngram = 3)
+    }),
+
     // PII / boilerplate scrub: URL → <URL>, email → <EMAIL>, digit runs →
     // <NUM> (regexp_replace chain, RE2-compatible patterns — fused with
     // the scan, mirrored verbatim in the oracle)
@@ -2560,6 +2583,67 @@ object Extensions {
          |FROM toks JOIN q USING (term), n
          |GROUP BY doc_id
          |ORDER BY tf_score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "x_retrieval_kw_topk" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len($sqlWords) - 2),
+         |    i -> $sqlWords[i] || ' ' || $sqlWords[i+1] || ' ' || $sqlWords[i+2]))) AS term
+         |  FROM documents),
+         |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY term),
+         |rare AS (SELECT term, df FROM d WHERE df <= 100),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+         |qt AS (SELECT doc_id AS q_id, term FROM toks WHERE doc_id < 5),
+         |kw AS (SELECT q_id, t.doc_id AS doc_id,
+         |    CAST(sum(n_total // df) AS BIGINT) AS kw_score
+         |  FROM toks t JOIN rare USING (term) JOIN qt USING (term), n
+         |  WHERE t.doc_id <> q_id GROUP BY 1, 2)
+         |SELECT q_id, doc_id, kw_score,
+         |  CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY kw_score DESC, doc_id) AS INT) AS kw_rank
+         |FROM kw QUALIFY kw_rank <= 10""".stripMargin,
+
+    // CAST(1 AS DOUBLE): a bare 1.0 literal is DECIMAL in DuckDB and the
+    // division would run in decimal, not the IEEE double the engine uses
+    "x_retrieval_hybrid_rrf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len($sqlWords) - 2),
+         |    i -> $sqlWords[i] || ' ' || $sqlWords[i+1] || ' ' || $sqlWords[i+2]))) AS term
+         |  FROM documents),
+         |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY term),
+         |rare AS (SELECT term, df FROM d WHERE df <= 100),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+         |qt AS (SELECT doc_id AS q_id, term FROM toks WHERE doc_id < 5),
+         |kw AS (SELECT q_id, t.doc_id AS doc_id,
+         |    CAST(sum(n_total // df) AS BIGINT) AS kw_score
+         |  FROM toks t JOIN rare USING (term) JOIN qt USING (term), n
+         |  WHERE t.doc_id <> q_id GROUP BY 1, 2),
+         |kwr AS (SELECT q_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY kw_score DESC, doc_id) AS INT) AS kw_rank
+         |  FROM kw QUALIFY kw_rank <= 10),
+         |c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |      FROM embeddings),
+         |qv AS (SELECT * FROM c WHERE vec_id < 5),
+         |vecr AS (SELECT q_id, n_id AS doc_id, rk AS vec_rank FROM (
+         |    SELECT qv.vec_id AS q_id, c.vec_id AS n_id,
+         |      CAST(row_number() OVER (PARTITION BY qv.vec_id
+         |        ORDER BY round(list_cosine_similarity(qv.v, c.v), 6) DESC,
+         |                 c.vec_id) AS INT) AS rk
+         |    FROM qv JOIN c ON c.vec_id <> qv.vec_id)
+         |  WHERE rk <= 10),
+         |fused AS (SELECT
+         |    coalesce(kwr.q_id, vecr.q_id) AS q_id,
+         |    coalesce(kwr.doc_id, vecr.doc_id) AS doc_id,
+         |    CAST(coalesce(kwr.kw_rank, 0) AS INT) AS kw_rank,
+         |    CAST(coalesce(vecr.vec_rank, 0) AS INT) AS vec_rank,
+         |    round(coalesce(CAST(1 AS DOUBLE) / (60 + kwr.kw_rank), 0)
+         |        + coalesce(CAST(1 AS DOUBLE) / (60 + vecr.vec_rank), 0), 6) AS rrf
+         |  FROM kwr FULL JOIN vecr
+         |    ON kwr.q_id = vecr.q_id AND kwr.doc_id = vecr.doc_id)
+         |SELECT q_id, doc_id, kw_rank, vec_rank, rrf,
+         |  CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY rrf DESC, doc_id) AS INT) AS rk
+         |FROM fused QUALIFY rk <= 10""".stripMargin,
 
     "x_text_scrub" ->
       """SELECT doc_id,

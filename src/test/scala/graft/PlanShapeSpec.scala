@@ -153,6 +153,10 @@ class PlanShapeSpec extends SparkSpec {
       "x_mm_sim_topk",       // corpus hashes × broadcast(small query set)
       "x_text_search",       // broadcast single-row corpus count (N for idf)
       "x_text_tfidf",        // same broadcast single-row N (tf-weighted twin)
+      "x_retrieval_kw_topk", // same broadcast single-row N, per-query-doc form
+      "x_retrieval_hybrid_rrf", // inherits the single-row N + the brute
+                             // topk corpus × broadcast(query) pass; the
+                             // fusion join itself is keyed (q_id, doc_id)
       "x_mix_temperature",   // single-row Σw aggregate broadcast back
       "x_skew_profile",      // 1×1 cross join of two single-row summaries
       "x_substr_summary",    // 1×1 cross join: span summary × corpus chars
