@@ -127,6 +127,39 @@ class AudioSpec extends SparkSpec {
     val upKeep = energy(up.slice(40, 3160)) / energy(tone)
     assert(upKeep > 0.8 && upKeep < 1.2, s"upsample energy ratio $upKeep")
 
+    // polyphase table ≡ direct per-sample evaluation: the q=3 rational
+    // (16000→24000) exercises a non-trivial phase table; the reference
+    // below is the pre-round-10 inline loop verbatim. Tolerance ±1 LSB:
+    // the table groups the kernel multiply as s·(fc·sinc·wnd) instead of
+    // ((s·fc)·sinc)·wnd, which can move the pre-rint sum by ulps.
+    val poly = Audio.resampleSincSamples(tone, 16000, 24000)
+    val direct = {
+      val fc = math.min(1.0, 24000.0 / 16000)
+      val half = 16 / fc
+      val outLen = (tone.length.toLong * 24000 / 16000).toInt
+      Array.tabulate(outLen) { j =>
+        val x = j.toDouble * 16000 / 24000
+        var k = math.ceil(x - half).toInt
+        val kEnd = math.floor(x + half).toInt
+        var acc = 0.0
+        while (k <= kEnd) {
+          if (k >= 0 && k < tone.length) {
+            val u = k - x
+            val t = fc * u
+            val sinc = if (t == 0.0) 1.0 else math.sin(math.Pi * t) / (math.Pi * t)
+            val wnd = 0.5 * (1.0 + math.cos(math.Pi * u / half))
+            acc += tone(k) * fc * sinc * wnd
+          }
+          k += 1
+        }
+        val r = math.rint(acc)
+        math.max(Short.MinValue.toDouble, math.min(Short.MaxValue.toDouble, r)).toShort
+      }
+    }
+    assert(poly.length === direct.length)
+    val maxDiff = poly.zip(direct).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDiff <= 1, s"polyphase vs direct max diff $maxDiff LSB")
+
     // Dataset form: real WAV out at the target rate, same kernel
     val docs = Seq((8L, "t", 1L)).toDF("doc_id", "text", "n_chars")
     val media = Audio.wavMediaFromDocuments(spark, docs)
