@@ -225,6 +225,34 @@ object Sinks {
     * per ROW GROUP — overestimating wastes footer bytes, underestimating
     * inflates false positives; size it to rowGroupRows, not table NDV).
     */
+  /** BUCKETED table layout — the warehouse decision that removes the join
+    * shuffle entirely (SCALE.md §Joins): both fact tables hash-bucketed on
+    * the join key with the SAME bucket count make every subsequent
+    * fact⋈fact join read co-located buckets — the scan's output
+    * partitioning already satisfies the join's distribution requirement,
+    * so EnsureRequirements inserts NO Exchange on either side (pinned in
+    * BucketedJoinSpec). At 100 TB this converts the recurring
+    * orders⋈lineitem shuffle (the dominant repeated cost of a fact-fact
+    * workload) into a one-time layout write. `sortCols` additionally
+    * sorts within each bucket file (tighter row groups; lets the join
+    * skip or shrink its sort).
+    *
+    * Bucketing rides the session catalog (`bucketBy` requires
+    * `saveAsTable`; `path` keeps the data external so the catalog entry
+    * is metadata only).
+    */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+                    bucketCol: String, nBuckets: Int,
+                    sortCols: Seq[String] = Nil): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val w = df.write.format("parquet").mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+      .option("path", path)
+    val sorted =
+      if (sortCols.isEmpty) w else w.sortBy(sortCols.head, sortCols.tail: _*)
+    sorted.saveAsTable(tableName)
+  }
+
   def writeBloomFiltered(df: DataFrame, path: String, bloomCols: Seq[String],
                          ndv: Long = 100000L): Unit = {
     require(bloomCols.nonEmpty, "writeBloomFiltered: need at least one column")

@@ -21,6 +21,37 @@ object TpchCore {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Once-per-corpus bucketed warehouse layout (the CC-ledger build
+    * discipline): orders and lineitem hash-bucketed on the join key, same
+    * bucket count, bucket-sorted. Returns the catalog table names —
+    * q25_bucketed_join reads THESE, paying zero join shuffle; the write
+    * itself is itemized as `bucketed_layout` in the bench.
+    */
+  private val bucketedCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
+
+  private def bucketedFor(s: SparkSession, dir: String): (String, String) =
+    bucketedCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("bucketed_layout") {
+        // catalog names must be unique per corpus dir within the session
+        val tok = java.lang.Integer.toHexString(dir.hashCode).toLowerCase
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-bucketed").toString
+        val oT = s"graft_orders_bkt_$tok"
+        val lT = s"graft_lineitem_bkt_$tok"
+        graft.io.Sinks.writeBucketed(Tables.orders(s, dir), oT,
+          s"$root/orders", "o_orderkey", nBuckets = 8, sortCols = Seq("o_orderkey"))
+        graft.io.Sinks.writeBucketed(Tables.lineitem(s, dir), lT,
+          s"$root/lineitem", "l_orderkey", nBuckets = 8, sortCols = Seq("l_orderkey"))
+        (oT, lT)
+      })
+
+  // bench rebuild hook (see graft.BuildRebuild)
+  graft.BuildRebuild.register("bucketed_layout") { (s, dir) =>
+    bucketedCache.remove((s.sparkContext.applicationId, dir)): Unit
+    bucketedFor(s, dir): Unit
+  }
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q1 shape: scan + filter + hash aggregate (map-side partials)
     "q1_pricing_summary" -> ((s: SparkSession, dir: String) => {
@@ -231,6 +262,24 @@ object TpchCore {
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
     }),
 
+    // BUCKETED co-located join — the layout counterpart of q24's salting:
+    // orders and lineitem are written ONCE as hash-bucketed tables on the
+    // join key (same bucket count both sides — build itemized as
+    // `bucketed_layout`), and the fact⋈fact join then reads co-located
+    // buckets with NO Exchange on either side (plan pinned in
+    // BucketedJoinSpec; at 100 TB this converts the workload's dominant
+    // recurring shuffle into a one-time write). hint("merge"): the
+    // demonstrated plan must be the sort-merge form bucketing exists
+    // for, not a size-triggered broadcast of the small test table.
+    "q25_bucketed_join" -> ((s: SparkSession, dir: String) => {
+      val (ordersTbl, lineitemTbl) = bucketedFor(s, dir)
+      s.table(lineitemTbl)
+        .join(s.table(ordersTbl).hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+    }),
+
     // multi-dimensional aggregates
     "q13_rollup_status" -> ((s: SparkSession, dir: String) => {
       Tables.orders(s, dir)
@@ -358,6 +407,13 @@ object TpchCore {
          |  ${sqlDsum("l_extendedprice")} AS revenue
          |FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
          |GROUP BY s_nationkey""".stripMargin,
+
+    // the PLAIN join — the bucketed layout must be invisible in the result
+    "q25_bucketed_join" ->
+      s"""SELECT o_orderstatus, ${sqlCount("1")} AS n,
+         |  ${sqlDsum("l_extendedprice")} AS revenue
+         |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |GROUP BY o_orderstatus""".stripMargin,
 
     "q22_rich_without_orders" ->
       s"""SELECT c_nationkey, ${sqlCount("1")} AS n_custs,
