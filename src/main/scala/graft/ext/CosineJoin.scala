@@ -36,18 +36,13 @@ import org.apache.spark.sql.functions._
 object CosineJoin {
 
   /** Word n-gram MULTISET terms (duplicates kept — tf counts them); the
-    * non-distinct sibling of [[JaccardDedup.ngramSet]], same split rule.
+    * non-distinct sibling of [[JaccardDedup.ngramSet]], same split rule,
+    * same native `word_ngrams` kernel (see ngramSet's round-10 note: the
+    * SQL-lambda form re-ran the split per element reference).
     */
   private def ngrams(textColName: String, n: Int): org.apache.spark.sql.Column = {
     require(n >= 1)
-    if (n == 1) split(col(textColName), " ")
-    else {
-      val w = s"split($textColName, ' ')"
-      val parts = (0 until n).map(j => s"element_at($w, i + $j)").mkString(", ")
-      expr(s"""CASE WHEN size($w) >= $n THEN
-        transform(sequence(1, size($w) - ${n - 1}), i -> concat_ws(' ', $parts))
-        ELSE CAST(array() AS array<string>) END""")
-    }
+    graft.functions.GraftFunctions.word_ngrams(split(col(textColName), " "), n)
   }
 
   /** `(doc_a, doc_b, cos)` for pairs with `round(cos, 6) ≥ threshold`,

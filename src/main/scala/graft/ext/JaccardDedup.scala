@@ -32,19 +32,24 @@ object JaccardDedup {
   /** Distinct token set at the given n-gram order: n=1 → words; n>1 →
     * space-joined runs of n consecutive words (string n-grams, so the
     * oracle can mirror them — [[MinHashDedup]] is the hashed-shingle
-    * variant). Takes the column NAME: SQL lambdas need a spliceable
-    * identifier.
+    * variant).
+    *
+    * Round 10: built on the native [[graft.functions.TextKernels]]
+    * `word_ngrams` kernel. The previous SQL-lambda form spliced
+    * `split(text)` textually into the `transform` body, and higher-order
+    * functions evaluate INTERPRETED — each `element_at(split(text), i+j)`
+    * re-ran the split per element reference, O(words²) splits per row
+    * (measured 5× end-to-end on the retrieval family at sf0.1). The
+    * kernel evaluates its token child once and runs inside codegen.
+    * Same grams (concat_ws-with-space over n-windows; < n words → []);
+    * one visible difference: NULL text now yields NULL instead of [] —
+    * indistinguishable to every consumer here (both vanish under
+    * `explode` and under the `size(ws) >= 1` guards).
     */
   def ngramSet(textColName: String, n: Int): org.apache.spark.sql.Column = {
     require(n >= 1)
-    if (n == 1) array_distinct(split(col(textColName), " "))
-    else {
-      val w = s"split($textColName, ' ')"
-      val parts = (0 until n).map(j => s"element_at($w, i + $j)").mkString(", ")
-      expr(s"""array_distinct(CASE WHEN size($w) >= $n THEN
-        transform(sequence(1, size($w) - ${n - 1}), i -> concat_ws(' ', $parts))
-        ELSE CAST(array() AS array<string>) END)""")
-    }
+    array_distinct(graft.functions.GraftFunctions.word_ngrams(
+      split(col(textColName), " "), n))
   }
 
   /** Asymmetric CONTAINMENT pairs: C(A,B) = |A∩B| / |A| ≥ `threshold`,
