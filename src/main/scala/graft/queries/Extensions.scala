@@ -146,6 +146,28 @@ object Extensions {
         root
       })
 
+  /** Incremental inverted-index ledger per corpus: the documents table
+    * folded in as three waves (doc_id mod 3) through the versioned-state
+    * maintainer — maintained == recompute is the checked contract, so the
+    * oracle is the batch inverted index over the full table (the
+    * x_text_inverted_index SQL verbatim).
+    */
+  private val indexLedgerCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def indexLedgerFor(s: SparkSession, dir: String): String =
+    indexLedgerCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("index_ledger") {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-index-ledger").toString + "/state"
+        val docs = Tables.documents(s, dir)
+        (0 until 3).foreach { w =>
+          graft.streaming.IndexLedgerStream.maintain(
+            docs.filter(pmod(col("doc_id"), lit(3)) === w), w, root)
+        }
+        root
+      })
+
   /** Per-node triangle counts over the cached pair graph — computed once
     * per corpus (the CC-ledger discipline): both graph entries serve from
     * this persisted result instead of re-running the wedge joins.
@@ -330,6 +352,14 @@ object Extensions {
         .groupBy(col("term"))
         .agg(count(lit(1)).as("df"),
           array_join(array_sort(collect_set(col("doc_id"))), ",").as("postings"))
+    }),
+
+    // the index as an INCREMENTALLY MAINTAINED ledger: three ingest waves
+    // folded through streaming.IndexLedgerStream (VersionedState substrate,
+    // per-batch cost ∝ batch); maintained == recompute EXACT — the oracle
+    // is the batch inverted index above, verbatim
+    "x_index_incremental" -> ((s: SparkSession, dir: String) => {
+      graft.streaming.IndexLedgerStream.serve(s, indexLedgerFor(s, dir))
     }),
 
     // retrieval on top of the inverted index: score = Σ_t ⌊N/df_t⌋ over
@@ -2558,6 +2588,15 @@ object Extensions {
          |      FROM documents)
          |GROUP BY term""".stripMargin,
 
+    // maintained == recompute: the incremental ledger must serve exactly
+    // the batch index
+    "x_index_incremental" ->
+      s"""SELECT term, ${sqlCount()} AS df,
+         |  list_aggr(list_sort(list(DISTINCT doc_id)), 'string_agg', ',') AS postings
+         |FROM (SELECT doc_id, unnest(list_distinct($sqlWords)) AS term
+         |      FROM documents)
+         |GROUP BY term""".stripMargin,
+
     "x_text_search" ->
       s"""WITH toks AS (SELECT doc_id, unnest(list_distinct($sqlWords)) AS term
          |              FROM documents),
@@ -3891,6 +3930,7 @@ object Extensions {
   reg("pca_train_sketched", pcaSkCache, pcaSkFor)()
   reg("ivf_layout_write", ivfLayoutCache, ivfLayoutFor)()
   reg("agg_ledger", aggLedgerCache, aggLedgerFor)()
+  reg("index_ledger", indexLedgerCache, indexLedgerFor)()
   reg("tri_counts", triCache, triFor)(unpin)
   reg("cc_pair_graph", ccPairCache, ccPairsFor)(unpin)
   reg("cosine_pair_graph", cosinePairCache, cosinePairsFor)(unpin)
