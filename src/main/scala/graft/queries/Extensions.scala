@@ -2132,7 +2132,7 @@ object Extensions {
     val sqrtM = fmtD(math.sqrt(m.toDouble))
     val cols = (0 until m).map { j =>
       val v = (0 until d).map(i => om(i)(j))
-      s"round(list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), ${fmtVec(v)}::DOUBLE[]) / $sqrtM, 6) AS r$j"
+      s"round(list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), ${fmtVec(v)}::DOUBLE[]) / $sqrtM, 6) + 0 AS r$j"
     }
     Map("x_embed_rp_project" ->
       s"""SELECT vec_id,
@@ -2166,7 +2166,7 @@ object Extensions {
              |      FROM embeddings WHERE vec_id < 5),
              |sq AS (SELECT q_id, n_id, cos, rk FROM (
              |    SELECT q.q_id, x.n_id,
-             |      round(list_inner_product(x.xh, q.q_vec) / sqrt(list_inner_product(x.xh, x.xh)) / sqrt(list_inner_product(q.q_vec, q.q_vec)), 6) AS cos,
+             |      round(list_inner_product(x.xh, q.q_vec) / sqrt(list_inner_product(x.xh, x.xh)) / sqrt(list_inner_product(q.q_vec, q.q_vec)), 6) + 0 AS cos,
              |      CAST(row_number() OVER (PARTITION BY q.q_id
              |        ORDER BY round(list_inner_product(x.xh, q.q_vec) / sqrt(list_inner_product(x.xh, x.xh)) / sqrt(list_inner_product(q.q_vec, q.q_vec)), 6) DESC, x.n_id) AS INT) AS rk
              |    FROM xh x CROSS JOIN q WHERE x.n_id <> q.q_id)
@@ -2203,7 +2203,7 @@ object Extensions {
   private def pcaProjectSql(mdl: graft.ext.Pca.PcaModel): String = {
     val pcols = mdl.components.toSeq.zipWithIndex.map { case (v, i) =>
       val off = fmtD(graft.ext.Pca.meanOffset(mdl, i))
-      s"round(list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), ${fmtVec(v.toSeq)}::DOUBLE[]) - $off, 6) AS p$i"
+      s"round(list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), ${fmtVec(v.toSeq)}::DOUBLE[]) - $off, 6) + 0 AS p$i"
     }
     s"""SELECT vec_id,
        |  ${pcols.mkString(",\n  ")}
@@ -2218,7 +2218,7 @@ object Extensions {
         val wcols = mdl.components.toSeq.zipWithIndex.map { case (v, i) =>
           val off = fmtD(graft.ext.Pca.meanOffset(mdl, i))
           val sd = fmtD(math.sqrt(math.max(mdl.eigenvalues(i), 1e-12)))
-          s"round((list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), ${fmtVec(v.toSeq)}::DOUBLE[]) - $off) / $sd, 6) AS w$i"
+          s"round((list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), ${fmtVec(v.toSeq)}::DOUBLE[]) - $off) / $sd, 6) + 0 AS w$i"
         }
         Map("x_embed_pca_project" -> projectSql,
           "x_embed_pca_whiten" ->
@@ -2254,7 +2254,7 @@ object Extensions {
         val scoresSql =
           s"""SELECT vec_id,
              |  round(list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
-             |    ${fmtVec(w.toSeq)}::DOUBLE[]) + ${fmtD(b)}, 6) AS score
+             |    ${fmtVec(w.toSeq)}::DOUBLE[]) + ${fmtD(b)}, 6) + 0 AS score
              |FROM embeddings""".stripMargin
         Map("x_probe_scores" -> scoresSql,
           "x_probe_eval" ->
@@ -2324,7 +2324,7 @@ object Extensions {
   private val ivfProbeSelect =
     """SELECT q_id, n_id, cos, rk FROM (
       |  SELECT p.q_id, a.n_id,
-      |    round(list_cosine_similarity(p.q_vec, a.n_vec), 6) AS cos,
+      |    round(list_cosine_similarity(p.q_vec, a.n_vec), 6) + 0 AS cos,
       |    CAST(row_number() OVER (PARTITION BY p.q_id
       |      ORDER BY round(list_cosine_similarity(p.q_vec, a.n_vec), 6) DESC, a.n_id) AS INT) AS rk
       |  FROM a JOIN probes p ON a.cid = p.cid AND a.n_id <> p.q_id)
@@ -2484,7 +2484,7 @@ object Extensions {
              |${pqProbeSql(model, fetch = 40)}
              |SELECT q_id, n_id, cos, rk FROM (
              |  SELECT p.q_id, p.n_id,
-             |    round(list_cosine_similarity(q.q_vec, c.n_vec), 6) AS cos,
+             |    round(list_cosine_similarity(q.q_vec, c.n_vec), 6) + 0 AS cos,
              |    CAST(row_number() OVER (PARTITION BY p.q_id
              |      ORDER BY round(list_cosine_similarity(q.q_vec, c.n_vec), 6) DESC, p.n_id) AS INT) AS rk
              |  FROM pq p JOIN c ON c.n_id = p.n_id JOIN q ON q.q_id = p.q_id)
@@ -2985,7 +2985,7 @@ object Extensions {
       """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |  round(list_cosine_similarity(a.v, b.v), 6) + 0 AS cos
         |FROM c a JOIN c b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""".stripMargin,
 
@@ -2993,7 +2993,7 @@ object Extensions {
       """WITH c AS (SELECT vec_id AS n_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS n_vec
         |           FROM embeddings),
         |a AS (SELECT n_id AS q_id, n_vec AS q_vec FROM c WHERE n_id < 20),
-        |s AS (SELECT a.q_id, c.n_id, round(list_cosine_similarity(a.q_vec, c.n_vec), 6) AS cos
+        |s AS (SELECT a.q_id, c.n_id, round(list_cosine_similarity(a.q_vec, c.n_vec), 6) + 0 AS cos
         |      FROM a JOIN c ON c.n_id <> a.q_id),
         |pos AS (SELECT q_id, n_id AS pos_id, cos AS pos_cos FROM (
         |    SELECT q_id, n_id, cos,
@@ -3029,7 +3029,7 @@ object Extensions {
         |  FROM proj GROUP BY 1, 2),
         |cand AS (SELECT DISTINCT a.n_id AS vec_a, b.n_id AS vec_b
         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.n_id < b.n_id)
-        |SELECT ca.vec_a, ca.vec_b, round(list_cosine_similarity(x.v, y.v), 6) AS cos
+        |SELECT ca.vec_a, ca.vec_b, round(list_cosine_similarity(x.v, y.v), 6) + 0 AS cos
         |FROM cand ca JOIN c x ON x.n_id = ca.vec_a JOIN c y ON y.n_id = ca.vec_b
         |WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.4""".stripMargin,
 
@@ -3402,7 +3402,7 @@ object Extensions {
          |        FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
          |        GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
-         |  round(d / sqrt(na.nsq) / sqrt(nb.nsq), 6) AS cos
+         |  round(d / sqrt(na.nsq) / sqrt(nb.nsq), 6) + 0 AS cos
          |FROM dot JOIN n na ON na.doc_id = dot.doc_a
          |         JOIN n nb ON nb.doc_id = dot.doc_b
          |WHERE round(d / sqrt(na.nsq) / sqrt(nb.nsq), 6) >= 0.4""".stripMargin,
@@ -3576,7 +3576,7 @@ object Extensions {
         |q AS (SELECT * FROM c WHERE vec_id < 5)
         |SELECT q_id, n_id, cos, rk FROM (
         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-        |    round(list_cosine_similarity(q.v, c.v), 6) AS cos,
+        |    round(list_cosine_similarity(q.v, c.v), 6) + 0 AS cos,
         |    CAST(row_number() OVER (PARTITION BY q.vec_id
         |      ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS INT) AS rk
         |  FROM q JOIN c ON c.vec_id <> q.vec_id)
@@ -3656,7 +3656,7 @@ object Extensions {
         |q AS (SELECT c.n_id AS q_id, c.v AS q_vec, bk.bucket
         |      FROM c JOIN bk USING (n_id) WHERE c.n_id < 5),
         |s AS (SELECT q.q_id, c.n_id,
-        |    round(list_cosine_similarity(q.q_vec, c.v), 6) AS cos
+        |    round(list_cosine_similarity(q.q_vec, c.v), 6) + 0 AS cos
         |  FROM q JOIN bk b ON b.bucket = q.bucket
         |  JOIN c ON c.n_id = b.n_id AND c.n_id <> q.q_id)
         |SELECT q_id, n_id, cos, rk FROM (
