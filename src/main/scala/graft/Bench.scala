@@ -92,15 +92,24 @@ object Bench {
     val buildsTotal = buildItem.values.sum
     val buildIsoSec = sys.env.getOrElse("SPARK_GRAFT_BUILD_ISO_SEC", "8.0").toDouble
     val buildIsoRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BUILD_ISO_RUNS", "3").toInt)
+    // same failure rule as the query blocks: a rep that THROWS must not
+    // contribute its near-zero elapsed time to the median (a broken 20 s
+    // build would read as a 0.01 s "speedup") — the build drops from the
+    // block and lands in `errors` as build:<name>
     val buildsIso = buildItem.toSeq.filter(_._2 >= buildIsoSec).map(_._1).sorted.flatMap { name =>
-      BuildRebuild.get(name).map { hook =>
+      BuildRebuild.get(name).flatMap { hook =>
+        var ok = true
         val reps = Seq.fill(buildIsoRuns) {
           val t0 = System.nanoTime()
           try hook(spark, sfDir)
-          catch { case e: Throwable => System.err.println(s"[bench] rebuild $name: $e") }
+          catch { case e: Throwable =>
+            ok = false
+            System.err.println(s"[bench] rebuild $name: $e")
+          }
           (System.nanoTime() - t0) / 1e9
         }.sorted
-        name -> reps(reps.size / 2)
+        if (ok) Some(name -> reps(reps.size / 2))
+        else { failed += s"build:$name"; None }
       }
     }
     val buildsIsoObj = buildsIso.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")

@@ -120,9 +120,14 @@ object AggLedger {
         val keyTypes = keys.map(k => batch.schema(k).dataType)
         val state = graft.streaming.VersionedState.current(
           spark, root, stateSchema(keys, keyTypes))
+        // a txn-LESS caller on txn-guarded state must not erase the
+        // recorded stream id (the commit rewrites the pointer and prunes
+        // the _TXN-carrying version dir — the guard would be permanently
+        // disarmed; round-10 review): carry the recorded id forward
+        val effectiveTxn = streamId.orElse(applied.flatMap(_._2))
         graft.streaming.VersionedState.commit(
           merge(state, partial(batch, keys, valueCol), keys), batchId, root,
-          txnId = streamId)
+          txnId = effectiveTxn)
       }
     }
   }
@@ -133,17 +138,40 @@ object AggLedger {
     finalizeLedger(graft.streaming.VersionedState.current(
       spark, root, stateSchema(keys, keyTypes)))
 
+  /** The checkpoint's UNIQUE query id: Structured Streaming writes
+    * `<checkpoint>/metadata` = `{"id": "<uuid>"}` when the query starts,
+    * and a same-path `rm -rf` reset mints a NEW uuid on restart. That
+    * uuid — not the checkpoint PATH — is the stream identity maintain()
+    * needs: a path-keyed id survives an in-place reset, so restarted
+    * batch ids 0,1,… would fall through to the version-only guard and be
+    * silently skipped (round-10 review). Falls back to the path if the
+    * metadata is unreadable (pre-start call, foreign layout) — degraded
+    * to path-identity, never broken.
+    */
+  private[ext] def checkpointQueryId(spark: SparkSession, checkpoint: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse(checkpoint)
+    } catch { case _: Throwable => checkpoint }
+
   /** Attach the maintainer to a fact stream: each micro-batch folds into
     * the persisted rollup (the DedupLedgerStream shape). Caller starts/
-    * stops the query; state lives under `root`. The checkpoint path is the
-    * stream identity for replay detection (see [[maintain]]): same
-    * checkpoint across restarts = same id; a reset checkpoint = a new id,
-    * which maintain() rejects loudly instead of silently skipping batches.
+    * stops the query; state lives under `root`. The stream identity for
+    * replay detection (see [[maintain]]) is the checkpoint's QUERY ID,
+    * resolved lazily inside foreachBatch (the metadata file exists once
+    * batches flow): same checkpoint across restarts = same id; a reset —
+    * whether a new path or an in-place wipe — = a new id, which
+    * maintain() rejects loudly instead of silently skipping batches.
     */
   def attach(facts: DataFrame, root: String, checkpoint: String,
              keys: Seq[String], valueCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     facts.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch((df: DataFrame, id: Long) =>
-        maintain(df, id, root, keys, valueCol, streamId = Some(checkpoint)))
+        maintain(df, id, root, keys, valueCol,
+          streamId = Some(checkpointQueryId(df.sparkSession, checkpoint))))
 }

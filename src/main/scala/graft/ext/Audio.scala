@@ -274,7 +274,10 @@ object Audio {
     val g = gcd(inRate, outRate)
     val p = inRate / g
     val q = outRate / g
-    val usePoly = q <= 4096
+    // table only pays off when every bank is USED: a short clip touches
+    // only the first min(q, outLen) phases, so for outLen < q the inline
+    // path (outLen·taps kernel evals) beats building q banks
+    val usePoly = q <= 4096 && q <= outLen
     val phaseLo = if (usePoly) new Array[Int](q) else null
     val phaseW = if (usePoly) new Array[Array[Double]](q) else null
     if (usePoly) {

@@ -1851,6 +1851,26 @@ object Extensions {
 
   private val sqlWords = "string_split(text, ' ')"
 
+  /** Shared keyword-scoring CTE block (no leading WITH) for the two
+    * retrieval oracles — ONE copy, so the keyword contract (3-gram
+    * terms, df cap 100, integer ⌊N/df⌋ scoring, 5 query docs) cannot
+    * silently diverge between the standalone entry and the hybrid's
+    * keyword half.
+    */
+  private lazy val retrievalKwCtes: String =
+    s"""toks AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len($sqlWords) - 2),
+       |    i -> $sqlWords[i] || ' ' || $sqlWords[i+1] || ' ' || $sqlWords[i+2]))) AS term
+       |  FROM documents),
+       |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY term),
+       |rare AS (SELECT term, df FROM d WHERE df <= 100),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+       |qt AS (SELECT doc_id AS q_id, term FROM toks WHERE doc_id < 5),
+       |kw AS (SELECT q_id, t.doc_id AS doc_id,
+       |    CAST(sum(n_total // df) AS BIGINT) AS kw_score
+       |  FROM toks t JOIN rare USING (term) JOIN qt USING (term), n
+       |  WHERE t.doc_id <> q_id GROUP BY 1, 2)""".stripMargin
+
   /** Shared CTEs (no leading WITH — composes under plain and RECURSIVE
     * WITH) for the perceptual-hash family: re-derives the dedup fixture's
     * 18×16 pixels arithmetically (`Multimodal.dedupMediaFromDocuments` —
@@ -2624,18 +2644,7 @@ object Extensions {
          |ORDER BY tf_score DESC, doc_id LIMIT 10""".stripMargin,
 
     "x_retrieval_kw_topk" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(list_transform(
-         |    generate_series(1, len($sqlWords) - 2),
-         |    i -> $sqlWords[i] || ' ' || $sqlWords[i+1] || ' ' || $sqlWords[i+2]))) AS term
-         |  FROM documents),
-         |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY term),
-         |rare AS (SELECT term, df FROM d WHERE df <= 100),
-         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
-         |qt AS (SELECT doc_id AS q_id, term FROM toks WHERE doc_id < 5),
-         |kw AS (SELECT q_id, t.doc_id AS doc_id,
-         |    CAST(sum(n_total // df) AS BIGINT) AS kw_score
-         |  FROM toks t JOIN rare USING (term) JOIN qt USING (term), n
-         |  WHERE t.doc_id <> q_id GROUP BY 1, 2)
+      s"""WITH $retrievalKwCtes
          |SELECT q_id, doc_id, kw_score,
          |  CAST(row_number() OVER (PARTITION BY q_id
          |    ORDER BY kw_score DESC, doc_id) AS INT) AS kw_rank
@@ -2644,18 +2653,7 @@ object Extensions {
     // CAST(1 AS DOUBLE): a bare 1.0 literal is DECIMAL in DuckDB and the
     // division would run in decimal, not the IEEE double the engine uses
     "x_retrieval_hybrid_rrf" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(list_transform(
-         |    generate_series(1, len($sqlWords) - 2),
-         |    i -> $sqlWords[i] || ' ' || $sqlWords[i+1] || ' ' || $sqlWords[i+2]))) AS term
-         |  FROM documents),
-         |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY term),
-         |rare AS (SELECT term, df FROM d WHERE df <= 100),
-         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
-         |qt AS (SELECT doc_id AS q_id, term FROM toks WHERE doc_id < 5),
-         |kw AS (SELECT q_id, t.doc_id AS doc_id,
-         |    CAST(sum(n_total // df) AS BIGINT) AS kw_score
-         |  FROM toks t JOIN rare USING (term) JOIN qt USING (term), n
-         |  WHERE t.doc_id <> q_id GROUP BY 1, 2),
+      s"""WITH $retrievalKwCtes,
          |kwr AS (SELECT q_id, doc_id,
          |    CAST(row_number() OVER (PARTITION BY q_id
          |      ORDER BY kw_score DESC, doc_id) AS INT) AS kw_rank

@@ -173,6 +173,66 @@ class AggLedgerSpec extends SparkSpec {
     assert(served(root) !== want)
   }
 
+  test("a txn-less maintain on txn-guarded state does not erase the recorded stream id") {
+    val root = java.nio.file.Files.createTempDirectory("aggledger-keep").toString + "/st"
+    val df = rows(60)
+    AggLedger.maintain(df, 0L, root, Seq("k"), "v", streamId = Some("ckpt-A"))
+    // a txn-LESS caller applies batch 1: the commit must carry ckpt-A
+    // forward (it rewrites the pointer and prunes the old _TXN dir — a
+    // None here would permanently disarm the guard)
+    AggLedger.maintain(df.limit(20), 1L, root, Seq("k"), "v")
+    // the guard still fires for a different stream at a restarted id
+    intercept[IllegalStateException] {
+      AggLedger.maintain(df, 0L, root, Seq("k"), "v", streamId = Some("ckpt-B"))
+    }
+    // and the original stream continues normally
+    AggLedger.maintain(df.limit(5), 2L, root, Seq("k"), "v", streamId = Some("ckpt-A"))
+  }
+
+  test("stream identity is the checkpoint QUERY ID, so an in-place wipe is detected") {
+    // unit half: the id comes from <checkpoint>/metadata, not the path
+    val ck = java.nio.file.Files.createTempDirectory("aggledger-ck").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(ck, "metadata"), """{"id":"uuid-one"}""")
+    assert(AggLedger.checkpointQueryId(spark, ck) === "uuid-one")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(ck, "metadata"), """{"id" : "uuid-two"}""")
+    assert(AggLedger.checkpointQueryId(spark, ck) === "uuid-two")
+    // unreadable metadata → path fallback, never a crash
+    val ck2 = java.nio.file.Files.createTempDirectory("aggledger-ck2").toString
+    assert(AggLedger.checkpointQueryId(spark, ck2) === ck2)
+
+    // streaming half: run, wipe the checkpoint IN PLACE (same path),
+    // restart — the new run mints a new query id and the guard must
+    // reject its restarted batch 0 instead of silently skipping it
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("aggledger-wipe").toString + "/st"
+    val ckpt = java.nio.file.Files.createTempDirectory("aggledger-wipeck").toString + "/ck"
+    val in1 = MemoryStream[(Long, String, Double)]
+    val q1 = AggLedger.attach(in1.toDF().toDF("id", "k", "v"),
+      root, ckpt, Seq("k"), "v").start()
+    try {
+      in1.addData((1L, "a", 1.0), (2L, "b", 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val before = served(root)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    val in2 = MemoryStream[(Long, String, Double)]
+    val q2 = AggLedger.attach(in2.toDF().toDF("id", "k", "v"),
+      root, ckpt, Seq("k"), "v").start()
+    try {
+      in2.addData((3L, "a", 9.0))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("Refusing to guess")), msgs(e).mkString(" | "))
+    } finally q2.stop()
+    assert(served(root) === before) // state untouched by the rejected run
+  }
+
   test("null values: count counts rows, sum/min/max skip nulls") {
     val df = Seq((1L, "a", Some(2.0)), (2L, "a", None), (3L, "a", Some(4.0)))
       .toDF("id", "k", "v")
