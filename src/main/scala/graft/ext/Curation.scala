@@ -1,0 +1,45 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-document curation lineage — drop-reason attribution through the
+  * standard text-curation funnel. Every training-data pipeline needs to
+  * answer "WHY is this document not in the corpus?" per document (not just
+  * stage counts): it's how curation regressions are debugged and how
+  * removal requests are audited.
+  *
+  * Stages, evaluated in pipeline order; a document is attributed to the
+  * FIRST stage that drops it:
+  *   1. `empty`   — NULL or zero-length text;
+  *   2. `quality` — Gopher/C4 rule battery ([[TextOps.qualityScore]])
+  *                  below `minScore`;
+  *   3. `dup`     — exact-content duplicate of an earlier (lower-id)
+  *                  SURVIVOR. Dedup runs over the docs that passed the
+  *                  earlier stages, as a real pipeline does — a duplicate
+  *                  of a quality-dropped document is NOT a duplicate in
+  *                  the surviving corpus;
+  *   4. `kept`    — in the final corpus.
+  *
+  * Scale shape: stages 1–2 are pure columnar predicates fused with the
+  * scan; stage 3 is [[ExactDedup.canonicalIds]] — the hash-first layout
+  * whose wide shuffle carries `(xxhash64, id)`, never document bodies.
+  * The result is one row per input document: `(doc_id, stage)`.
+  */
+object Curation {
+
+  def lineage(docs: DataFrame, minScore: Int = 3,
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol),
+      when(col(textCol).isNull || length(col(textCol)) === 0, lit("empty"))
+        .when(TextOps.qualityScore(textCol) < minScore, lit("quality"))
+        .as("drop0"))
+    val survivors = base.filter(col("drop0").isNull).select(col(idCol), col(textCol))
+    val canon = ExactDedup.canonicalIds(survivors, idCol, textCol)
+    base.join(canon, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("drop0"),
+          when(col("canonical_id") =!= col(idCol), lit("dup"))
+            .otherwise(lit("kept"))).as("stage"))
+  }
+}

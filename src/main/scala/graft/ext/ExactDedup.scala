@@ -48,6 +48,39 @@ object ExactDedup {
     singles.union(verified)
   }
 
+  /** Per-document canonical mapping `(idCol, canonical_id)` — the
+    * join-able form of [[byContent]]: every input row appears once, mapped
+    * to the min-id representative of its exact-text group (itself when
+    * unique). Same hash-first layout: rows in singleton hash groups are
+    * their own canonical WITHOUT text ever entering a shuffle; only rows
+    * in multi-member hash groups (actual duplicates + vanishingly rare
+    * 64-bit collisions) fetch text for the exact `(hash, text)` grouping.
+    * The text-side joins are null-safe so NULL payloads form one group,
+    * matching SQL `GROUP BY` semantics.
+    */
+  def canonicalIds(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val ids = docs.select(col(idCol).as("id"), xxhash64(col(textCol)).as("h"))
+    val dupKeys = ids.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select(col("h"))
+
+    val singles = ids.join(dupKeys, Seq("h"), "left_anti")
+      .select(col("id").as(idCol), col("id").as("canonical_id"))
+
+    val dupRows = docs
+      .select(col(idCol).as("id"), col(textCol).as("t"),
+        xxhash64(col(textCol)).as("h"))
+      .join(dupKeys, Seq("h"), "left_semi")
+    val canon = dupRows.groupBy(col("h"), col("t"))
+      .agg(min(col("id")).as("canonical_id"))
+      .select(col("h").as("ch"), col("t").as("ct"), col("canonical_id"))
+    val mapped = dupRows
+      .join(canon, col("h") === col("ch") && col("t") <=> col("ct"))
+      .select(col("id").as(idCol), col("canonical_id"))
+
+    singles.union(mapped)
+  }
+
   /** Incremental exact dedup — the daily-ingest flow: which docs of a NEW
     * batch are absent (by content) from an existing corpus? History is
     * never re-deduped; at steady state the corpus side is a precomputed

@@ -59,6 +59,22 @@ object MinHashDedup {
     */
   def signaturesMd5(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", h: Int = 16, k: Int = 3): DataFrame =
+    shingleSetsMd5(docs, idCol, textCol, k)
+      .withColumn("hs", expr("""transform(shingles, s -> struct(
+          cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint) % 2147483647 AS h1,
+          cast(conv(substr(md5(s), 16, 15), 16, 10) as bigint) % 2147483647 AS h2))"""))
+      .select(col(idCol), col("shingles"),
+        expr(s"""transform(sequence(0, ${h - 1}),
+          i -> array_min(transform(hs, p -> (p.h1 + i * p.h2) % 2147483647)))""").as("sigs"))
+
+  /** The md5 twin's shingle universe on its own: `(idCol, shingles)` with
+    * shingles the distinct lowercase word k-gram STRINGS; docs with NULL
+    * text or < k words are excluded (mirroring [[signatures]]' empty
+    * filter). Shared by [[signaturesMd5]] and [[exactPairsMd5]] so sketch
+    * and ground truth are definitionally over the same sets.
+    */
+  def shingleSetsMd5(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", k: Int = 3): DataFrame =
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol),
         expr(s"split(lower($textCol), ' ')").as("ws"))
@@ -66,12 +82,39 @@ object MinHashDedup {
       .select(col(idCol),
         expr(s"""array_distinct(transform(sequence(0, size(ws) - $k),
           i -> concat_ws(' ', slice(ws, i + 1, $k))))""").as("shingles"))
-      .withColumn("hs", expr("""transform(shingles, s -> struct(
-          cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint) % 2147483647 AS h1,
-          cast(conv(substr(md5(s), 16, 15), 16, 10) as bigint) % 2147483647 AS h2))"""))
-      .select(col(idCol), col("shingles"),
-        expr(s"""transform(sequence(0, ${h - 1}),
-          i -> array_min(transform(hs, p -> (p.h1 + i * p.h2) % 2147483647)))""").as("sigs"))
+
+  /** Exact-Jaccard ground truth over [[shingleSetsMd5]]'s universe —
+    * ALL pairs with true Jaccard ≥ `minJaccard`, computed without the
+    * sketch. Pairs at any threshold > 0 share ≥ 1 shingle, so candidates
+    * come from a KEYED self-join on the exploded shingle (lossless — the
+    * exact analog of an inverted index), intersection sizes from one
+    * grouped count, and the Jaccard from set sizes: never an all-pairs
+    * product. This is the eval substrate for measuring LSH recall
+    * (`x_dedup_minhash_recall`): heavier than the banded sketch by design
+    * — the point of the sketch is to avoid this join's common-shingle
+    * fan-out — but every operation is keyed, so it runs at corpus scale
+    * when an eval slice needs ground truth.
+    */
+  def exactPairsMd5(docs: DataFrame, minJaccard: Double = 0.5,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    k: Int = 3): DataFrame = {
+    val sets = shingleSetsMd5(docs, idCol, textCol, k)
+    sets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = sets.select(col(idCol), explode(col("shingles")).as("s"))
+    val inter = sh.toDF("doc_a", "s")
+      .join(sh.toDF("doc_b", "s"), Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sets.select(col(idCol), size(col("shingles")).as("n"))
+    inter
+      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
 
   /** LSH banding + exact-Jaccard verify over [[signaturesMd5]] output —
     * the twin's pair search. Same scale shape as [[nearDuplicates]]: ONE

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Audio, Components, ExactDedup, JaccardDedup, MinHashDedup, MinHashMergeAgg, Multimodal, Pq, SimHash, Similarity, TextOps}
+import graft.ext.{Audio, Components, CorpusDiff, Curation, ExactDedup, JaccardDedup, MinHashDedup, MinHashMergeAgg, Multimodal, Pq, SimHash, Similarity, TextOps}
 
 /** Training-data pipeline extensions (SURVEY.md §7.3 M3): dedup family,
   * similarity search, text analysis, multimodal plumbing — exercised on the
@@ -1798,6 +1798,49 @@ object Extensions {
       brute.join(sq.withColumn("hit", lit(1)), Seq("q_id", "n_id"), "left")
         .groupBy(col("q_id"))
         .agg((sum(coalesce(col("hit"), lit(0))) / 10.0).as("recall_at_10"))
+    }),
+
+    // ---- corpus versioning / curation observability --------------------
+    // snapshot diff between two corpus versions (added/removed/changed by
+    // content fingerprint — see CorpusDiff). The two versions are derived
+    // deterministically from `documents` so both engines diff the same
+    // snapshots: v1 drops ids ≡ 0 (mod 10), v2 drops ids ≡ 0 (mod 7) and
+    // edits the text of ids ≡ 0 (mod 5) via a null-propagating append.
+    "x_corpus_diff" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir)
+      val v1 = docs.filter(col("doc_id") % 10 =!= 0)
+      val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      CorpusDiff.diff(v1, v2)
+    }),
+
+    // per-document drop-reason lineage through the curation funnel:
+    // empty → quality(<3) → exact-dup-of-surviving-lower-id → kept
+    // (see Curation.lineage; dedup runs over the survivors of the earlier
+    // stages, as the real pipeline ordering does)
+    "x_pipeline_lineage" -> ((s: SparkSession, dir: String) => {
+      Curation.lineage(Tables.documents(s, dir), minScore = 3)
+    }),
+
+    // sketch-quality eval: recall of the banded md5-MinHash near-dup pairs
+    // against exact-Jaccard ground truth over the SAME shingle universe
+    // (precision is 1 by construction — banded candidates are verified
+    // against exact shingle sets before emission — so recall is the whole
+    // quality story, and it is itself hash-matched cross-engine)
+    "x_dedup_minhash_recall" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir)
+      val truth = MinHashDedup.exactPairsMd5(docs, minJaccard = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val found = MinHashDedup.nearDuplicatesMd5(docs, minJaccard = 0.5)
+        .select(col("doc_a"), col("doc_b")).withColumn("hit", lit(1))
+      truth.join(found, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_found"))
+        .withColumn("recall",
+          when(col("n_true") === 0, lit(1.0))
+            .otherwise(col("n_found").cast("double") / col("n_true")))
     })
   )
 
@@ -3896,7 +3939,83 @@ object Extensions {
          |            ELSE 'es' END AS predicted,
          |  ${sqlCount()} AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-         |FROM sc GROUP BY 1""".stripMargin
+         |FROM sc GROUP BY 1""".stripMargin,
+
+    // snapshot diff: same deterministic v1/v2 derivation, same md5
+    // fingerprints (both engines hash the UTF-8 bytes to lowercase hex),
+    // `||` / Spark `concat` both null-propagate the v2 edit
+    "x_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        |v2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |a AS (SELECT doc_id, coalesce(md5(text), '<null>') AS fp FROM v1),
+        |b AS (SELECT doc_id, coalesce(md5(text), '<null>') AS fp FROM v2)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.fp <> b.fp""".stripMargin,
+
+    // curation lineage: first-drop attribution; dedup canonical is the min
+    // doc_id over the exact text group AMONG survivors of empty+quality
+    "x_pipeline_lineage" ->
+      s"""WITH f AS (SELECT doc_id, text,
+         |    CASE WHEN text IS NULL OR length(text) = 0 THEN 'empty'
+         |         WHEN ($sqlQualityScore) < 3 THEN 'quality' END AS drop0
+         |  FROM documents),
+         |k AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canon
+         |      FROM f WHERE drop0 IS NULL)
+         |SELECT f.doc_id,
+         |  coalesce(f.drop0,
+         |    CASE WHEN k.canon <> f.doc_id THEN 'dup' ELSE 'kept' END) AS stage
+         |FROM f LEFT JOIN k USING (doc_id)""".stripMargin,
+
+    // LSH recall vs exact-Jaccard truth over the identical shingle
+    // universe; truth is the brute-force all-pairs form here (the oracle's
+    // job is a second opinion, not scale), found is the minhash-pairs
+    // oracle verbatim
+    "x_dedup_minhash_recall" ->
+      """WITH sh AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(lower(text), ' ')) - 2),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |         string_split(lower(text), ' ')[i+1] || ' ' ||
+        |         string_split(lower(text), ' ')[i+2]))) AS s
+        |  FROM documents WHERE text IS NOT NULL),
+        |sets AS MATERIALIZED (SELECT doc_id, list(DISTINCT s) AS ws FROM sh GROUP BY 1),
+        |truth AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5),
+        |hs AS (
+        |  SELECT doc_id, s,
+        |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h1,
+        |    CAST(concat('0x', substr(md5(s), 16, 15)) AS BIGINT) % 2147483647 AS h2
+        |  FROM sh),
+        |sigs AS (
+        |  SELECT doc_id, list(CAST(m AS BIGINT) ORDER BY i) AS sig
+        |  FROM (SELECT doc_id, i, min((h1 + i * h2) % 2147483647) AS m
+        |        FROM hs CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+        |        GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |found AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |  JOIN sets sa ON sa.doc_id = a.doc_id
+        |  JOIN sets sb ON sb.doc_id = b.doc_id
+        |  WHERE (a.sig[1:4] = b.sig[1:4] OR a.sig[5:8] = b.sig[5:8]
+        |      OR a.sig[9:12] = b.sig[9:12] OR a.sig[13:16] = b.sig[13:16])
+        |    AND CAST(len(list_intersect(sa.ws, sb.ws)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(sa.ws, sb.ws))) >= 0.5)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true,
+        |  CAST(count(f.doc_a) AS BIGINT) AS n_found,
+        |  CASE WHEN count(*) = 0 THEN CAST(1.0 AS DOUBLE)
+        |       ELSE CAST(count(f.doc_a) AS DOUBLE) / count(*) END AS recall
+        |FROM truth t LEFT JOIN found f
+        |  ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b""".stripMargin
   )
 
   // ---- bench rebuild hooks (graft.BuildRebuild) ----------------------

@@ -1,0 +1,126 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** CorpusDiff + Curation.lineage + ExactDedup.canonicalIds +
+  * MinHashDedup.exactPairsMd5 — the corpus-versioning / curation-
+  * observability family added in round 10.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- CorpusDiff -----------------------------------------------------
+
+  test("diff classifies added/removed/changed and omits unchanged") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val v2 = Seq((2L, "b"), (3L, "C!"), (4L, null.asInstanceOf[String]), (5L, "e"))
+      .toDF("doc_id", "text")
+    val got = CorpusDiff.diff(v1, v2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    // 1 removed, 2 unchanged (omitted), 3 changed, 4 NULL→NULL unchanged
+    // (omitted), 5 added
+    assert(got.toSeq === Seq((1L, "removed"), (3L, "changed"), (5L, "added")))
+  }
+
+  test("diff flags NULL→text and text→NULL as changed") {
+    val v1 = Seq((1L, null.asInstanceOf[String]), (2L, "x")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "now set"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = CorpusDiff.diff(v1, v2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(got.toSeq === Seq((1L, "changed"), (2L, "changed")))
+  }
+
+  // ---- ExactDedup.canonicalIds ---------------------------------------
+
+  test("canonicalIds == groupBy(text) min over every row, nulls one group") {
+    val docs = Seq(
+      (10L, "dup"), (3L, "dup"), (7L, "dup"),
+      (5L, "solo"),
+      (8L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = ExactDedup.canonicalIds(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val naive = docs
+      .withColumn("canonical_id", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("text")))
+      .select("doc_id", "canonical_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq === naive.toSeq)
+    assert(got.length === docs.count())
+  }
+
+  // ---- Curation.lineage ----------------------------------------------
+
+  test("lineage attributes the first dropping stage in pipeline order") {
+    // 40 words, all distinct, 4 stopwords, mean word length ~5.4 — passes
+    // every rule in the battery (score 4)
+    val good = ((1 to 36).map(i => s"word$i") ++ Seq("the", "of", "and", "a")).mkString(" ")
+    val docs = Seq(
+      (1L, null.asInstanceOf[String]), // empty
+      (2L, ""),                        // empty
+      (3L, "short junk"),              // quality (< 20 words)
+      (4L, good),                      // kept (canonical of the dup group)
+      (5L, good),                      // dup of 4
+      (6L, good + " unique tail"))     // kept
+      .toDF("doc_id", "text")
+    val got = Curation.lineage(docs, minScore = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got === Map(1L -> "empty", 2L -> "empty", 3L -> "quality",
+      4L -> "kept", 5L -> "dup", 6L -> "kept"))
+  }
+
+  test("lineage dedups over survivors only: dup of a quality-dropped doc is kept") {
+    // doc 2 duplicates doc 1's text, but doc 1 never survives quality —
+    // so doc 2 is NOT a duplicate within the surviving corpus
+    val junk = "tiny"
+    val docs = Seq((1L, junk), (2L, junk)).toDF("doc_id", "text")
+    val got = Curation.lineage(docs, minScore = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got === Map(1L -> "quality", 2L -> "quality"))
+  }
+
+  // ---- MinHash recall substrate --------------------------------------
+
+  test("exactPairsMd5 == brute-force jaccard over the same shingle sets") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 25).map(i => s"w$i")
+    val texts = (0L until 20L).map { id =>
+      (id, Seq.fill(12 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val docs = (texts ++ Seq((50L, texts(2)._2), (51L, texts(3)._2 + " zz")))
+      .toDF("doc_id", "text")
+    val sets = MinHashDedup.shingleSetsMd5(docs)
+    val a = sets.select($"doc_id".as("doc_a"), $"shingles".as("sa"))
+    val b = sets.select($"doc_id".as("doc_b"), $"shingles".as("sb"))
+    val brute = a.crossJoin(b).filter($"doc_a" < $"doc_b")
+      .withColumn("jaccard",
+        size(array_intersect($"sa", $"sb")).cast("double") /
+          size(array_union($"sa", $"sb")))
+      .filter($"jaccard" >= 0.3)
+      .select("doc_a", "doc_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val keyed = MinHashDedup.exactPairsMd5(docs, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(brute.nonEmpty) // planted exact copy must appear
+    assert(keyed.toSeq === brute.toSeq)
+  }
+
+  test("banded minhash pairs are a subset of exact truth (precision 1)") {
+    val rnd = new scala.util.Random(13)
+    val vocab = (0 until 20).map(i => s"w$i")
+    val texts = (0L until 15L).map { id =>
+      (id, Seq.fill(10 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val docs = (texts ++ Seq((90L, texts(0)._2))).toDF("doc_id", "text")
+    val truth = MinHashDedup.exactPairsMd5(docs, minJaccard = 0.5)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = MinHashDedup.nearDuplicatesMd5(docs, minJaccard = 0.5)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(truth))
+    assert(found.contains((0L, 90L))) // the exact copy always collides
+  }
+}
