@@ -28,6 +28,44 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Source-priority dedup keep rule — when the same content arrives from
+    * multiple sources, keep the copy from the most trusted source, not the
+    * accidental min-id one. This is the cross-source merge every mixture
+    * build runs (curated dumps beat crawl copies of the same page): the
+    * keep decision is `min (priority, id)` lexicographically per exact-text
+    * group, so ties within a source still resolve deterministically.
+    *
+    * Output: `(idCol, kept_id)` for EVERY input row — the join-able
+    * mapping, same contract as [[ExactDedup.canonicalIds]]. Scale shape is
+    * the same hash-first layout: singleton xxhash64 groups (almost the
+    * whole corpus) decide themselves without text or priority entering a
+    * shuffle; only multi-member hash groups fetch `(text, priority)` for
+    * the exact null-safe `(hash, text)` grouping, where `min(struct(
+    * priority, id))` picks the winner in one keyed aggregation.
+    */
+  def priorityKeep(docs: DataFrame, priorityCol: String,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ids = docs.select(col(idCol).as("id"), xxhash64(col(textCol)).as("h"))
+    val dupKeys = ids.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select(col("h"))
+
+    val singles = ids.join(dupKeys, Seq("h"), "left_anti")
+      .select(col("id").as(idCol), col("id").as("kept_id"))
+
+    val dupRows = docs
+      .select(col(idCol).as("id"), col(textCol).as("t"),
+        col(priorityCol).as("p"), xxhash64(col(textCol)).as("h"))
+      .join(dupKeys, Seq("h"), "left_semi")
+    val winners = dupRows.groupBy(col("h"), col("t"))
+      .agg(min(struct(col("p"), col("id"))).as("w"))
+      .select(col("h").as("wh"), col("t").as("wt"), col("w.id").as("kept_id"))
+    val mapped = dupRows
+      .join(winners, col("h") === col("wh") && col("t") <=> col("wt"))
+      .select(col("id").as(idCol), col("kept_id"))
+
+    singles.union(mapped)
+  }
+
   def lineage(docs: DataFrame, minScore: Int = 3,
               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val base = docs.select(col(idCol), col(textCol),

@@ -181,6 +181,22 @@ object TextOps {
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "[0-9]+"                                          -> "<NUM>")
 
+  /** Per-document PII FINDINGS — the detection side of [[scrub]]: how many
+    * URLs / emails / bare numbers does each document carry? Pipelines gate
+    * on the counts (a doc that is mostly contact strings is directory spam,
+    * not prose) and audit redaction with them, so the counts are an
+    * operator of their own, not just a replace. Each count is an
+    * independent `regexp_count` over the SAME pattern list as [[scrub]] —
+    * matches may overlap across categories (digits inside a URL also count
+    * as a number; both engines count identically since the scans are
+    * independent). Pure codegen regexp, fuses with the scan; NULL text →
+    * NULL counts (detection over nothing is unknown, not zero).
+    */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_urls"   -> regexp_count(text, lit(ScrubPatterns(0)._1)),
+    "n_emails" -> regexp_count(text, lit(ScrubPatterns(1)._1)),
+    "n_nums"   -> regexp_count(text, lit(ScrubPatterns(2)._1)))
+
   /** Apply [[ScrubPatterns]] (or a custom list) to a text column — the
     * standard pre-training scrub step (emails, URLs, raw numbers →
     * placeholder tokens). Pure columnar `regexp_replace` chain: fuses into

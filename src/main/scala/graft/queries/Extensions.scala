@@ -1841,6 +1841,43 @@ object Extensions {
         .withColumn("recall",
           when(col("n_true") === 0, lit(1.0))
             .otherwise(col("n_found").cast("double") / col("n_true")))
+    }),
+
+    // source-priority exact dedup (Curation.priorityKeep): the cross-source
+    // merge keep rule — most-trusted source wins, id breaks ties. The
+    // corpus is augmented with deterministic priority-0 "mirror" copies of
+    // ids ≡ 0 (mod 50) (re-idded +1e6) so the rule is exercised at every
+    // SF: mirrors beat their originals except src0 docs, where the tie
+    // falls back to the lower original id.
+    "x_dedup_priority_keep" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir)
+      val planted = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          lit(0).as("priority"))
+      val aug = docs
+        .select(col("doc_id"), col("text"),
+          regexp_extract(col("source"), "([0-9]+)$", 1).cast("int").as("priority"))
+        .union(planted)
+      Curation.priorityKeep(aug, "priority")
+    }),
+
+    // per-document PII findings (TextOps.piiCounts over the scrub pattern
+    // list): URL / email / bare-number counts, the gate-and-audit side of
+    // the scrub. Emails and URLs are planted deterministically (ids ≡ 0
+    // mod 11 / mod 13, CASE order resolves the overlap at mod 143) so the
+    // detectors see real positives at every SF.
+    "x_text_pii" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir)
+      val t2 = when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" mail user"), col("doc_id") % 5,
+            lit("@example.com now")))
+        .when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" see https://ex.org/p/"), col("doc_id"),
+            lit(" ok")))
+        .otherwise(col("text"))
+      val counts = graft.ext.TextOps.piiCounts(t2)
+      docs.select(col("doc_id") +: counts.map { case (n, c) =>
+        c.cast("long").as(n) }: _*)
     })
   )
 
@@ -4015,7 +4052,38 @@ object Extensions {
         |  CASE WHEN count(*) = 0 THEN CAST(1.0 AS DOUBLE)
         |       ELSE CAST(count(f.doc_a) AS DOUBLE) / count(*) END AS recall
         |FROM truth t LEFT JOIN found f
-        |  ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b""".stripMargin
+        |  ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b""".stripMargin,
+
+    // priority keep: same augmented corpus (mirror copies at priority 0,
+    // originals at their source's numeric suffix); the window's
+    // (priority, doc_id) order IS the keep rule
+    "x_dedup_priority_keep" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text,
+        |    CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) AS priority
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, 0 FROM documents WHERE doc_id % 50 = 0)
+        |SELECT doc_id, first_value(doc_id) OVER (
+        |    PARTITION BY text ORDER BY priority, doc_id) AS kept_id
+        |FROM aug""".stripMargin,
+
+    // PII findings: identical planted derivation, each count an
+    // independent regex scan (shared Java/RE2-safe pattern list)
+    "x_text_pii" ->
+      """WITH aug AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0
+        |           THEN text || ' mail user' || (doc_id % 5) || '@example.com now'
+        |         WHEN doc_id % 13 = 0
+        |           THEN text || ' see https://ex.org/p/' || doc_id || ' ok'
+        |         ELSE text END AS t2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t2, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t2, '[0-9]+')) AS BIGINT) AS n_nums
+        |FROM aug""".stripMargin
   )
 
   // ---- bench rebuild hooks (graft.BuildRebuild) ----------------------

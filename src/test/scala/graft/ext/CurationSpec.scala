@@ -81,6 +81,46 @@ class CurationSpec extends SparkSpec {
     assert(got === Map(1L -> "quality", 2L -> "quality"))
   }
 
+  // ---- Curation.priorityKeep -----------------------------------------
+
+  test("priorityKeep: lowest priority wins, id breaks ties, singletons self") {
+    val docs = Seq(
+      (1L, "page", 5), (2L, "page", 2), (3L, "page", 2), // 2 wins (p=2, min id)
+      (4L, "solo", 9),                                    // self
+      (5L, null.asInstanceOf[String], 3), (6L, null.asInstanceOf[String], 1)) // 6 wins
+      .toDF("doc_id", "text", "priority")
+    val got = Curation.priorityKeep(docs, "priority")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 4L, 5L -> 6L, 6L -> 6L))
+  }
+
+  test("priorityKeep differs from min-id exactly where priority inverts it") {
+    val docs = Seq((1L, "x", 7), (9L, "x", 1)).toDF("doc_id", "text", "priority")
+    val byPriority = Curation.priorityKeep(docs, "priority")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(byPriority === Map(1L -> 9L, 9L -> 9L)) // min-id would keep 1
+  }
+
+  // ---- TextOps.piiCounts -----------------------------------------------
+
+  test("piiCounts counts urls/emails/numbers independently, NULL -> NULL") {
+    val docs = Seq(
+      (1L, "call 555 or 911 mail a.b@c.org and x@y.io see https://e.org/p2"),
+      (2L, "no pii here"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val counts = TextOps.piiCounts($"text")
+    val got = docs.select($"doc_id" +: counts.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    // url https://e.org/p2 counts 1 url; its digit '2' + 555, 911, and the
+    // digits in emails are ZERO (no digits in a.b@c.org/x@y.io) -> nums:
+    // 555, 911, 2 (inside url) = 3
+    assert(got(1L) === ((Some(1), Some(2), Some(3))))
+    assert(got(2L) === ((Some(0), Some(0), Some(0))))
+    assert(got(3L) === ((None, None, None)))
+  }
+
   // ---- MinHash recall substrate --------------------------------------
 
   test("exactPairsMd5 == brute-force jaccard over the same shingle sets") {
