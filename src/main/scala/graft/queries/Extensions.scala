@@ -904,6 +904,30 @@ object Extensions {
       Similarity.semDedup(assigned, threshold = 0.4)
     }),
 
+    // SemDeDup RECALL vs the cluster-free greedy rule: the exact all-pairs
+    // form drops a doc iff ANY smaller-id doc is >= threshold-similar;
+    // SemDeDup only sees same-cluster pairs, so its misses are exactly the
+    // cross-cluster near-dup pairs — the number this entry measures (the
+    // paper's quality trade made observable). sem-dropped ⊆ true-dropped
+    // by construction (same threshold, same rounding), so recall is the
+    // whole story — and it is itself hash-matched via the trained-centroid
+    // dynamic oracle (semRecall below).
+    "x_dedup_semantic_recall" -> ((s: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(s, dir)
+      val trueDropped = Similarity.embedPairsExact(emb, threshold = 0.4)
+        .select(col("vec_b").as("vec_id")).distinct()
+      val (_, assigned) = ivfFor(s, dir)
+      val kept = Similarity.semDedup(assigned, threshold = 0.4).select("vec_id")
+      val semDropped = emb.select(col("vec_id"))
+        .join(kept, Seq("vec_id"), "left_anti").withColumn("hit", lit(1))
+      trueDropped.join(semDropped, Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_true_dropped"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_sem_dropped"))
+        .withColumn("recall",
+          when(col("n_true_dropped") === 0, lit(1.0))
+            .otherwise(col("n_sem_dropped").cast("double") / col("n_true_dropped")))
+    }),
+
     // train/eval decontamination: docs from source 'src0' stand in for the
     // eval benchmark; every other doc sharing a 3-gram with it is flagged.
     // Bloom-prescreened corpus side, exact-join verify — output is exact
@@ -2473,8 +2497,26 @@ object Extensions {
              |  WHERE round(list_cosine_similarity(a1.n_vec, a2.n_vec), 6) >= 0.4)
              |SELECT n_id AS vec_id, cid FROM a
              |WHERE n_id NOT IN (SELECT vb FROM pairs)""".stripMargin
+        // SemDeDup recall vs the cluster-free rule: true-drop set from the
+        // exact all-pairs join (no cid constraint), sem-drop set from the
+        // same-cluster join; sem ⊆ true so the LEFT JOIN hit-count IS the
+        // intersection size
+        val semRecall =
+          s"""$prefix,
+             |$ivfAssignCte,
+             |semdrop AS (SELECT DISTINCT a2.n_id AS vec_id
+             |  FROM a a1 JOIN a a2 ON a1.cid = a2.cid AND a1.n_id < a2.n_id
+             |  WHERE round(list_cosine_similarity(a1.n_vec, a2.n_vec), 6) >= 0.4),
+             |truedrop AS (SELECT DISTINCT c2.n_id AS vec_id
+             |  FROM c c1 JOIN c c2 ON c1.n_id < c2.n_id
+             |  WHERE round(list_cosine_similarity(c1.n_vec, c2.n_vec), 6) >= 0.4)
+             |SELECT CAST(count(*) AS BIGINT) AS n_true_dropped,
+             |  CAST(count(s.vec_id) AS BIGINT) AS n_sem_dropped,
+             |  CASE WHEN count(*) = 0 THEN CAST(1.0 AS DOUBLE)
+             |       ELSE CAST(count(s.vec_id) AS DOUBLE) / count(*) END AS recall
+             |FROM truedrop t LEFT JOIN semdrop s ON t.vec_id = s.vec_id""".stripMargin
         val base = Map("x_sim_ann_ivf" -> annIvf, "x_sim_ivf_recall" -> recall,
-          "x_dedup_semantic" -> sem)
+          "x_dedup_semantic" -> sem, "x_dedup_semantic_recall" -> semRecall)
         // layout oracle only when the cid-partitioned parquet was written
         // this run: DuckDB reads the SERVED FILES themselves, so the check
         // covers the on-disk layout, not just the arithmetic

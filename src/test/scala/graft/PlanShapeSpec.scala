@@ -170,9 +170,12 @@ class PlanShapeSpec extends SparkSpec {
                              // the re-rank joins are keyed (n_id, q_id)
       "x_sq_topk",           // code scan × broadcast(small query set)
       "x_sq_recall",         // includes the brute-force reference
-      "x_dedup_semantic")    // inherits the nlist-bounded assignment cross
+      "x_dedup_semantic",    // inherits the nlist-bounded assignment cross
                              // join from the cached IVF lineage; the pair
                              // join itself is keyed on cid (pinned below)
+      "x_dedup_semantic_recall") // includes the exact all-pairs reference
+                             // (the eval's ground truth is quadratic by
+                             // spec, like the other *_recall entries)
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(quadraticBySpec)
       .flatMap { name =>

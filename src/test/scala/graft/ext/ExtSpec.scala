@@ -597,6 +597,29 @@ class SimilaritySpec extends SparkSpec {
     assert(exactDrop.contains(31L)) // the planted near-identical pair fired
   }
 
+  test("semDedup recall eval: sem-drop ⊆ true-drop at any nlist; recall 1 at nlist=1") {
+    // several planted near-dup pairs among near-orthogonal noise: the
+    // clustered drop set can only MISS true drops (cross-cluster pairs),
+    // never add — the containment the x_dedup_semantic_recall entry rests on
+    val rnd = new scala.util.Random(19)
+    val noise = (0 until 20).map(i => (i.toLong, Array.fill(12)(rnd.nextGaussian().toFloat)))
+    val copies = Seq(0, 3, 7).zipWithIndex.map { case (src, j) =>
+      val c = noise(src)._2.clone(); c(0) += 0.001f; (40L + j, c)
+    }
+    val corpus = (noise ++ copies).toDF("vec_id", "embedding")
+    val trueDrop = Similarity.embedPairsExact(corpus, threshold = 0.99)
+      .select($"vec_b").collect().map(_.getLong(0)).toSet
+    assert(trueDrop === Set(40L, 41L, 42L)) // the planted copies, larger ids
+    val all = corpus.select($"vec_id").collect().map(_.getLong(0)).toSet
+    for (nlist <- Seq(1, 4, 8)) {
+      val kept = Similarity.semDedupAll(corpus, threshold = 0.99, nlist = nlist, iters = 2)
+        .select($"vec_id").collect().map(_.getLong(0)).toSet
+      val semDrop = all -- kept
+      assert(semDrop.subsetOf(trueDrop), s"nlist=$nlist added a false drop: $semDrop")
+      if (nlist == 1) assert(semDrop === trueDrop) // no cross-cluster miss possible
+    }
+  }
+
   test("LSH bucketing keeps identical-direction vectors together") {
     val got = Similarity.lshTopK(corpus, corpus.filter($"vec_id" === 0), k = 3, nPlanes = 4)
       .collect().map(_.getLong(1)).toSet
