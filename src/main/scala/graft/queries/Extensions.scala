@@ -222,6 +222,39 @@ object Extensions {
         p
       })
 
+  /** Exact-Jaccard truth pair set — x_dedup_minhash_recall's eval
+    * substrate. Heavy by design (the common-shingle inverted-index join
+    * the sketch exists to avoid), so it gets the same ledger treatment as
+    * the other pair graphs: built once per corpus, persisted, itemized.
+    */
+  private val minhashTruthCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def minhashTruthFor(s: SparkSession, dir: String): DataFrame =
+    minhashTruthCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("minhash_truth_pairs") {
+        val p = MinHashDedup.exactPairsMd5(Tables.documents(s, dir),
+          minJaccard = 0.5).persist()
+        p.count() // materialize: serves must not re-run the truth join
+        p
+      })
+
+  /** Exact embedding-cosine pair set — shared by `x_dedup_embed_exact`
+    * (which IS this frame) and `x_dedup_semantic_recall`'s truth side;
+    * quadratic by spec, so one build serves every consumer.
+    */
+  private val embedTruthCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def embedTruthFor(s: SparkSession, dir: String): DataFrame =
+    embedTruthCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("embed_truth_pairs") {
+        val p = Similarity.embedPairsExact(Tables.embeddings(s, dir),
+          threshold = 0.4).persist()
+        p.count() // materialize: serves must not re-run the pair join
+        p
+      })
+
   private def ccFor(s: SparkSession, dir: String): DataFrame =
     ccCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
       graft.BuildTimes.timed("cc_ledger") {
@@ -914,7 +947,7 @@ object Extensions {
     // dynamic oracle (semRecall below).
     "x_dedup_semantic_recall" -> ((s: SparkSession, dir: String) => {
       val emb = Tables.embeddings(s, dir)
-      val trueDropped = Similarity.embedPairsExact(emb, threshold = 0.4)
+      val trueDropped = embedTruthFor(s, dir)
         .select(col("vec_b").as("vec_id")).distinct()
       val (_, assigned) = ivfFor(s, dir)
       val kept = Similarity.semDedup(assigned, threshold = 0.4).select("vec_id")
@@ -1188,7 +1221,7 @@ object Extensions {
     // embedding-cosine near-dup pairs, exact form — quadratic by nature
     // (dimension-table scale / the oracle for the LSH form below)
     "x_dedup_embed_exact" -> ((s: SparkSession, dir: String) => {
-      Similarity.embedPairsExact(Tables.embeddings(s, dir), threshold = 0.4)
+      embedTruthFor(s, dir)
     }),
 
     // banded-LSH near-dup pairs: one shuffle on (band, bucket), exact
@@ -1855,7 +1888,7 @@ object Extensions {
     // quality story, and it is itself hash-matched cross-engine)
     "x_dedup_minhash_recall" -> ((s: SparkSession, dir: String) => {
       val docs = Tables.documents(s, dir)
-      val truth = MinHashDedup.exactPairsMd5(docs, minJaccard = 0.5)
+      val truth = minhashTruthFor(s, dir)
         .select(col("doc_a"), col("doc_b"))
       val found = MinHashDedup.nearDuplicatesMd5(docs, minJaccard = 0.5)
         .select(col("doc_a"), col("doc_b")).withColumn("hit", lit(1))
@@ -4161,6 +4194,8 @@ object Extensions {
   reg("tri_counts", triCache, triFor)(unpin)
   reg("cc_pair_graph", ccPairCache, ccPairsFor)(unpin)
   reg("cosine_pair_graph", cosinePairCache, cosinePairsFor)(unpin)
+  reg("minhash_truth_pairs", minhashTruthCache, minhashTruthFor)(unpin)
+  reg("embed_truth_pairs", embedTruthCache, embedTruthFor)(unpin)
   reg("cc_ledger", ccCache, ccFor)(unpin)
   reg("cc_star_ledger", ccStarCache, ccStarFor)(unpin)
   reg("cc_incr_prestate", ccIncrCache, ccIncrFor)(v => { unpin(v._1); unpin(v._2) })
