@@ -89,7 +89,7 @@ object Components {
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 
-  private def requireIntegralIds(caller: String, edges: DataFrame, cols: Seq[String]): Unit =
+  private[ext] def requireIntegralIds(caller: String, edges: DataFrame, cols: Seq[String]): Unit =
     cols.foreach { c =>
       import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
       val dt = edges.schema(c).dataType

@@ -150,6 +150,43 @@ object Sampling {
       .drop("__qdom", "__nd")
   }
 
+  /** Largest-remainder (Hamilton) quota allocation — the integer split a
+    * mixture build actually needs: quotas PROPORTIONAL to the weights that
+    * sum to EXACTLY `total` (floor division alone, as in
+    * [[temperatureMixSqrt]], under-allocates by up to one per domain;
+    * sequential rounding drifts). Entirely integer arithmetic:
+    * `q_i = ⌊T·w_i/W⌋`, then the `T − Σ⌊⌋` leftover units go to the
+    * largest remainders `T·w_i mod W` (ties → key ascending) —
+    * deterministic and engine-portable, no floats anywhere.
+    *
+    * Input: one row per key `(keyCol, weightCol≥0)` — an AGGREGATED
+    * domain table (thousands of rows at 100 TB, not a corpus). Even so,
+    * the remainder rank is the DISTRIBUTED prefix rank
+    * ([[graft.ext.Packing.runningTotalBy]]'s partition-offset scheme),
+    * never a global sort window, and the two scalar totals (ΣW, Σ⌊⌋) are
+    * single-row aggregates broadcast back — the registry-wide
+    * no-global-window guard holds here like everywhere else. Output:
+    * `(keyCol, quota)` with `Σ quota = total` (when `Σ weight > 0`).
+    */
+  def allocateQuotas(counts: DataFrame, keyCol: String, weightCol: String,
+                     total: Long): DataFrame = {
+    require(total >= 0, s"allocateQuotas: total must be >= 0, got $total")
+    val w = counts.select(col(keyCol), col(weightCol).cast("long").as("__w"))
+    val sw = w.agg(sum(col("__w")).as("__sw"))
+    val base = w.crossJoin(broadcast(sw))
+      .withColumn("__q", expr(s"CAST($total AS BIGINT) * __w div __sw"))
+      .withColumn("__rem", expr(s"CAST($total AS BIGINT) * __w % __sw"))
+    val left = base.agg((lit(total) - sum(col("__q"))).as("__left"))
+    val ranked = graft.ext.Packing.runningTotalBy(
+      base.withColumn("__one", lit(1L)),
+      Seq(col("__rem").desc, col(keyCol)), "__one")
+      .withColumnRenamed("cum", "__rk")
+    ranked.crossJoin(broadcast(left))
+      .select(col(keyCol),
+        (col("__q") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+          .as("quota"))
+  }
+
   /** Stratified modulo sampling: per-stratum 1-in-k rates (corpus
     * REBALANCING — e.g. downsample the dominant language, keep the rare
     * ones whole). Strata missing from `rates` fall back to `defaultK`;

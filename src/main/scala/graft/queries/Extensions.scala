@@ -645,6 +645,15 @@ object Extensions {
     // per corpus like the CC ledger (the counts serve both graph entries)
     "x_graph_triangles" -> ((s: SparkSession, dir: String) => triFor(s, dir)),
 
+    // k-core membership over the cached jaccard pair graph: 6 peel rounds
+    // at k=2 via the BOUNDED twin (kCoreRounds), whose unrolled-CTE oracle
+    // computes the identical object whether or not the peel has converged
+    // — correctness never depends on convergence depth; the fixpoint form
+    // (KCore.kCore) is pinned ≡ the bounded twin in KCoreSpec
+    "x_graph_kcore" -> ((s: SparkSession, dir: String) => {
+      graft.ext.KCore.kCoreRounds(ccPairsFor(s, dir), k = 2, rounds = 6)
+    }),
+
     // weighted (tf-vector) cosine similarity self-join — AllPairs prefix
     // filter (suffix-norm bound, lossless) + integer-exact dot verify over
     // rare-token (df ≤ 100) sub-vectors; the multiset counterpart of the
@@ -1050,6 +1059,16 @@ object Extensions {
       graft.ops.Sampling.temperatureMixSqrt(
         Tables.documents(s, dir).select(col("doc_id"), col("source")),
         "source", total = 300L)
+    }),
+
+    // largest-remainder (Hamilton) quota allocation: per-source integer
+    // quotas proportional to char mass, summing EXACTLY to the budget —
+    // all integer arithmetic (floor div + remainder rank), windows only
+    // over the aggregated source table
+    "x_mix_quota" -> ((s: SparkSession, dir: String) => {
+      val counts = Tables.documents(s, dir)
+        .groupBy(col("source")).agg(sum(col("n_chars")).as("w"))
+      graft.ops.Sampling.allocateQuotas(counts, "source", "w", total = 1000L)
     }),
 
     // deterministic epoch-3 training-order shuffle: positions are the
@@ -2269,6 +2288,28 @@ object Extensions {
        |SELECT node AS doc_id, min(label) AS component
        |FROM walk GROUP BY node""".stripMargin
 
+  /** k-core peel unrolled as chained CTEs (the pagerank recipe): round i
+    * keeps nodes whose degree over the round-(i−1) edge set is ≥ k, and
+    * an edge survives only when BOTH endpoints do — byte-for-byte the
+    * bounded twin's rule, so the two engines compute the same object at
+    * any round budget.
+    */
+  private val kcoreOracleSql: String = {
+    val rounds = 6
+    val chain = (1 to rounds).map { i =>
+      s"""k$i AS (SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= 2),
+         |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN k$i a ON e.src = a.src JOIN k$i b ON e.dst = b.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH
+       |$ccPairCtes,
+       |e0 AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION SELECT doc_b, doc_a FROM p),
+       |$chain
+       |SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+       |FROM e$rounds GROUP BY src""".stripMargin
+  }
+
   /** Static oracles + the dynamically generated IVF family (the latter
     * embed the trained model's centroid literals and the written layout
     * path, which exist only after the registry entries have run —
@@ -3298,6 +3339,22 @@ object Extensions {
         |SELECT r.doc_id, r.source, CAST(rk AS BIGINT) AS mix_rank
         |FROM r JOIN n USING(source) WHERE rk <= nd""".stripMargin,
 
+    // Hamilton allocation: floors + largest remainders, pure integer;
+    // DuckDB's sum(BIGINT) is HUGEINT, cast back before the arithmetic
+    "x_mix_quota" ->
+      """WITH c AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS w
+        |           FROM documents GROUP BY source),
+        |s AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM c),
+        |b AS (SELECT source, (1000 * w) // sw AS q, (1000 * w) % sw AS rem
+        |      FROM c CROSS JOIN s),
+        |r AS (SELECT source, q,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rk,
+        |    1000 - CAST(sum(q) OVER () AS BIGINT) AS leftover
+        |  FROM b)
+        |SELECT source,
+        |  CAST(q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM r""".stripMargin,
+
     "x_shuffle_epoch" ->
       """SELECT doc_id,
         |  CAST(row_number() OVER (
@@ -3523,6 +3580,8 @@ object Extensions {
         |FROM t GROUP BY 1""".stripMargin,
 
     "x_dedup_cc" -> ccOracleSqlRef,
+
+    "x_graph_kcore" -> kcoreOracleSql,
 
     // canonical-triple enumeration (p is doc_a < doc_b, so each triangle
     // appears exactly once as a<b<c) — orientation-free, which is the

@@ -176,6 +176,34 @@ class OpsSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("allocateQuotas: Hamilton largest-remainder, exact total, deterministic ties") {
+    // weights (3,3,1), T=10: floors (4,4,1) sum 9; largest remainder is c
+    // (10·1 mod 7 = 3 vs 2) -> quotas (4,4,2), summing EXACTLY to 10
+    val counts = Seq(("a", 3L), ("b", 3L), ("c", 1L)).toDF("k", "w")
+    val got = graft.ops.Sampling.allocateQuotas(counts, "k", "w", total = 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 4L, "b" -> 4L, "c" -> 2L))
+    // equal weights, leftover ties broken by key ascending
+    val eq = Seq(("x", 1L), ("y", 1L), ("z", 1L)).toDF("k", "w")
+    val got2 = graft.ops.Sampling.allocateQuotas(eq, "k", "w", total = 5L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2 === Map("x" -> 2L, "y" -> 2L, "z" -> 1L))
+    // property: random weights always sum exactly to T
+    val rnd = new scala.util.Random(5)
+    val rand = (0 until 17).map(i => (s"k$i", 1L + rnd.nextInt(1000).toLong))
+      .toDF("k", "w")
+    val tot = graft.ops.Sampling.allocateQuotas(rand, "k", "w", total = 12345L)
+      .agg(org.apache.spark.sql.functions.sum("quota")).head.getLong(0)
+    assert(tot === 12345L)
+    // zero-weight keys get quota 0 (floor and remainder both 0... unless
+    // a leftover unit lands on them LAST — remainder 0 ranks below any
+    // positive remainder, so only when leftover >= #positive-rem keys)
+    val withZero = Seq(("a", 0L), ("b", 5L)).toDF("k", "w")
+    val got3 = graft.ops.Sampling.allocateQuotas(withZero, "k", "w", total = 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got3 === Map("a" -> 0L, "b" -> 7L))
+  }
+
   test("temperatureMixSqrt: sqrt-flattened per-domain counts, deterministic, dominant domain tamed") {
     import org.apache.spark.sql.functions.col
     // 900 'big' + 100 'small' + 25 'rare': raw shares 88/10/2 percent;
