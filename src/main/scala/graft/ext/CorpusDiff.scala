@@ -23,6 +23,40 @@ import org.apache.spark.sql.functions._
   */
 object CorpusDiff {
 
+  /** Cross-source content-overlap matrix — "how many distinct documents
+    * does source A share VERBATIM with source B?" The dataset-audit
+    * artifact behind mixture design and licensing review: a crawl slice
+    * that verbatim-contains half a curated dump changes both how you
+    * weight them and whether you may ship them.
+    *
+    * Scale shape follows the hash-first dedup discipline: the corpus-wide
+    * pass is `distinct (source, xxhash64(text))` (8 B + source per row);
+    * only hashes seen in ≥ 2 distinct sources fetch text, and the pair
+    * join runs on the (hash, text) sliver — exact (collisions die at the
+    * text-equality join), with text bytes shuffled only for the shared
+    * sliver. Output: `(source_a, source_b, n_shared)` with
+    * `source_a < source_b`, n_shared = distinct shared texts.
+    */
+  def sourceOverlap(docs: DataFrame, srcCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(srcCol).as("src"), xxhash64(col(textCol)).as("h"),
+        col(textCol).as("t"))
+    val sh = base.select(col("src"), col("h")).distinct()
+    val multi = sh.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select(col("h"))
+    val sliver = base.join(multi, Seq("h"), "left_semi")
+      .select(col("src"), col("h"), col("t")).distinct()
+    sliver.select(col("src").as("source_a"), col("h").as("ha"), col("t").as("ta"))
+      .join(sliver.select(col("src").as("source_b"), col("h").as("hb"), col("t").as("tb")),
+        col("ha") === col("hb") && col("ta") === col("tb") &&
+          col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), col("ta"))
+      .distinct()
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** (idCol, status) with status ∈ {'added','removed','changed'};
     * unchanged rows are omitted.
     */

@@ -1892,6 +1892,21 @@ object Extensions {
       CorpusDiff.diff(v1, v2)
     }),
 
+    // cross-source verbatim-overlap matrix (CorpusDiff.sourceOverlap):
+    // distinct shared texts per source pair. A deterministic 'xmirror'
+    // source (copies of ids ≡ 0 mod 25, re-idded) plants real overlap at
+    // every SF; natural cross-source dups count identically in both
+    // engines.
+    "x_corpus_overlap" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir)
+      val planted = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          lit("xmirror").as("source"))
+      val aug = docs.select(col("doc_id"), col("text"), col("source"))
+        .union(planted)
+      CorpusDiff.sourceOverlap(aug)
+    }),
+
     // per-document drop-reason lineage through the curation funnel:
     // empty → quality(<3) → exact-dup-of-surviving-lower-id → kept
     // (see Curation.lineage; dedup runs over the survivors of the earlier
@@ -4128,6 +4143,19 @@ object Extensions {
         |       ELSE 'changed' END AS status
         |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
         |WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.fp <> b.fp""".stripMargin,
+
+    // overlap matrix: same augmented corpus; SQL joins on the text
+    // directly (the oracle's job is semantics, not the hash-first layout)
+    "x_corpus_overlap" ->
+      """WITH aug AS (
+        |  SELECT text, source FROM documents
+        |  UNION ALL
+        |  SELECT text, 'xmirror' FROM documents WHERE doc_id % 25 = 0),
+        |s AS (SELECT DISTINCT source, text FROM aug WHERE text IS NOT NULL)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM s a JOIN s b ON a.text = b.text AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
 
     // curation lineage: first-drop attribution; dedup canonical is the min
     // doc_id over the exact text group AMONG survivors of empty+quality

@@ -32,6 +32,20 @@ class CurationSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, "changed"), (2L, "changed")))
   }
 
+  test("sourceOverlap counts distinct shared texts per source pair, ordered") {
+    val docs = Seq(
+      (1L, "shared one", "a"), (2L, "shared one", "b"),   // a∩b
+      (3L, "shared two", "a"), (4L, "shared two", "b"),   // a∩b again
+      (5L, "shared one", "c"),                            // a∩c, b∩c via 'shared one'
+      (6L, "a only", "a"), (7L, "b only", "b"),
+      (8L, "shared one", "a"),                            // within-source dup: no double count
+      (9L, null.asInstanceOf[String], "a"), (10L, null.asInstanceOf[String], "b")) // NULLs never overlap
+      .toDF("doc_id", "text", "source")
+    val got = CorpusDiff.sourceOverlap(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L))
+  }
+
   // ---- ExactDedup.canonicalIds ---------------------------------------
 
   test("canonicalIds == groupBy(text) min over every row, nulls one group") {
