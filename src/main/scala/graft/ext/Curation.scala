@@ -42,6 +42,11 @@ object Curation {
     * shuffle; only multi-member hash groups fetch `(text, priority)` for
     * the exact null-safe `(hash, text)` grouping, where `min(struct(
     * priority, id))` picks the winner in one keyed aggregation.
+    *
+    * Priorities must be NON-NULL: Spark's struct min sorts a NULL field
+    * FIRST (a NULL priority would silently win every group) while SQL
+    * engines default to NULLS LAST — coalesce to an explicit sentinel
+    * (e.g. Long.MaxValue for "least trusted") before calling.
     */
   def priorityKeep(docs: DataFrame, priorityCol: String,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
