@@ -71,6 +71,23 @@ object Curation {
     singles.union(mapped)
   }
 
+  /** Best-quality cluster representative: per `compCol` group, the row
+    * with the highest `qCol` (tie → min id). The argmax is
+    * `min(struct(-q, id))` — one keyed aggregation, never a
+    * per-component window (a mega-component would serialize through one
+    * task). Quality must be non-null for every labeled row (same
+    * engine-portability reason as [[priorityKeep]]'s non-null contract).
+    * Output: `(compCol, rep_id, rep_quality)`.
+    */
+  def bestRepresentative(labels: DataFrame, quality: DataFrame,
+                         idCol: String = "doc_id", compCol: String = "component",
+                         qCol: String = "q"): DataFrame =
+    labels.join(quality.select(col(idCol), col(qCol).cast("int").as("__q")), Seq(idCol))
+      .groupBy(col(compCol))
+      .agg(min(struct((lit(0) - col("__q")).as("nq"), col(idCol).as("id"))).as("w"))
+      .select(col(compCol), col("w.id").as("rep_id"),
+        (lit(0) - col("w.nq")).cast("bigint").as("rep_quality"))
+
   def lineage(docs: DataFrame, minScore: Int = 3,
               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val base = docs.select(col(idCol), col(textCol),

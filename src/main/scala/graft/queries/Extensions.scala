@@ -505,6 +505,18 @@ object Extensions {
     // and served from the app-scoped cache, like the IVF model state.
     "x_dedup_cc" -> ((s: SparkSession, dir: String) => ccFor(s, dir)),
 
+    // best-quality cluster representative: within each near-dup component
+    // keep the HIGHEST-quality member (tie → min doc_id) — the production
+    // keep rule when duplicate copies differ in cleanliness (min-id
+    // remains the canonical convention elsewhere). One keyed aggregation
+    // over the cached component ledger: min(struct(-quality, id)) is the
+    // argmax without a per-component window.
+    "x_dedup_best_rep" -> ((s: SparkSession, dir: String) => {
+      val q = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.qualityScore("text").cast("int").as("q"))
+      Curation.bestRepresentative(ccFor(s, dir), q)
+    }),
+
     // same component labels via alternating large-star/small-star
     // contraction (O(log n) rounds on ANY diameter — the general-graph
     // path); shares the pair graph and the recursive-CTE oracle with
@@ -3595,6 +3607,21 @@ object Extensions {
         |FROM t GROUP BY 1""".stripMargin,
 
     "x_dedup_cc" -> ccOracleSqlRef,
+
+    // best-rep: same recursive-CTE component fixpoint, quality-desc argmax
+    // per component (window over components is the ORACLE's tool; the
+    // engine side is a keyed struct-min aggregation)
+    "x_dedup_best_rep" ->
+      s"""$ccWalkCtes,
+         |cc AS (SELECT node AS doc_id, min(label) AS component
+         |       FROM walk GROUP BY node),
+         |q AS (SELECT doc_id, CAST($sqlQualityScore AS INT) AS q FROM documents)
+         |SELECT component, doc_id AS rep_id, CAST(q AS BIGINT) AS rep_quality
+         |FROM (SELECT cc.component, cc.doc_id, q.q,
+         |        row_number() OVER (PARTITION BY cc.component
+         |          ORDER BY q.q DESC, cc.doc_id) AS rk
+         |      FROM cc JOIN q USING (doc_id))
+         |WHERE rk = 1""".stripMargin,
 
     "x_graph_kcore" -> kcoreOracleSql,
 

@@ -135,6 +135,19 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) === ((None, None, None)))
   }
 
+  // ---- Curation.bestRepresentative -------------------------------------
+
+  test("bestRepresentative: highest quality wins, min-id tiebreak, unlabeled ignored") {
+    val labels = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 200L), (5L, 200L))
+      .toDF("doc_id", "component")
+    val quality = Seq((1L, 2), (2L, 4), (3L, 4), (4L, 1), (5L, 1), (9L, 9))
+      .toDF("doc_id", "q") // 9 has no label: must not appear anywhere
+    val got = Curation.bestRepresentative(labels, quality)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // comp 100: q=4 tie between 2 and 3 -> min id 2; comp 200: tie -> 4
+    assert(got === Map(100L -> ((2L, 4L)), 200L -> ((4L, 1L))))
+  }
+
   // ---- MinHash recall substrate --------------------------------------
 
   test("exactPairsMd5 == brute-force jaccard over the same shingle sets") {
