@@ -67,6 +67,30 @@ object VersionedState {
     }
   }
 
+  /** TIME-TRAVEL read: the state exactly as of version `batchId` — the
+    * reproducibility hook ("rebuild the mixture the trainer saw at batch
+    * N") the versioned layout gets for free, provided the version is
+    * still retained (`keepVersions` at commit time is the retention
+    * knob). A missing or pruned version FAILS LOUDLY with the retained
+    * ids — state reads must never silently substitute a different
+    * version — and a version dir without `_SUCCESS` (crash mid-write) is
+    * treated as absent for the same reason [[current]] skips it.
+    */
+  def atVersion(spark: SparkSession, root: String, batchId: Long): org.apache.spark.sql.DataFrame = {
+    val f = fs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(root, s"v$batchId")
+    val committed = f.exists(p) &&
+      f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    if (!committed)
+      throw new NoSuchElementException(
+        s"version v$batchId not retained under $root (pruned, never " +
+          s"committed, or partial); retained: " +
+          versionDirs(f, root)
+            .filter(d => f.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+            .map(_.getName).mkString(", "))
+    spark.read.parquet(p.toString)
+  }
+
   /** Write `updated` as version `batchId` and flip the pointer to it.
     * `keepVersions` (≥ 1) retains that many NEWEST version dirs after the
     * flip — retained history is what [[readVersion]] time-travels to; the

@@ -47,6 +47,35 @@ class AggLedgerSpec extends SparkSpec {
     assert(served(root2) === first)
   }
 
+  test("time travel: atVersion reads a retained past version; pruned/partial fail loudly") {
+    val root = java.nio.file.Files.createTempDirectory("aggledger").toString + "/st"
+    val df = rows(100)
+    // four commits of the cumulative state, retention 2 → v2, v3 survive
+    (0 to 3).foreach { w =>
+      val st = AggLedger.partial(
+        df.filter(pmod(col("id"), lit(4)) <= w), Seq("k"), "v")
+      graft.streaming.VersionedState.commit(st, w, root, keepVersions = 2)
+    }
+    // v2 is the PAST state (waves 0..2), readable as of its batch id
+    val v2 = graft.streaming.VersionedState.atVersion(spark, root, 2L)
+    val got = AggLedger.finalizeLedger(v2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = AggLedger.finalizeLedger(AggLedger.partial(
+      df.filter(pmod(col("id"), lit(4)) <= 2), Seq("k"), "v")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // v0 was pruned (keepVersions = 2): loud failure naming the retained set
+    val err = intercept[NoSuchElementException] {
+      graft.streaming.VersionedState.atVersion(spark, root, 0L)
+    }
+    assert(err.getMessage.contains("v3") && err.getMessage.contains("v2"))
+    // a crash-partial version dir (no _SUCCESS) is absent for time travel
+    val partial = new java.io.File(s"$root/v9"); partial.mkdirs()
+    intercept[NoSuchElementException] {
+      graft.streaming.VersionedState.atVersion(spark, root, 9L)
+    }
+  }
+
   test("at-least-once replay of an applied batch is a no-op (no double count)") {
     val root = java.nio.file.Files.createTempDirectory("aggledger-rp").toString + "/st"
     val df = rows(80)
