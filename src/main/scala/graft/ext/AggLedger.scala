@@ -102,7 +102,8 @@ object AggLedger {
     */
   def maintain(batch: DataFrame, batchId: Long, root: String,
                keys: Seq[String], valueCol: String,
-               streamId: Option[String] = None): Unit = {
+               streamId: Option[String] = None,
+               keepVersions: Int = 1): Unit = {
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
       val applied = graft.streaming.VersionedState.appliedState(spark, root)
@@ -127,7 +128,7 @@ object AggLedger {
         val effectiveTxn = streamId.orElse(applied.flatMap(_._2))
         graft.streaming.VersionedState.commit(
           merge(state, partial(batch, keys, valueCol), keys), batchId, root,
-          txnId = effectiveTxn)
+          keepVersions = keepVersions, txnId = effectiveTxn)
       }
     }
   }

@@ -141,7 +141,8 @@ object Extensions {
           graft.ext.AggLedger.maintain(
             ev.filter(pmod(col("event_id"), lit(3)) === w), w, root,
             keys = Seq("event_type", "hr"), valueCol = "value",
-            streamId = Some("agg-ledger-waves")) // txn-guard path exercised
+            streamId = Some("agg-ledger-waves"), // txn-guard path exercised
+            keepVersions = 3) // retain every wave: x_state_time_travel
         }
         root
       })
@@ -1253,6 +1254,16 @@ object Extensions {
       import org.apache.spark.sql.types.{LongType, StringType}
       graft.ext.AggLedger.serve(s, aggLedgerFor(s, dir),
         keys = Seq("event_type", "hr"), keyTypes = Seq(StringType, LongType))
+    }),
+
+    // TIME TRAVEL over the maintained rollup: serve the ledger exactly as
+    // of batch 1 (waves 0–1 of the 3-wave build; retention keeps every
+    // version) — the oracle aggregates the SAME deterministic subset
+    // directly, so the past state is hash-pinned, not just readable
+    "x_state_time_travel" -> ((s: SparkSession, dir: String) => {
+      val root = aggLedgerFor(s, dir)
+      graft.ext.AggLedger.finalizeLedger(
+        graft.streaming.VersionedState.atVersion(s, root, 1L))
     }),
 
     // exactly-k-per-group deterministic sample ("reservoir" with
@@ -3578,6 +3589,19 @@ object Extensions {
          |  CAST(round(sum(CAST(value AS DECIMAL(28,10))), 6) AS DOUBLE)
          |    / CAST(count(1) AS BIGINT) AS vavg
          |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // time travel: the direct aggregate over waves 0-1 (event_id mod 3 <= 1)
+    // must equal the ledger's retained version 1
+    "x_state_time_travel" ->
+      s"""SELECT event_type,
+         |  CAST(floor(epoch(ts)) AS BIGINT) // 3600 % 24 AS hr,
+         |  ${Util.sqlCount("1")} AS n,
+         |  ${Util.sqlDsum("value")} AS total,
+         |  min(CAST(value AS DOUBLE)) AS vmin,
+         |  max(CAST(value AS DOUBLE)) AS vmax,
+         |  CAST(round(sum(CAST(value AS DECIMAL(28,10))), 6) AS DOUBLE)
+         |    / CAST(count(1) AS BIGINT) AS vavg
+         |FROM events WHERE event_id % 3 <= 1 GROUP BY 1, 2""".stripMargin,
 
     // utf8proc's NFC == the JDK's (Unicode normalization-stability policy)
     "x_text_nfc" ->
