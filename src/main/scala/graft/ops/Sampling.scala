@@ -187,6 +187,46 @@ object Sampling {
           .as("quota"))
   }
 
+  /** Deterministic INTERLEAVED mixture schedule — the order a data loader
+    * should consume the mixture in, so no training batch is one domain:
+    * [[allocateQuotas]] (weights = domain counts) fixes how many docs each
+    * domain contributes, the per-domain md5 prefix rank picks WHICH docs
+    * (reproducible, rerun-stable), and each domain's picks are spread
+    * evenly over the global schedule by pure integer arithmetic:
+    * `pos = (rank−1)·T div quota` places domain d's r-th pick at its
+    * proportional offset in [0, T). Consuming in `(pos, domain, rank)`
+    * order yields the round-robin-proportional interleave. `total` must
+    * not exceed the corpus (quotas are WITHOUT replacement; with
+    * weights = counts and T ≤ n, every quota ≤ its domain count).
+    *
+    * Scale shape: quota table is a broadcast of the aggregated domains,
+    * ranks are the per-group distributed prefix rank
+    * ([[graft.ext.Packing.runningTotalByGroup]]) — no global or per-domain
+    * sort window ever touches data.
+    *
+    * Output: `(input columns…, mix_rank, pos)` for the selected docs.
+    */
+  def interleaveSchedule(df: DataFrame, domainCol: String, total: Long,
+                         idCol: String = "doc_id", salt: String = "mix"): DataFrame = {
+    require(total >= 1, s"interleaveSchedule: total must be >= 1, got $total")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__c"))
+    val quotas = allocateQuotas(counts, domainCol, "__c", total)
+      .filter(col("quota") > 0)
+      .withColumnRenamed(domainCol, "__qd")
+    val ranked = graft.ext.Packing.runningTotalByGroup(
+      df.withColumn("__skey",
+          md5(concat(lit(s"$salt:"), col(idCol).cast("string"))))
+        .withColumn("__one", lit(1L)),
+      domainCol, Seq(col("__skey"), col(idCol)), "__one")
+      .withColumnRenamed("cum", "mix_rank")
+      .drop("__skey", "__one")
+    ranked.join(broadcast(quotas), col(domainCol) <=> col("__qd"))
+      .filter(col("mix_rank") <= col("quota"))
+      .withColumn("pos",
+        expr(s"(mix_rank - 1) * CAST($total AS BIGINT) div quota"))
+      .drop("__qd", "quota")
+  }
+
   /** Stratified modulo sampling: per-stratum 1-in-k rates (corpus
     * REBALANCING — e.g. downsample the dominant language, keep the rare
     * ones whole). Strata missing from `rates` fall back to `defaultK`;

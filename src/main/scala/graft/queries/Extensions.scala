@@ -1088,6 +1088,16 @@ object Extensions {
         "source", total = 300L)
     }),
 
+    // deterministic interleaved mixture schedule: Hamilton quotas over
+    // source counts, md5-ranked per-source selection, integer even-spread
+    // positions — consume in (pos, source, mix_rank) order and no batch
+    // is one domain
+    "x_mix_schedule" -> ((s: SparkSession, dir: String) => {
+      graft.ops.Sampling.interleaveSchedule(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        "source", total = 300L)
+    }),
+
     // largest-remainder (Hamilton) quota allocation: per-source integer
     // quotas proportional to char mass, summing EXACTLY to the budget —
     // all integer arithmetic (floor div + remainder rank), windows only
@@ -3390,6 +3400,31 @@ object Extensions {
         |  FROM documents)
         |SELECT r.doc_id, r.source, CAST(rk AS BIGINT) AS mix_rank
         |FROM r JOIN n USING(source) WHERE rk <= nd""".stripMargin,
+
+    // schedule: Hamilton quotas (counts as weights) + per-source md5 rank
+    // + integer even-spread position; window partitions are the oracle's
+    // tool (the engine side uses the distributed prefix rank)
+    "x_mix_schedule" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS w
+        |           FROM documents GROUP BY source),
+        |s AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM c),
+        |b AS (SELECT source, (300 * w) // sw AS q, (300 * w) % sw AS rem
+        |      FROM c CROSS JOIN s),
+        |qr AS (SELECT source, q,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rk,
+        |    300 - CAST(sum(q) OVER () AS BIGINT) AS leftover
+        |  FROM b),
+        |quota AS (SELECT source,
+        |    CAST(q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |  FROM qr),
+        |r AS (SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS mix_rank
+        |  FROM documents)
+        |SELECT r.doc_id, r.source, mix_rank,
+        |  (mix_rank - 1) * 300 // quota AS pos
+        |FROM r JOIN quota USING (source)
+        |WHERE quota > 0 AND mix_rank <= quota""".stripMargin,
 
     // Hamilton allocation: floors + largest remainders, pure integer;
     // DuckDB's sum(BIGINT) is HUGEINT, cast back before the arithmetic

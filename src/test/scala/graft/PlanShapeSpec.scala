@@ -160,6 +160,8 @@ class PlanShapeSpec extends SparkSpec {
       "x_mix_temperature",   // single-row Σw aggregate broadcast back
       "x_mix_quota",         // same shape: single-row ΣW broadcast into
                              // the aggregated domain table
+      "x_mix_schedule",      // inherits the quota allocation's single-row
+                             // broadcasts; selection/rank joins are keyed
       "x_skew_profile",      // 1×1 cross join of two single-row summaries
       "x_substr_summary",    // 1×1 cross join: span summary × corpus chars
       "x_curriculum",        // single-row N aggregate broadcast back

@@ -204,6 +204,32 @@ class OpsSpec extends SparkSpec {
     assert(got3 === Map("a" -> 0L, "b" -> 7L))
   }
 
+  test("interleaveSchedule: quota-proportional selection, even integer spread, deterministic") {
+    import org.apache.spark.sql.functions.col
+    // 6 'a' + 3 'b', T=6: Hamilton quotas (4, 2) with zero leftover;
+    // positions (r-1)*6 div q -> a: 0,1,3,4  b: 0,3 — b's picks spread
+    // across the schedule instead of clumping at the end
+    val df = ((1L to 6L).map((_, "a")) ++ (11L to 13L).map((_, "b")))
+      .toDF("doc_id", "dom")
+    val got = graft.ops.Sampling.interleaveSchedule(df, "dom", total = 6L)
+    val byDom = got.groupBy("dom").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom === Map("a" -> 4L, "b" -> 2L))
+    val pos = got.select("dom", "pos").collect()
+      .groupBy(_.getString(0)).map { case (d, rs) =>
+        d -> rs.map(_.getLong(1)).sorted.toSeq }
+    assert(pos("a") === Seq(0L, 1L, 3L, 4L))
+    assert(pos("b") === Seq(0L, 3L))
+    // deterministic across reruns (selection AND order keys)
+    val again = graft.ops.Sampling.interleaveSchedule(df, "dom", total = 6L)
+      .select("doc_id", "mix_rank", "pos").collect().map(_.toSeq).toSet
+    assert(again === got.select("doc_id", "mix_rank", "pos")
+      .collect().map(_.toSeq).toSet)
+    intercept[IllegalArgumentException] {
+      graft.ops.Sampling.interleaveSchedule(df, "dom", total = 0L)
+    }
+  }
+
   test("temperatureMixSqrt: sqrt-flattened per-domain counts, deterministic, dominant domain tamed") {
     import org.apache.spark.sql.functions.col
     // 900 'big' + 100 'small' + 25 'rare': raw shares 88/10/2 percent;
