@@ -145,19 +145,26 @@ object AggLedger {
     * uuid — not the checkpoint PATH — is the stream identity maintain()
     * needs: a path-keyed id survives an in-place reset, so restarted
     * batch ids 0,1,… would fall through to the version-only guard and be
-    * silently skipped (round-10 review). Falls back to the path if the
-    * metadata is unreadable (pre-start call, foreign layout) — degraded
-    * to path-identity, never broken.
+    * silently skipped (round-10 review). Falls back to the path ONLY when
+    * the metadata genuinely doesn't exist yet or doesn't parse (pre-start
+    * call, foreign layout) — degraded to path-identity, never broken. A
+    * TRANSIENT read error must NOT fall back: one batch committing under
+    * path-identity while its neighbors commit under the uuid would arm the
+    * mismatch guard against the stream's own later batches (round-10
+    * ADVICE), so genuine IO failures propagate and fail the batch, which
+    * the engine simply retries.
     */
-  private[ext] def checkpointQueryId(spark: SparkSession, checkpoint: String): String =
-    try {
-      val p = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
-      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private[ext] def checkpointQueryId(spark: SparkSession, checkpoint: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) checkpoint
+    else {
       val in = f.open(p)
       val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
       """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
         .map(_.group(1)).getOrElse(checkpoint)
-    } catch { case _: Throwable => checkpoint }
+    }
+  }
 
   /** Attach the maintainer to a fact stream: each micro-batch folds into
     * the persisted rollup (the DedupLedgerStream shape). Caller starts/

@@ -107,13 +107,20 @@ object MinHashDedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val sizes = sets.select(col(idCol), size(col("shingles")).as("n"))
-    inter
+    val pairs = inter
       .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
       .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize BEFORE dropping the shingle cache: the result frame is
+    // what callers own; leaving `sets` pinned would stack executor storage
+    // on every rebuild rep (round-10 ADVICE)
+    pairs.count()
+    sets.unpersist(blocking = false)
+    pairs
   }
 
   /** LSH banding + exact-Jaccard verify over [[signaturesMd5]] output —

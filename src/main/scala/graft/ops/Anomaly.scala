@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Integer-exact time-series anomaly detection — the |z| > z flag over a
@@ -14,10 +13,11 @@ import org.apache.spark.sql.functions._
   * Takes ANY keyed count series — the detector carries no assumptions
   * about where the series came from (the registry's e11 entry feeds it an
   * hourly event grid with fixture-planted spikes; production callers feed
-  * it raw aggregates). The global stats ride an unpartitioned,
-  * UNORDERED window over the AGGREGATED series — a series is
-  * time-bounded (hours of a year ≈ 8.8k rows), not corpus-sized, so a
-  * single-exchange global aggregate is the right plan shape.
+  * it raw aggregates). The global n/Σ/Σc² are a SINGLE-ROW aggregate
+  * broadcast-joined back onto the series (the `x_skew_profile` shape) —
+  * map-side partials roll up to one row, so there is no unsplittable
+  * single-partition exchange anywhere in the plan and the detector is
+  * safe on a series of ANY length, not just time-bounded ones.
   */
 object Anomaly {
 
@@ -28,12 +28,10 @@ object Anomaly {
   def integerZFlags(series: DataFrame, keyCol: String, valCol: String,
                     z: Int = 3): DataFrame = {
     require(z >= 1, s"integerZFlags: z must be >= 1, got $z")
-    val wAll = Window.partitionBy()
     val c = col(valCol)
-    series.select(col(keyCol), c,
-        count(lit(1)).over(wAll).as("n"),
-        sum(c).over(wAll).as("s"),
-        sum(c * c).over(wAll).as("sq"))
+    val stats = series.agg(
+      count(lit(1)).as("n"), sum(c).as("s"), sum(c * c).as("sq"))
+    series.crossJoin(broadcast(stats))
       .select(col(keyCol), c,
         (c * col("n") - col("s")).as("dev_n"),
         ((c * col("n") - col("s")) * (c * col("n") - col("s"))).as("dev_n_sq"),

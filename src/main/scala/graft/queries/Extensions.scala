@@ -990,8 +990,12 @@ object Extensions {
       val semDropped = emb.select(col("vec_id"))
         .join(kept, Seq("vec_id"), "left_anti").withColumn("hit", lit(1))
       trueDropped.join(semDropped, Seq("vec_id"), "left")
+        // outer coalesce: sum over an EMPTY truth set is NULL in Spark but
+        // DuckDB's count() oracle yields 0 — the empty-corpus row must
+        // match (round-10 ADVICE)
         .agg(count(lit(1)).as("n_true_dropped"),
-          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_sem_dropped"))
+          coalesce(sum(coalesce(col("hit"), lit(0))), lit(0L))
+            .cast("long").as("n_sem_dropped"))
         .withColumn("recall",
           when(col("n_true_dropped") === 0, lit(1.0))
             .otherwise(col("n_sem_dropped").cast("double") / col("n_true_dropped")))
@@ -1974,8 +1978,11 @@ object Extensions {
       val found = MinHashDedup.nearDuplicatesMd5(docs, minJaccard = 0.5)
         .select(col("doc_a"), col("doc_b")).withColumn("hit", lit(1))
       truth.join(found, Seq("doc_a", "doc_b"), "left")
+        // outer coalesce: empty truth set → DuckDB count() gives 0, Spark
+        // sum() gives NULL — pin the empty case (round-10 ADVICE)
         .agg(count(lit(1)).as("n_true"),
-          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_found"))
+          coalesce(sum(coalesce(col("hit"), lit(0))), lit(0L))
+            .cast("long").as("n_found"))
         .withColumn("recall",
           when(col("n_true") === 0, lit(1.0))
             .otherwise(col("n_found").cast("double") / col("n_true")))

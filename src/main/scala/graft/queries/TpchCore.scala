@@ -33,8 +33,13 @@ object TpchCore {
   private def bucketedFor(s: SparkSession, dir: String): (String, String) =
     bucketedCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
       graft.BuildTimes.timed("bucketed_layout") {
-        // catalog names must be unique per corpus dir within the session
-        val tok = java.lang.Integer.toHexString(dir.hashCode).toLowerCase
+        // catalog names must be unique per corpus dir within the session —
+        // collision-resistant token (full 128-bit md5 of the path), not
+        // 32-bit hashCode: two dirs colliding would silently share/overwrite
+        // each other's graft_*_bkt tables while the dir-keyed cache treats
+        // them as distinct (round-10 ADVICE)
+        val tok = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
         val root = java.nio.file.Files
           .createTempDirectory("graft-bucketed").toString
         val oT = s"graft_orders_bkt_$tok"

@@ -93,7 +93,7 @@ object VersionedState {
 
   /** Write `updated` as version `batchId` and flip the pointer to it.
     * `keepVersions` (≥ 1) retains that many NEWEST version dirs after the
-    * flip — retained history is what [[readVersion]] time-travels to; the
+    * flip — retained history is what [[atVersion]] time-travels to; the
     * default keeps only the pointer target (the ledger maintainers'
     * original behavior).
     *
@@ -181,18 +181,5 @@ object VersionedState {
     } else versionDirs(f, root)
       .find(p => f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
       .map(p => (p.getName.drop(1).toLong, dirTxn(p)))
-  }
-
-  /** Time-travel read of a RETAINED version (commit with `keepVersions`
-    * > 1 to retain history). Fails loudly on a pruned/unknown id — a
-    * silent empty frame here would masquerade as real state.
-    */
-  def readVersion(spark: SparkSession, root: String, batchId: Long): DataFrame = {
-    val f = fs(spark, root)
-    val p = new org.apache.hadoop.fs.Path(root, s"v$batchId")
-    require(f.exists(p),
-      s"version v$batchId not retained under $root " +
-        s"(have: ${versions(spark, root).mkString(", ")})")
-    spark.read.parquet(p.toString)
   }
 }

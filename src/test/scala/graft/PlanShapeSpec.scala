@@ -163,6 +163,9 @@ class PlanShapeSpec extends SparkSpec {
       "x_mix_schedule",      // inherits the quota allocation's single-row
                              // broadcasts; selection/rank joins are keyed
       "x_skew_profile",      // 1×1 cross join of two single-row summaries
+      "e11_anomaly_hours",   // single-row n/Σ/Σc² stats broadcast back onto
+                             // the series (replaced the unpartitioned
+                             // window — no single-partition exchange left)
       "x_substr_summary",    // 1×1 cross join: span summary × corpus chars
       "x_curriculum",        // single-row N aggregate broadcast back
       "x_text_vocab_coverage", // broadcast single-row corpus-total × top-20 head
