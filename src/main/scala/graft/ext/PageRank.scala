@@ -36,6 +36,14 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  private def checkParams(iters: Int, scale: Long, dampNum: Long, dampDen: Long): Long = {
+    require(iters >= 1, s"pagerank: iters >= 1, got $iters")
+    require(scale % dampDen == 0,
+      s"pagerank: scale must be divisible by dampDen for an exact base, got $scale % $dampDen")
+    require(dampNum > 0 && dampNum < dampDen, "pagerank: 0 < dampNum < dampDen")
+    scale / dampDen * (dampDen - dampNum)
+  }
+
   /** `(node, score)` after `iters` rounds over `edges` (`src`, `dst`
     * string columns; parallel edges are deliberate multi-edges — dedup
     * upstream if that is not the graph you mean).
@@ -43,11 +51,7 @@ object PageRank {
   def pagerankInt(edges: DataFrame, iters: Int = 10,
                   scale: Long = 1000000000000L,
                   dampNum: Long = 17L, dampDen: Long = 20L): DataFrame = {
-    require(iters >= 1, s"pagerank: iters >= 1, got $iters")
-    require(scale % dampDen == 0,
-      s"pagerank: scale must be divisible by dampDen for an exact base, got $scale % $dampDen")
-    require(dampNum > 0 && dampNum < dampDen, "pagerank: 0 < dampNum < dampDen")
-    val base = scale / dampDen * (dampDen - dampNum)
+    val base = checkParams(iters, scale, dampNum, dampDen)
     // the caller's edge expression can be arbitrarily expensive (a join
     // pipeline); it feeds BOTH the degree build and the node set, so pin it
     val e = edges.select(col("src"), col("dst")).persist()
@@ -84,5 +88,162 @@ object PageRank {
     }
     e.unpersist(); ed.unpersist(); nodes.unpersist()
     scores
+  }
+
+  /** The ROUND LEDGER: `(round, node, score)` for every round 0..`iters` —
+    * the state [[incrementalInt]] maintains. Same arithmetic and plan shape
+    * per round as [[pagerankInt]]; the extra cost is only RETENTION (all
+    * rounds stay checkpointed instead of being freed), which is
+    * iters × |V| 16-byte rows — node-table-sized state, the same class as
+    * the CC label ledger, nowhere near corpus-sized.
+    *
+    * Why per-round scores must be retained at all: PageRank is a GLOBAL
+    * fixpoint, so unlike components there is no contraction argument — an
+    * exact incremental update of round k needs the OLD round k−1 score of
+    * every unaffected in-neighbor of an affected node. With the rounds
+    * retained, an ingest recomputes only the affected frontier per round
+    * (see [[incrementalInt]]) and still lands BIT-IDENTICAL to the full
+    * recompute.
+    */
+  def pagerankRounds(edges: DataFrame, iters: Int = 10,
+                     scale: Long = 1000000000000L,
+                     dampNum: Long = 17L, dampDen: Long = 20L): DataFrame = {
+    val base = checkParams(iters, scale, dampNum, dampDen)
+    val e = edges.select(col("src"), col("dst")).persist()
+    val ed = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      .repartition(col("src"))
+      .select(col("src"), col("dst"), col("deg")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .repartition(col("node")).persist()
+    var scores = nodes.withColumn("score", lit(scale)).localCheckpoint(true)
+    val rounds = scala.collection.mutable.ArrayBuffer[DataFrame](
+      scores.withColumn("round", lit(0)))
+    var round = 0
+    while (round < iters) {
+      val contrib = ed
+        .join(scores.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
+        .select(col("dst").as("node"),
+          expr(s"((score DIV deg) * $dampNum) DIV $dampDen").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("inc"))
+      scores = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("inc"), lit(0L))).as("score"))
+        .localCheckpoint(true)
+      round += 1
+      rounds += scores.withColumn("round", lit(round))
+    }
+    e.unpersist(); ed.unpersist(); nodes.unpersist()
+    rounds.reduce(_.unionByName(_)).select(col("round"), col("node"), col("score"))
+  }
+
+  /** EXACT incremental PageRank maintenance — the operational form at
+    * 100 TB, where a daily edge ingest cannot re-run `iters` message-passing
+    * rounds over the whole graph. Given the retained round ledger of the
+    * PRE-batch graph ([[pagerankRounds]] output), the post-batch FULL edge
+    * set, and the batch's NEW edges (`newEdges` ⊆ `fullEdges`, edges are
+    * facts — additions only, the ledger-family contract), returns
+    * `(node, score)` BIT-IDENTICAL to `pagerankInt(fullEdges, iters)`.
+    *
+    * Mechanism — frontier-bounded recompute: round k's score of node v can
+    * differ from the ledger only if (a) some in-neighbor u changed OUT-
+    * DEGREE (u ∈ D = sources of new edges — deg divides every round's
+    * contribution), (b) some in-neighbor's round-(k−1) score changed
+    * (u ∈ A_{k−1}), or (c) v is NEW (absent from the ledger). So the
+    * affected set A_k = outNbrs(A_{k−1} ∪ D) ∪ N is a conservative
+    * superset, every node in it is recomputed EXACTLY from its full
+    * in-edge set — unaffected in-neighbors read their round-(k−1) score
+    * from the ledger — and everything outside it keeps its ledger score
+    * verbatim. Equality with the recompute is therefore structural, and
+    * the registry checks it against the same unrolled-CTE oracle as the
+    * full run.
+    *
+    * Scale shape per round: one keyed semi-join restricting `fullEdges` to
+    * in-edges of A_k, one keyed score lookup for those edges' sources
+    * (new-frontier scores ∪ ledger round k−1, both keyed on node), one
+    * keyed aggregation — every job is FRONTIER-sized except the ledger
+    * lookup, which is one keyed join against node-table-sized state (the
+    * `incrementalComponents` remap-join class). Nothing ever iterates the
+    * full edge set. `statsOut`, when supplied, records |A_k| per round —
+    * the spec pins cost ∝ batch with it.
+    */
+  def incrementalInt(ledger: DataFrame, fullEdges: DataFrame, newEdges: DataFrame,
+                     iters: Int = 10, scale: Long = 1000000000000L,
+                     dampNum: Long = 17L, dampDen: Long = 20L,
+                     statsOut: Option[scala.collection.mutable.ArrayBuffer[Long]] = None): DataFrame = {
+    val base = checkParams(iters, scale, dampNum, dampDen)
+    val e = fullEdges.select(col("src"), col("dst")).persist()
+    // full-graph out-degrees: ONE aggregation over the edge table per
+    // ingest (keyed, map-side combined), joined only onto frontier edges
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    val oldNodes = ledger.filter(col("round") === 0).select(col("node"))
+    // D: sources whose out-degree/out-edge set changed this batch
+    val d = newEdges.select(col("src")).distinct().localCheckpoint(true)
+    // N: endpoints the old graph never saw (need scores at every round)
+    val n = newEdges.select(col("src").as("node"))
+      .union(newEdges.select(col("dst").as("node"))).distinct()
+      .join(oldNodes, Seq("node"), "left_anti").localCheckpoint(true)
+    // round 0 is uniform (= scale) for old AND new nodes, so no old score
+    // changes at round 0; the frontier starts from D's out-neighbors.
+    var affected = e.join(d.withColumnRenamed("src", "s"), col("src") === col("s"), "left_semi")
+      .select(col("dst").as("node")).distinct()
+      .union(n).distinct().localCheckpoint(true)
+    var newScores: DataFrame = null // A_k rows only: (node, score)
+    var round = 1
+    while (round <= iters) {
+      statsOut.foreach(_ += affected.count())
+      // in-edges of the affected set (keyed semi-restriction, frontier-sized)
+      val inE = e.join(affected.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+      // sources feeding those edges, with their round-(k-1) scores: the new
+      // frontier value when the source was affected, the ledger otherwise
+      // (round 1 reads the uniform init — no lookup needed)
+      val srcScores =
+        if (round == 1)
+          inE.select(col("src")).distinct().withColumn("score", lit(scale))
+        else {
+          val prevLedger = ledger.filter(col("round") === round - 1)
+            .select(col("node").as("src"), col("score").as("old_s"))
+          inE.select(col("src")).distinct()
+            .join(newScores.select(col("node").as("src"), col("score").as("new_s")), Seq("src"), "left")
+            .join(prevLedger, Seq("src"), "left")
+            .select(col("src"), coalesce(col("new_s"), col("old_s")).as("score"))
+        }
+      val contrib = inE
+        .join(srcScores.hint("shuffle_hash"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("node"),
+          expr(s"((score DIV deg) * $dampNum) DIV $dampDen").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("inc"))
+      val nextScores = affected.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("inc"), lit(0L))).as("score"))
+        .localCheckpoint(true)
+      if (newScores != null) Components.freeCheckpoint(newScores)
+      newScores = nextScores
+      if (round < iters) {
+        // A_{k+1} = outNbrs(A_k ∪ D) ∪ N — grown BEFORE scores are needed
+        val nextAffected = e
+          .join(affected.union(d.withColumnRenamed("src", "node")).distinct()
+            .withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .select(col("dst").as("node")).distinct()
+          .union(n).distinct().localCheckpoint(true)
+        Components.freeCheckpoint(affected)
+        affected = nextAffected
+      }
+      round += 1
+    }
+    // merge: affected nodes take the recomputed score, everything else
+    // keeps its ledger round-`iters` score verbatim
+    val out = ledger.filter(col("round") === iters)
+      .select(col("node"), col("score").as("old_s"))
+      .join(newScores.withColumnRenamed("score", "new_s"), Seq("node"), "full")
+      .select(col("node"), coalesce(col("new_s"), col("old_s")).as("score"))
+      .localCheckpoint(true)
+    Components.freeCheckpoint(newScores)
+    Components.freeCheckpoint(affected)
+    Components.freeCheckpoint(d)
+    Components.freeCheckpoint(n)
+    e.unpersist(); deg.unpersist()
+    out
   }
 }

@@ -122,6 +122,33 @@ object Extensions {
         path
       })
 
+  /** Incrementally maintained ANN index per corpus: the embeddings table
+    * folded in as three waves (vec_id mod 3) through the append-shaped
+    * cid-partitioned maintainer (frozen centroids + drift gate —
+    * [[graft.streaming.VectorIndexStream]]). Maintained == batch
+    * assignment is the checked contract, so the oracle is the trained-
+    * centroid nearest-assignment SQL over the full table.
+    */
+  private val annLedgerCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def annLedgerFor(s: SparkSession, dir: String): String =
+    annLedgerCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("ann_index_ledger") {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-ann-ledger").toString + "/layout"
+        val (model, assigned) = ivfFor(s, dir)
+        val baseline = graft.streaming.VectorIndexStream
+          .quantizationError(assigned, model)
+        val emb = Tables.embeddings(s, dir)
+        (0 until 3).foreach { w =>
+          graft.streaming.VectorIndexStream.maintain(
+            emb.filter(pmod(col("vec_id"), lit(3)) === w), w, root,
+            model, baseline)
+        }
+        root
+      })
+
   /** Incremental aggregate ledger per corpus: the events table folded in
     * as three waves (event_id mod 3) through the versioned-parquet
     * maintainer — maintained == recompute is the checked contract, so the
@@ -844,6 +871,19 @@ object Extensions {
       val layout = ivfLayoutFor(s, dir)
       Similarity.ivfProbeFromLayout(s, layout, model,
         Tables.embeddings(s, dir).filter(col("vec_id") < 5), k = 10, nprobe = 4)
+    }),
+
+    // INCREMENTALLY MAINTAINED ANN index: embeddings folded in as three
+    // waves through the append-shaped cid-partitioned maintainer (frozen
+    // centroids, drift-gated — VectorIndexStream). The served relation
+    // must equal the batch assignment over the full corpus; the oracle is
+    // the trained-centroid nearest-assignment SQL, so maintained ==
+    // recompute is the checked contract (the x_index_incremental shape on
+    // the vector side). dim rides along to pin that vectors survived the
+    // layout round-trip.
+    "x_ann_incremental" -> ((s: SparkSession, dir: String) => {
+      graft.streaming.VectorIndexStream.serve(s, annLedgerFor(s, dir))
+        .select(col("n_id"), col("cid"), size(col("n_vec")).cast("int").as("dim"))
     }),
 
     // recall@10 of the IVF probe vs exact brute force, per query —
@@ -2658,8 +2698,15 @@ object Extensions {
              |  CASE WHEN count(*) = 0 THEN CAST(1.0 AS DOUBLE)
              |       ELSE CAST(count(s.vec_id) AS DOUBLE) / count(*) END AS recall
              |FROM truedrop t LEFT JOIN semdrop s ON t.vec_id = s.vec_id""".stripMargin
+        // maintained ANN index == the nearest-assignment recompute (the
+        // incremental maintainer's whole contract, checked cross-engine)
+        val annIncr =
+          s"""$prefix,
+             |$ivfAssignCte
+             |SELECT n_id, cid, CAST(len(n_vec) AS INT) AS dim FROM a""".stripMargin
         val base = Map("x_sim_ann_ivf" -> annIvf, "x_sim_ivf_recall" -> recall,
-          "x_dedup_semantic" -> sem, "x_dedup_semantic_recall" -> semRecall)
+          "x_dedup_semantic" -> sem, "x_dedup_semantic_recall" -> semRecall,
+          "x_ann_incremental" -> annIncr)
         // layout oracle only when the cid-partitioned parquet was written
         // this run: DuckDB reads the SERVED FILES themselves, so the check
         // covers the on-disk layout, not just the arithmetic
@@ -4383,6 +4430,7 @@ object Extensions {
   reg("pca_train", pcaCache, pcaFor)()
   reg("pca_train_sketched", pcaSkCache, pcaSkFor)()
   reg("ivf_layout_write", ivfLayoutCache, ivfLayoutFor)()
+  reg("ann_index_ledger", annLedgerCache, annLedgerFor)()
   reg("agg_ledger", aggLedgerCache, aggLedgerFor)()
   reg("index_ledger", indexLedgerCache, indexLedgerFor)()
   reg("tri_counts", triCache, triFor)(unpin)

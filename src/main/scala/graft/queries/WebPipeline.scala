@@ -65,17 +65,51 @@ object WebPipeline {
   private val prCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
+  private def coPurchasePairs(s: SparkSession, dir: String,
+                              ordersFilter: org.apache.spark.sql.Column): DataFrame =
+    Tables.orders(s, dir).filter(ordersFilter)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c:"), col("o_custkey").cast("string")).as("c"),
+        concat(lit("s:"), col("l_suppkey").cast("string")).as("s"))
+      .distinct()
+
+  private def bothDirections(pairs: DataFrame): DataFrame =
+    pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+
   private def prFor(s: SparkSession, dir: String): DataFrame =
     prCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
       graft.BuildTimes.timed("pagerank_ledger") {
-        val ol = Tables.orders(s, dir)
-          .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
-          .select(concat(lit("c:"), col("o_custkey").cast("string")).as("c"),
-            concat(lit("s:"), col("l_suppkey").cast("string")).as("s"))
-          .distinct()
-        val edges = ol.select(col("c").as("src"), col("s").as("dst"))
-          .unionByName(ol.select(col("s").as("src"), col("c").as("dst")))
-        PageRank.pagerankInt(edges, iters = 10)
+        PageRank.pagerankInt(bothDirections(coPurchasePairs(s, dir, lit(true))),
+          iters = 10)
+      })
+
+  /** Pre-batch state for the INCREMENTAL PageRank entry (the
+    * `x_dedup_cc_incremental` contract shape): orders with
+    * o_orderkey % 7 == 0 play the arriving batch. The build holds the
+    * retained ROUND ledger over the pre-batch graph plus the batch's new
+    * directed edges; the entry then measures exactly what an ingest pays —
+    * the frontier-bounded update — and its oracle is the SAME unrolled-CTE
+    * fixed-round recompute over the FULL graph as `x_graph_pagerank`, so
+    * "incremental == recompute" is the checked contract itself.
+    */
+  private val prIncrCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (DataFrame, DataFrame, DataFrame)]
+
+  private def prIncrFor(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    prIncrCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("pr_incr_prestate") {
+        val fullE = bothDirections(coPurchasePairs(s, dir, lit(true))).persist()
+        fullE.count() // materialize: the entry must not re-run the pair join
+        val oldE = bothDirections(
+          coPurchasePairs(s, dir, col("o_orderkey") % 7 =!= 0))
+        // new DIRECTED edges: a batch order can re-produce an existing
+        // co-purchase pair — only genuinely new edges enter the update
+        val newE = fullE.join(oldE, Seq("src", "dst"), "left_anti").persist()
+        newE.count()
+        val ledger = PageRank.pagerankRounds(oldE, iters = 10).persist()
+        ledger.count()
+        (ledger, fullE, newE)
       })
 
   val queries: Map[String, Q] = Map(
@@ -108,6 +142,15 @@ object WebPipeline {
     // customer↔supplier co-purchase graph, served from the ledger
     "x_graph_pagerank" -> ((s: SparkSession, dir: String) => {
       prFor(s, dir)
+    }),
+
+    // INCREMENTAL PageRank maintenance: the cached build holds the round
+    // ledger of the pre-batch graph; the entry pays the frontier-bounded
+    // update for the batch's new edges and must land bit-identical to the
+    // full fixed-round recompute (the x_graph_pagerank oracle, verbatim)
+    "x_graph_pagerank_incremental" -> ((s: SparkSession, dir: String) => {
+      val (ledger, fullE, newE) = prIncrFor(s, dir)
+      PageRank.incrementalInt(ledger, fullE, newE, iters = 10)
     }),
 
     // markup extraction: fixture text wrapped in planted HTML exercising
@@ -332,6 +375,9 @@ object WebPipeline {
 
     "x_graph_pagerank" -> pagerankSql(10),
 
+    // the incremental maintainer's contract IS the full recompute
+    "x_graph_pagerank_incremental" -> pagerankSql(10),
+
     "x_text_strip_html" ->
       s"""WITH h AS (SELECT doc_id, $plantedHtmlSql AS html FROM documents),
          |c AS (SELECT doc_id, ${Markup.stripMarkupSql} AS clean_text FROM h)
@@ -433,5 +479,12 @@ object WebPipeline {
   graft.BuildRebuild.register("warc_archives") { (s, dir) =>
     warcCache.remove((s.sparkContext.applicationId, dir)): Unit
     warcDirFor(s, dir): Unit
+  }
+  graft.BuildRebuild.register("pr_incr_prestate") { (s, dir) =>
+    prIncrCache.remove((s.sparkContext.applicationId, dir)).foreach { v =>
+      try { v._1.unpersist(blocking = true); v._2.unpersist(blocking = true)
+        v._3.unpersist(blocking = true) } catch { case _: Throwable => }
+    }
+    prIncrFor(s, dir): Unit
   }
 }
