@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.EventsQueries.queries ++
       graft.queries.Breadth.queries ++
       graft.queries.Extensions.queries ++
-      graft.queries.WebPipeline.queries
+      graft.queries.WebPipeline.queries ++
+      graft.queries.TokenizerQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RefParity.oracleSql ++
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.EventsQueries.oracleSql ++
       graft.queries.Breadth.oracleSql ++
       graft.queries.Extensions.oracleSql ++
-      graft.queries.WebPipeline.oracleSql
+      graft.queries.WebPipeline.oracleSql ++
+      graft.queries.TokenizerQueries.oracleSql
 }
