@@ -170,7 +170,30 @@ object PageRank {
   def incrementalInt(ledger: DataFrame, fullEdges: DataFrame, newEdges: DataFrame,
                      iters: Int = 10, scale: Long = 1000000000000L,
                      dampNum: Long = 17L, dampDen: Long = 20L,
-                     statsOut: Option[scala.collection.mutable.ArrayBuffer[Long]] = None): DataFrame = {
+                     statsOut: Option[scala.collection.mutable.ArrayBuffer[Long]] = None): DataFrame =
+    incrementalCore(ledger, fullEdges, newEdges, iters, scale, dampNum,
+      dampDen, statsOut, wantLedger = false)
+
+  /** [[incrementalInt]]'s LEDGER form: returns the full UPDATED round
+    * ledger `(round, node, score)` for rounds 0..`iters` — what a
+    * maintainer persists so the NEXT ingest can run incrementally too
+    * (see [[graft.streaming.PageRankLedgerStream]]). Same frontier-bounded
+    * recompute; the extra cost is one node-table-keyed merge join per
+    * round to fold the frontier's new scores into the retained rounds —
+    * still never an edge-wide pass. Round `iters` of the result is
+    * bit-identical to [[incrementalInt]]'s output.
+    */
+  def incrementalLedger(ledger: DataFrame, fullEdges: DataFrame, newEdges: DataFrame,
+                        iters: Int = 10, scale: Long = 1000000000000L,
+                        dampNum: Long = 17L, dampDen: Long = 20L): DataFrame =
+    incrementalCore(ledger, fullEdges, newEdges, iters, scale, dampNum,
+      dampDen, statsOut = None, wantLedger = true)
+
+  private def incrementalCore(ledger: DataFrame, fullEdges: DataFrame, newEdges: DataFrame,
+                              iters: Int, scale: Long,
+                              dampNum: Long, dampDen: Long,
+                              statsOut: Option[scala.collection.mutable.ArrayBuffer[Long]],
+                              wantLedger: Boolean): DataFrame = {
     val base = checkParams(iters, scale, dampNum, dampDen)
     val e = fullEdges.select(col("src"), col("dst")).persist()
     // full-graph out-degrees: ONE aggregation over the edge table per
@@ -189,6 +212,8 @@ object PageRank {
       .select(col("dst").as("node")).distinct()
       .union(n).distinct().localCheckpoint(true)
     var newScores: DataFrame = null // A_k rows only: (node, score)
+    // ledger form: the per-round frontier scores, retained for the merge
+    val roundScores = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 1
     while (round <= iters) {
       statsOut.foreach(_ += affected.count())
@@ -218,8 +243,9 @@ object PageRank {
         .select(col("node"),
           (lit(base) + coalesce(col("inc"), lit(0L))).as("score"))
         .localCheckpoint(true)
-      if (newScores != null) Components.freeCheckpoint(newScores)
+      if (newScores != null && !wantLedger) Components.freeCheckpoint(newScores)
       newScores = nextScores
+      if (wantLedger) roundScores += newScores
       if (round < iters) {
         // A_{k+1} = outNbrs(A_k ∪ D) ∪ N — grown BEFORE scores are needed
         val nextAffected = e
@@ -233,13 +259,26 @@ object PageRank {
       round += 1
     }
     // merge: affected nodes take the recomputed score, everything else
-    // keeps its ledger round-`iters` score verbatim
-    val out = ledger.filter(col("round") === iters)
-      .select(col("node"), col("score").as("old_s"))
-      .join(newScores.withColumnRenamed("score", "new_s"), Seq("node"), "full")
-      .select(col("node"), coalesce(col("new_s"), col("old_s")).as("score"))
-      .localCheckpoint(true)
-    Components.freeCheckpoint(newScores)
+    // keeps its ledger score verbatim
+    def mergeRound(r: Int, fresh: DataFrame): DataFrame =
+      ledger.filter(col("round") === r)
+        .select(col("node"), col("score").as("old_s"))
+        .join(fresh.withColumnRenamed("score", "new_s"), Seq("node"), "full")
+        .select(col("node"), coalesce(col("new_s"), col("old_s")).as("score"))
+    val out =
+      if (!wantLedger) mergeRound(iters, newScores).localCheckpoint(true)
+      else {
+        // round 0 is uniform for everyone — new nodes just join at scale
+        val r0 = mergeRound(0, n.withColumn("score", lit(scale)))
+          .withColumn("round", lit(0))
+        (1 to iters).map(r =>
+            mergeRound(r, roundScores(r - 1)).withColumn("round", lit(r)))
+          .foldLeft(r0)(_.unionByName(_))
+          .select(col("round"), col("node"), col("score"))
+          .localCheckpoint(true)
+      }
+    if (wantLedger) roundScores.foreach(Components.freeCheckpoint)
+    else Components.freeCheckpoint(newScores)
     Components.freeCheckpoint(affected)
     Components.freeCheckpoint(d)
     Components.freeCheckpoint(n)

@@ -112,6 +112,32 @@ object WebPipeline {
         (ledger, fullE, newE)
       })
 
+  /** Streaming-maintained PageRank ledger per corpus: the pre-batch graph
+    * folds in as batch 0 (bootstrap through the same incremental path),
+    * the %7 batch's new edges as batch 1 — state lives in VersionedState +
+    * append-shaped edge dirs ([[graft.streaming.PageRankLedgerStream]]).
+    * The SERVED scores must equal the full fixed-round recompute, so the
+    * entry shares `x_graph_pagerank`'s oracle: maintained == recompute is
+    * the checked contract (the `x_index_incremental` shape on the graph
+    * side).
+    */
+  private val prStreamCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def prStreamFor(s: SparkSession, dir: String): String =
+    prStreamCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("pagerank_stream_ledger") {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-pr-stream").toString + "/st"
+        val fullE = bothDirections(coPurchasePairs(s, dir, lit(true)))
+        val oldE = bothDirections(
+          coPurchasePairs(s, dir, col("o_orderkey") % 7 =!= 0))
+        val newE = fullE.join(oldE, Seq("src", "dst"), "left_anti")
+        graft.streaming.PageRankLedgerStream.maintain(oldE, 0L, root, iters = 10)
+        graft.streaming.PageRankLedgerStream.maintain(newE, 1L, root, iters = 10)
+        root
+      })
+
   val queries: Map[String, Q] = Map(
 
     // CCNet-shape LM quality score: corpus bigram MLE, integer surrogate
@@ -151,6 +177,13 @@ object WebPipeline {
     "x_graph_pagerank_incremental" -> ((s: SparkSession, dir: String) => {
       val (ledger, fullE, newE) = prIncrFor(s, dir)
       PageRank.incrementalInt(ledger, fullE, newE, iters = 10)
+    }),
+
+    // STREAMING-MAINTAINED ledger: scores served from VersionedState after
+    // the edge waves folded through PageRankLedgerStream (bootstrap +
+    // incremental through one code path) — same full-recompute oracle
+    "x_graph_pagerank_maintained" -> ((s: SparkSession, dir: String) => {
+      graft.streaming.PageRankLedgerStream.serve(s, prStreamFor(s, dir), iters = 10)
     }),
 
     // markup extraction: fixture text wrapped in planted HTML exercising
@@ -377,6 +410,7 @@ object WebPipeline {
 
     // the incremental maintainer's contract IS the full recompute
     "x_graph_pagerank_incremental" -> pagerankSql(10),
+    "x_graph_pagerank_maintained" -> pagerankSql(10),
 
     "x_text_strip_html" ->
       s"""WITH h AS (SELECT doc_id, $plantedHtmlSql AS html FROM documents),
@@ -479,6 +513,10 @@ object WebPipeline {
   graft.BuildRebuild.register("warc_archives") { (s, dir) =>
     warcCache.remove((s.sparkContext.applicationId, dir)): Unit
     warcDirFor(s, dir): Unit
+  }
+  graft.BuildRebuild.register("pagerank_stream_ledger") { (s, dir) =>
+    prStreamCache.remove((s.sparkContext.applicationId, dir)): Unit
+    prStreamFor(s, dir): Unit
   }
   graft.BuildRebuild.register("pr_incr_prestate") { (s, dir) =>
     prIncrCache.remove((s.sparkContext.applicationId, dir)).foreach { v =>
