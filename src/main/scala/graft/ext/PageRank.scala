@@ -166,13 +166,26 @@ object PageRank {
     * `incrementalComponents` remap-join class). Nothing ever iterates the
     * full edge set. `statsOut`, when supplied, records |A_k| per round —
     * the spec pins cost ∝ batch with it.
+    *
+    * DENSITY GUARD: the frontier pays off exactly when the batch's
+    * influence ball stays small relative to the graph — high-diameter
+    * graphs, localized updates. On a dense small-world graph (the
+    * co-purchase fixture) ANY meaningful batch's out-neighborhood covers
+    * most nodes within a couple of damping rounds, and the frontier
+    * machinery becomes pure overhead on top of a de-facto full recompute.
+    * So when the round-1 seed (outNbrs(D) ∪ N ∪ D) already exceeds
+    * `fallbackFraction` of the node set, the update falls back to the
+    * plain fixed-round run over `fullEdges` — the RESULT is identical by
+    * construction (the incremental path is exact), only the plan changes;
+    * `statsOut` stays empty, which is how callers observe the fallback.
     */
   def incrementalInt(ledger: DataFrame, fullEdges: DataFrame, newEdges: DataFrame,
                      iters: Int = 10, scale: Long = 1000000000000L,
                      dampNum: Long = 17L, dampDen: Long = 20L,
-                     statsOut: Option[scala.collection.mutable.ArrayBuffer[Long]] = None): DataFrame =
+                     statsOut: Option[scala.collection.mutable.ArrayBuffer[Long]] = None,
+                     fallbackFraction: Double = 0.5): DataFrame =
     incrementalCore(ledger, fullEdges, newEdges, iters, scale, dampNum,
-      dampDen, statsOut, wantLedger = false)
+      dampDen, statsOut, wantLedger = false, fallbackFraction)
 
   /** [[incrementalInt]]'s LEDGER form: returns the full UPDATED round
     * ledger `(round, node, score)` for rounds 0..`iters` — what a
@@ -185,16 +198,20 @@ object PageRank {
     */
   def incrementalLedger(ledger: DataFrame, fullEdges: DataFrame, newEdges: DataFrame,
                         iters: Int = 10, scale: Long = 1000000000000L,
-                        dampNum: Long = 17L, dampDen: Long = 20L): DataFrame =
+                        dampNum: Long = 17L, dampDen: Long = 20L,
+                        fallbackFraction: Double = 0.5): DataFrame =
     incrementalCore(ledger, fullEdges, newEdges, iters, scale, dampNum,
-      dampDen, statsOut = None, wantLedger = true)
+      dampDen, statsOut = None, wantLedger = true, fallbackFraction)
 
   private def incrementalCore(ledger: DataFrame, fullEdges: DataFrame, newEdges: DataFrame,
                               iters: Int, scale: Long,
                               dampNum: Long, dampDen: Long,
                               statsOut: Option[scala.collection.mutable.ArrayBuffer[Long]],
-                              wantLedger: Boolean): DataFrame = {
+                              wantLedger: Boolean,
+                              fallbackFraction: Double = 0.5): DataFrame = {
     val base = checkParams(iters, scale, dampNum, dampDen)
+    require(fallbackFraction > 0,
+      s"pagerank: fallbackFraction must be > 0, got $fallbackFraction")
     val e = fullEdges.select(col("src"), col("dst")).persist()
     // full-graph out-degrees: ONE aggregation over the edge table per
     // ingest (keyed, map-side combined), joined only onto frontier edges
@@ -211,6 +228,21 @@ object PageRank {
     var affected = e.join(d.withColumnRenamed("src", "s"), col("src") === col("s"), "left_semi")
       .select(col("dst").as("node")).distinct()
       .union(n).distinct().localCheckpoint(true)
+    // density guard (see incrementalInt doc): if the round-1 seed already
+    // covers most of the node set, the frontier machinery cannot win —
+    // run the plain fixed-round recompute instead (identical result)
+    val seedSize = affected.union(d.withColumnRenamed("src", "node"))
+      .distinct().count()
+    val totalNodes = ledger.filter(col("round") === 0).select(col("node"))
+      .union(n).distinct().count()
+    if (totalNodes == 0 || seedSize > fallbackFraction * totalNodes) {
+      Components.freeCheckpoint(affected)
+      Components.freeCheckpoint(d)
+      Components.freeCheckpoint(n)
+      e.unpersist(); deg.unpersist()
+      return if (wantLedger) pagerankRounds(fullEdges, iters, scale, dampNum, dampDen)
+      else pagerankInt(fullEdges, iters, scale, dampNum, dampDen)
+    }
     var newScores: DataFrame = null // A_k rows only: (node, score)
     // ledger form: the per-round frontier scores, retained for the merge
     val roundScores = scala.collection.mutable.ArrayBuffer.empty[DataFrame]

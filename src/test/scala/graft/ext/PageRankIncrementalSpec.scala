@@ -80,4 +80,17 @@ class PageRankIncrementalSpec extends SparkSpec {
         s"round $k affected $a nodes — frontier not batch-bounded")
     }
   }
+
+  test("density guard: a batch whose influence ball covers the graph falls back") {
+    // star graph: hub <-> every spoke; ONE new edge from the hub makes
+    // outNbrs(D) the whole graph — the frontier cannot win, so the guard
+    // must route to the plain recompute (statsOut stays empty) and the
+    // result is still exact
+    val spokes = (0 until 50).map(i => s"s$i")
+    val oldE = spokes.flatMap(s => Seq(("hub", s), (s, "hub")))
+    val newE = Seq(("hub", "snew"), ("snew", "hub"))
+    val stats = scala.collection.mutable.ArrayBuffer.empty[Long]
+    check(oldE, newE, iters = 4, stats = Some(stats))
+    assert(stats.isEmpty, s"expected fallback, got frontier rounds: $stats")
+  }
 }
