@@ -212,37 +212,50 @@ object PageRank {
     val base = checkParams(iters, scale, dampNum, dampDen)
     require(fallbackFraction > 0,
       s"pagerank: fallbackFraction must be > 0, got $fallbackFraction")
-    val e = fullEdges.select(col("src"), col("dst")).persist()
+    // NOT persisted yet: the guard reads it once, and the fallback path
+    // never touches it again — only the frontier path pins it
+    val e = fullEdges.select(col("src"), col("dst"))
+    val oldNodes = ledger.filter(col("round") === 0).select(col("node"))
+    val endpoints = newEdges.select(col("src").as("node"))
+      .union(newEdges.select(col("dst").as("node")))
+    // density guard (see incrementalInt doc), as ONE lazy aggregation
+    // BEFORE any state is materialized: if the round-1 seed (outNbrs(D) ∪
+    // D ∪ N) already covers most of the node set, the frontier machinery
+    // cannot win — run the plain fixed-round recompute instead (identical
+    // result). Guard cost on the fallback path: this single job.
+    val dLazy = newEdges.select(col("src")).distinct()
+    val nLazy = endpoints.distinct().join(oldNodes, Seq("node"), "left_anti")
+    val seedLazy = e
+      .join(dLazy.withColumnRenamed("src", "s"), col("src") === col("s"), "left_semi")
+      .select(col("dst").as("node"))
+      .union(dLazy.select(col("src").as("node")))
+      .union(nLazy).distinct()
+    val guardCounts = oldNodes.union(endpoints).distinct().select(lit(0).as("t"))
+      .union(seedLazy.select(lit(1).as("t")))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val totalNodes = guardCounts.getOrElse(0, 0L)
+    val seedSize = guardCounts.getOrElse(1, 0L)
+    if (totalNodes == 0 || seedSize > fallbackFraction * totalNodes) {
+      return if (wantLedger) pagerankRounds(fullEdges, iters, scale, dampNum, dampDen)
+      else pagerankInt(fullEdges, iters, scale, dampNum, dampDen)
+    }
+    // frontier path: NOW pin the edge view and materialize the batch-sized
+    // state (the guard's lazy plans re-run once — frontier-sized by the
+    // guard's own verdict)
+    e.persist()
     // full-graph out-degrees: ONE aggregation over the edge table per
     // ingest (keyed, map-side combined), joined only onto frontier edges
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
-    val oldNodes = ledger.filter(col("round") === 0).select(col("node"))
     // D: sources whose out-degree/out-edge set changed this batch
-    val d = newEdges.select(col("src")).distinct().localCheckpoint(true)
+    val d = dLazy.localCheckpoint(true)
     // N: endpoints the old graph never saw (need scores at every round)
-    val n = newEdges.select(col("src").as("node"))
-      .union(newEdges.select(col("dst").as("node"))).distinct()
-      .join(oldNodes, Seq("node"), "left_anti").localCheckpoint(true)
+    val n = nLazy.localCheckpoint(true)
     // round 0 is uniform (= scale) for old AND new nodes, so no old score
     // changes at round 0; the frontier starts from D's out-neighbors.
     var affected = e.join(d.withColumnRenamed("src", "s"), col("src") === col("s"), "left_semi")
       .select(col("dst").as("node")).distinct()
       .union(n).distinct().localCheckpoint(true)
-    // density guard (see incrementalInt doc): if the round-1 seed already
-    // covers most of the node set, the frontier machinery cannot win —
-    // run the plain fixed-round recompute instead (identical result)
-    val seedSize = affected.union(d.withColumnRenamed("src", "node"))
-      .distinct().count()
-    val totalNodes = ledger.filter(col("round") === 0).select(col("node"))
-      .union(n).distinct().count()
-    if (totalNodes == 0 || seedSize > fallbackFraction * totalNodes) {
-      Components.freeCheckpoint(affected)
-      Components.freeCheckpoint(d)
-      Components.freeCheckpoint(n)
-      e.unpersist(); deg.unpersist()
-      return if (wantLedger) pagerankRounds(fullEdges, iters, scale, dampNum, dampDen)
-      else pagerankInt(fullEdges, iters, scale, dampNum, dampDen)
-    }
     var newScores: DataFrame = null // A_k rows only: (node, score)
     // ledger form: the per-round frontier scores, retained for the merge
     val roundScores = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
