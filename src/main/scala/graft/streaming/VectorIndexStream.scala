@@ -89,22 +89,93 @@ object VectorIndexStream {
     }
   }
 
+  private def fsOf(spark: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed (`_SUCCESS`-gated) segment dirs under `root` with the given
+    * name prefix, as (id, path).
+    */
+  private def committedSegments(spark: SparkSession, root: String,
+                                prefix: String): Seq[(Long, String)] = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(rp)) Seq.empty
+    else fs.listStatus(rp).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith(prefix) &&
+        st.getPath.getName.drop(prefix.length).forall(_.isDigit) &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) =>
+        (st.getPath.getName.drop(prefix.length).toLong, st.getPath.toString)
+    }
+  }
+
+  /** The segments a read must cover EXACTLY ONCE: the newest committed
+    * `compact=` segment (if any) plus every `batch=` dir with a HIGHER id.
+    * Batch dirs at-or-below the compact id are merged content awaiting
+    * best-effort deletion (the crash window between a compaction's commit
+    * and its cleanup) — reading them too would double-count; older compact
+    * segments are superseded the same way.
+    */
+  private def liveSegments(spark: SparkSession, root: String): Seq[String] = {
+    val compacts = committedSegments(spark, root, "compact=")
+    val batches = committedSegments(spark, root, "batch=")
+    compacts.sortBy(-_._1).headOption match {
+      case Some((cid0, path)) =>
+        path +: batches.filter(_._1 > cid0).map(_._2)
+      case None => batches.map(_._2)
+    }
+  }
+
+  /** COMPACTION — the maintenance pass a long-lived append-shaped index
+    * needs: thousands of small per-batch directories eventually dominate
+    * listing/footer cost, so all batches up to the newest are merged into
+    * ONE `compact=<maxBatchId>` segment (still cid-partitioned — probe
+    * pruning is unchanged). Crash discipline mirrors [[VersionedState]]:
+    * the merged segment is written FIRST (`_SUCCESS`-gated); only then are
+    * the merged batch dirs and superseded compact segments deleted
+    * (best-effort — until deletion, [[serve]]'s newest-compact rule
+    * already ignores them, so a crash anywhere leaves a readable,
+    * non-double-counting layout). No-op when there is nothing to merge.
+    * Returns the compacted segment's id, if one was written.
+    */
+  def compact(spark: SparkSession, root: String): Option[Long] = {
+    val fs = fsOf(spark, root)
+    val compacts = committedSegments(spark, root, "compact=")
+    val newestCompact = compacts.map(_._1).sorted.lastOption
+    val mergeBatches = committedSegments(spark, root, "batch=")
+      .filter(b => newestCompact.forall(b._1 > _))
+    // nothing new to fold in (0 batches), or a single batch with no prior
+    // compact segment (a rewrite that saves no files): skip
+    if (mergeBatches.isEmpty ||
+      (mergeBatches.size == 1 && compacts.isEmpty)) return None
+    val newId = mergeBatches.map(_._1).max
+    val inputs = compacts.sortBy(-_._1).headOption.map(_._2).toSeq ++
+      mergeBatches.map(_._2)
+    // per-segment reads (each segment is its own cid-partitioned root —
+    // mixing batch=/compact= names under one basePath would make Spark
+    // infer CONFLICTING partition columns)
+    val merged = inputs.map(readSegment(spark, _)).reduce(_.unionByName(_))
+    merged.write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$root/compact=$newId")
+    // cleanup AFTER the new segment is committed — failures here are
+    // harmless (serve ignores superseded segments)
+    (compacts.map(_._2) ++ mergeBatches.map(_._2)).foreach { p =>
+      try { fs.delete(new org.apache.hadoop.fs.Path(p), true); () }
+      catch { case _: Throwable => () }
+    }
+    Some(newId)
+  }
+
   /** The served assignment relation (cid, n_id, n_vec) across every
-    * COMMITTED batch — directories without Spark's `_SUCCESS` marker are
-    * crash leftovers and are skipped ([[VersionedState]] discipline).
-    * `cid` stays a partition column, so probe-side cid filters prune at
-    * the file level exactly as with the batch layout.
+    * COMMITTED segment — directories without Spark's `_SUCCESS` marker are
+    * crash leftovers and are skipped ([[VersionedState]] discipline), and
+    * batches already folded into a compact segment are read from the
+    * segment only (see [[liveSegments]]). `cid` stays a partition column,
+    * so probe-side cid filters prune at the file level exactly as with
+    * the batch layout.
     */
   def serve(spark: SparkSession, root: String): DataFrame = {
-    val rp = new org.apache.hadoop.fs.Path(root)
-    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed =
-      if (!fs.exists(rp)) Array.empty[String]
-      else fs.listStatus(rp).collect {
-        case st if st.isDirectory && st.getPath.getName.startsWith("batch=") &&
-          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) =>
-          st.getPath.toString
-      }
+    val committed = liveSegments(spark, root)
     if (committed.isEmpty)
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
@@ -116,9 +187,16 @@ object VectorIndexStream {
           org.apache.spark.sql.types.StructField("n_vec",
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.DoubleType)))))
-    else spark.read.option("basePath", root).parquet(committed.toIndexedSeq: _*)
-      .select(col("cid").cast("int").as("cid"), col("n_id"), col("n_vec"))
+    else committed.map(readSegment(spark, _)).reduce(_.unionByName(_))
   }
+
+  /** One segment dir read as (cid, n_id, n_vec) — the segment is its own
+    * partition-discovery root, so `cid=` stays the (only) inferred
+    * partition column regardless of the segment's batch/compact name.
+    */
+  private def readSegment(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .select(col("cid").cast("int").as("cid"), col("n_id"), col("n_vec"))
 
   /** Attach the maintainer to an embedding stream. Caller starts/stops
     * the query; the layout lives under `root`, the frozen model and its

@@ -104,6 +104,58 @@ class VectorIndexStreamSpec extends SparkSpec {
     assert(cid0.count() > 0)
   }
 
+  test("compaction merges batch dirs into one segment; content and pruning unchanged") {
+    val m = model
+    val base = VectorIndexStream.quantizationError(Similarity.ivfAssign(corpus, m), m)
+    val root = java.nio.file.Files.createTempDirectory("annledger-cp").toString + "/l"
+    (0 until 3).foreach { w =>
+      VectorIndexStream.maintain(
+        corpus.filter(pmod(col("vec_id"), lit(3)) === w), w, root, m, base)
+    }
+    val want = servedPairs(root)
+    assert(VectorIndexStream.compact(spark, root) === Some(2L))
+    assert(servedPairs(root) === want)
+    val dirs = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(dirs === Set("compact=2"), dirs)
+    // pruning survives compaction (cid stays a partition column)
+    val cid0 = VectorIndexStream.serve(spark, root).filter(col("cid") === 0)
+    assert(cid0.queryExecution.executedPlan.toString.contains("PartitionFilters: ["))
+    // nothing new to merge: no-op
+    assert(VectorIndexStream.compact(spark, root) === None)
+    // a later batch folds into the NEXT compaction together with the segment
+    VectorIndexStream.maintain(
+      (100 until 105).map(i => (i.toLong, Seq(1.0f, 0.0f, 0.0f)))
+        .toDF("vec_id", "embedding"), 7L, root, m, base)
+    val want2 = servedPairs(root)
+    assert(VectorIndexStream.compact(spark, root) === Some(7L))
+    assert(servedPairs(root) === want2)
+    assert(new java.io.File(root).listFiles().map(_.getName).toSet === Set("compact=7"))
+  }
+
+  test("compaction crash windows never double-count or lose data") {
+    val m = model
+    val base = VectorIndexStream.quantizationError(Similarity.ivfAssign(corpus, m), m)
+    val root = java.nio.file.Files.createTempDirectory("annledger-cw").toString + "/l"
+    val b0 = corpus.filter(col("vec_id") < 10)
+    val b1 = corpus.filter(col("vec_id") >= 10)
+    VectorIndexStream.maintain(b0, 0L, root, m, base)
+    VectorIndexStream.maintain(b1, 1L, root, m, base)
+    val want = servedPairs(root)
+    assert(VectorIndexStream.compact(spark, root) === Some(1L))
+    // window A: merged batch dirs survive the crash (deletion never ran) —
+    // recreate one; serve must ignore it (id <= newest compact id)
+    VectorIndexStream.maintain(b0, 0L, root, m, base)
+    assert(servedPairs(root) === want)
+    // window B: a compaction that died mid-write (no _SUCCESS) is ignored
+    // and the stale batch dir + old segment still serve the full content
+    val marker = new java.io.File(s"$root/compact=1/_SUCCESS")
+    assert(marker.renameTo(new java.io.File(s"$root/compact=1/_NOPE")))
+    // with compact=1 uncommitted, live = batch=0 (recreated) ... but batch=1
+    // was deleted by the earlier compaction — restore it first
+    VectorIndexStream.maintain(b1, 1L, root, m, base)
+    assert(servedPairs(root) === want)
+  }
+
   test("streamed embedding batches converge to the batch assignment") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
