@@ -94,12 +94,24 @@ object MinHashDedup {
     * — the point of the sketch is to avoid this join's common-shingle
     * fan-out — but every operation is keyed, so it runs at corpus scale
     * when an eval slice needs ground truth.
+    *
+    * Persistence contract (round-11 ADVICE): with `materialize = true`
+    * (the default) the returned frame comes back PERSISTED
+    * (MEMORY_AND_DISK) and fully counted — the shingle-set cache it was
+    * built from is already dropped — and the CALLER OWNS the storage: call
+    * `.unpersist()` when done, or the pairs stay pinned until GC-driven
+    * cleanup (every registry consumer routes through a ledger cache whose
+    * rebuild hook unpins). Pass `materialize = false` to get the LAZY plan
+    * with no storage side effects at all — right when only sampling the
+    * result or feeding it straight into one downstream aggregation; each
+    * evaluation then recomputes the shingle sets (4 scans of `docs`).
     */
   def exactPairsMd5(docs: DataFrame, minJaccard: Double = 0.5,
                     idCol: String = "doc_id", textCol: String = "text",
-                    k: Int = 3): DataFrame = {
+                    k: Int = 3, materialize: Boolean = true): DataFrame = {
     val sets = shingleSetsMd5(docs, idCol, textCol, k)
-    sets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (materialize)
+      sets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): Unit
     val sh = sets.select(col(idCol), explode(col("shingles")).as("s"))
     val inter = sh.toDF("doc_a", "s")
       .join(sh.toDF("doc_b", "s"), Seq("s"))
@@ -114,13 +126,16 @@ object MinHashDedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize BEFORE dropping the shingle cache: the result frame is
-    // what callers own; leaving `sets` pinned would stack executor storage
-    // on every rebuild rep (round-10 ADVICE)
-    pairs.count()
-    sets.unpersist(blocking = false)
-    pairs
+    if (!materialize) pairs
+    else {
+      pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize BEFORE dropping the shingle cache: the result frame is
+      // what callers own; leaving `sets` pinned would stack executor storage
+      // on every rebuild rep (round-10 ADVICE)
+      pairs.count()
+      sets.unpersist(blocking = false)
+      pairs
+    }
   }
 
   /** LSH banding + exact-Jaccard verify over [[signaturesMd5]] output —

@@ -141,17 +141,30 @@ object UnigramLm {
     * floor(1e6 · ln(1 / T)).
     */
   def train(docs: DataFrame, textCol: String, emRounds: Int = 2,
-            maxPieceLen: Int = 4, seedSize: Int = 120): UnigramModel = {
+            maxPieceLen: Int = 4, seedSize: Int = 120,
+            maxWordLen: Int = MaxWordLen): UnigramModel = {
     require(emRounds >= 1, s"unigram: emRounds >= 1, got $emRounds")
+    require(maxWordLen >= 1 && maxWordLen <= MaxWordLen,
+      s"unigram: maxWordLen must be in [1, $MaxWordLen], got $maxWordLen")
     val spark = docs.sparkSession
     import spark.implicits._
     val wf = Bpe.wordFreq(docs, textCol).as[(String, Long)].persist()
     try {
-      val maxLen = wf.toDF("word", "freq")
-        .agg(max(length(col("word")))).head().getInt(0)
-      require(maxLen <= MaxWordLen,
-        s"unigram: corpus has a $maxLen-code-point word; the boundary mask " +
-          s"caps words at $MaxWordLen — pre-split pathological tokens upstream")
+      // max(length) over an EMPTY vocab is NULL — fail with a clear message
+      // instead of an opaque NPE (round-11 ADVICE)
+      val maxLenRow = wf.toDF("word", "freq")
+        .agg(max(length(col("word")))).head()
+      if (maxLenRow.isNullAt(0))
+        throw new IllegalArgumentException(
+          "unigram: empty corpus — no non-empty word to train on")
+      val maxLen = maxLenRow.getInt(0)
+      // `maxWordLen` is the CALLER's contract cap (e.g. the oracle's DP
+      // unroll depth), enforced where the data enters so the engine and
+      // its verifier share ONE bound (round-11 ADVICE); MaxWordLen above
+      // is only the hard mask-width ceiling
+      require(maxLen <= maxWordLen,
+        s"unigram: corpus has a $maxLen-code-point word; this model is " +
+          s"capped at $maxWordLen — pre-split pathological tokens upstream")
       val seed = seedPiecesOverFreq(wf.toDF("word", "freq"), maxPieceLen, seedSize)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       val singles = seed.collect { case (p, _) if p.codePointCount(0, p.length) == 1 => p }
@@ -200,9 +213,13 @@ object UnigramLm {
     * words constantly).
     */
   def tokenize(docs: DataFrame, idCol: String, textCol: String,
-               scores: Map[String, Long], maxPieceLen: Int = 4): DataFrame = {
+               scores: Map[String, Long], maxPieceLen: Int = 4,
+               maxWordLen: Int = MaxWordLen): DataFrame = {
+    require(maxWordLen >= 1 && maxWordLen <= MaxWordLen,
+      s"unigram: maxWordLen must be in [1, $MaxWordLen], got $maxWordLen")
     val spark = docs.sparkSession
     import spark.implicits._
+    val mwl = maxWordLen
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -211,7 +228,14 @@ object UnigramLm {
           val words = Option(text).map(_.split(" ").filter(_.nonEmpty))
             .getOrElse(Array.empty[String])
           val encoded = words.map(w =>
-            memo.getOrElseUpdate(w, segment(w, viterbi(w, scores, maxPieceLen)._2)))
+            memo.getOrElseUpdate(w, {
+              // same caller-contract cap as train() — a word the oracle's
+              // DP unroll cannot reach must fail HERE, not hash-mismatch
+              val n = w.codePointCount(0, w.length)
+              require(n <= mwl,
+                s"unigram: $n-code-point word exceeds the model cap $mwl")
+              segment(w, viterbi(w, scores, maxPieceLen)._2)
+            }))
           (id, words.length, encoded.iterator.map(_.length).sum,
             encoded.headOption.map(_.mkString("|")).getOrElse(""))
         }

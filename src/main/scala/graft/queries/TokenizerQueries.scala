@@ -27,10 +27,12 @@ object TokenizerQueries {
   private val MaxPieceLen = 4
   private val SeedSize = 120
   private val EmRounds = 2
-  // DP position unroll in the oracle SQL: words longer than this produce
-  // no DP row, so their pieces vanish from the ORACLE side only and the
-  // compare fails loudly (the BPE generate_series-cap idiom). Fixture max
-  // word length is 8.
+  // DP position unroll in the oracle SQL — and the MODEL's word-length
+  // cap: passed to UnigramLm.train/tokenize as maxWordLen so the engine
+  // and its oracle share ONE bound (round-11 ADVICE — previously a 17-63
+  // code-point word trained fine in Spark but produced no DP row in the
+  // oracle). An over-long word now fails loudly where the data enters
+  // instead of hash-mismatching. Fixture max word length is 8.
   private val DpUnroll = 16
 
   /** Trained model per corpus — train-once state like the BPE merge list
@@ -43,7 +45,8 @@ object TokenizerQueries {
     unigramCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
       graft.BuildTimes.timed("unigram_train") {
         UnigramLm.train(Tables.documents(s, dir), "text",
-          emRounds = EmRounds, maxPieceLen = MaxPieceLen, seedSize = SeedSize)
+          emRounds = EmRounds, maxPieceLen = MaxPieceLen, seedSize = SeedSize,
+          maxWordLen = DpUnroll)
       })
 
   val queries: Map[String, Q] = Map(
@@ -74,7 +77,7 @@ object TokenizerQueries {
     // joins it back through each document's word list
     "x_unigram_tokenize" -> ((s: SparkSession, dir: String) => {
       UnigramLm.tokenize(Tables.documents(s, dir), "doc_id", "text",
-        unigramFor(s, dir).finalScores, MaxPieceLen)
+        unigramFor(s, dir).finalScores, MaxPieceLen, maxWordLen = DpUnroll)
     })
   )
 

@@ -110,4 +110,32 @@ class UnigramLmSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("63"))
   }
+
+  test("caller word cap (oracle DP unroll) is enforced at train AND tokenize") {
+    // 17-code-point word: within the 63 mask bound but past a 16 cap —
+    // previously trained fine in Spark while the oracle's DP unroll
+    // silently lost it (round-11 ADVICE); now both sides share one bound
+    val w17 = "y" * 17
+    val docs = Seq((1L, s"ok $w17")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      UnigramLm.train(docs, "text", emRounds = 1, maxPieceLen = 4,
+        seedSize = 8, maxWordLen = 16)
+    }
+    assert(ex.getMessage.contains("capped at 16"))
+    val scores = Map("o" -> -1L, "k" -> -1L, "y" -> -1L)
+    val ex2 = intercept[Exception] {
+      UnigramLm.tokenize(docs, "doc_id", "text", scores,
+        maxPieceLen = 4, maxWordLen = 16).collect()
+    }
+    assert(ex2.getMessage.contains("16"))
+  }
+
+  test("empty corpus fails with a clear message, not an NPE") {
+    val docs = Seq((1L, ""), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      UnigramLm.train(docs, "text", emRounds = 1, maxPieceLen = 4, seedSize = 8)
+    }
+    assert(ex.getMessage.contains("empty corpus"))
+  }
 }

@@ -61,6 +61,20 @@ class PageRankLedgerStreamSpec extends SparkSpec {
     assert(PageRankLedgerStream.edges(spark, root).count() === 5L)
   }
 
+  test("warm-start handoff: commitPrecomputed seeds state; maintain continues from it") {
+    val root = java.nio.file.Files.createTempDirectory("prledger-ws").toString + "/st"
+    val b0 = allEdges.take(5)
+    val b1 = allEdges.drop(5)
+    // batch engine hands its ledger over at parquet-write cost...
+    PageRankLedgerStream.commitPrecomputed(b0.toDF("src", "dst"), 0L, root,
+      PageRank.pagerankRounds(b0.toDF("src", "dst"), iters = 4))
+    assert(scores(PageRankLedgerStream.serve(spark, root, iters = 4)) === want(b0))
+    // ...and the genuine incremental maintain continues from the seeded state
+    PageRankLedgerStream.maintain(b1.toDF("src", "dst"), 1L, root, iters = 4)
+    assert(scores(PageRankLedgerStream.serve(spark, root, iters = 4)) === want(allEdges))
+    assert(PageRankLedgerStream.edges(spark, root).count() === allEdges.size.toLong)
+  }
+
   test("streamed edge batches converge to the batch recompute") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
