@@ -86,6 +86,22 @@ object Extensions {
         graft.ext.LinearProbe.train(Tables.embeddings(s, dir), lambda = 1e-3)
       })
 
+  /** IRLS quality-gate training (graft.ext.Irls): Newton rounds on the
+    * LABELED SLICE (vec_id % 5 == 0 plays the expensive labeled set; the
+    * binary target is label < 5), cached per (session, corpus) like the
+    * probe. Rounds = 2, ridge 1e-2.
+    */
+  private val irlsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), graft.ext.Irls.IrlsModel]
+
+  private def irlsFor(s: SparkSession, dir: String): graft.ext.Irls.IrlsModel =
+    irlsCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("classifier_train") {
+        graft.ext.Irls.train(
+          Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0),
+          yCol = (col("label") < 5).cast("double"), rounds = 2, lambda = 1e-2)
+      })
+
   /** PCA: train-once model state like the probe — one moments pass +
     * driver eigensolve, cached per (session, corpus).
     */
@@ -261,10 +277,11 @@ object Extensions {
   private def minhashTruthFor(s: SparkSession, dir: String): DataFrame =
     minhashTruthCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
       graft.BuildTimes.timed("minhash_truth_pairs") {
-        val p = MinHashDedup.exactPairsMd5(Tables.documents(s, dir),
-          minJaccard = 0.5).persist()
-        p.count() // materialize: serves must not re-run the truth join
-        p
+        // exactPairsMd5's default already returns the pairs persisted and
+        // counted; this cache takes OWNERSHIP of that storage — the
+        // rebuild hook's unpin releases it (the method's documented
+        // caller-must-unpersist contract, round-11 ADVICE)
+        MinHashDedup.exactPairsMd5(Tables.documents(s, dir), minJaccard = 0.5)
       })
 
   /** Exact embedding-cosine pair set — shared by `x_dedup_embed_exact`
@@ -1002,6 +1019,27 @@ object Extensions {
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n"), Util.davg(col("score")).as("mean_pred"),
           Util.davg(abs(col("score") - col("label"))).as("mae"))
+    }),
+
+    // ---- IRLS quality-gate training (the DCLM/FineWeb-Edu loop's
+    // missing piece: train the binary classifier ITSELF in-engine) ------
+    // per Newton round, the entire distributed computation — Hessian
+    // upper triangle + gradient cells over the algebraic-sigmoid GLM with
+    // the incoming weights frozen as literals — collected during the
+    // build and served as model state (the x_unigram_train pattern); the
+    // oracle re-derives every cell from the same frozen literals, so
+    // TRAINING is hash-matched round by round, and the driver solve
+    // consumes exactly the rounded values the oracle checks
+    "x_classifier_train" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      irlsFor(s, dir).cells.toDF("round", "i", "j", "v")
+    }),
+
+    // the trained gate scoring the FULL corpus: round(mu(w·x + b), 6)
+    // with the final weights as literals — one narrow pass
+    "x_classifier_train_scores" -> ((s: SparkSession, dir: String) => {
+      val m = irlsFor(s, dir)
+      graft.ext.Irls.scores(Tables.embeddings(s, dir), m.w, m.b)
     }),
 
     // SemDeDup: k-means cluster (the cached IVF model — clustering and ANN
@@ -2425,7 +2463,7 @@ object Extensions {
     * `Verify` dumps `oracleSql` last, so the timing works out).
     */
   def oracleSql: Map[String, String] =
-    staticOracleSql ++ ivfOracles ++ pqOracles ++ probeOracles ++ pcaOracles ++ sqOracles ++ rpOracle
+    staticOracleSql ++ ivfOracles ++ pqOracles ++ probeOracles ++ irlsOracles ++ pcaOracles ++ sqOracles ++ rpOracle
 
   // ---- random-projection oracle ---------------------------------------
   // No model state at all: the Rademacher matrix is a deterministic
@@ -2571,6 +2609,64 @@ object Extensions {
                |  ${Util.sqlDavg("abs(s.score - e.label)")} AS mae
                |FROM s JOIN embeddings e USING (vec_id)
                |GROUP BY 1""".stripMargin)
+      case _ => Map.empty
+    }
+
+  // ---- IRLS quality-gate oracles ---------------------------------------
+  // Per Newton round, the INCOMING weights are frozen as double literals
+  // and DuckDB re-derives eta → mu → mu' → every Hessian/gradient cell
+  // with the identical (correctly-rounded IEEE) expression tree — the
+  // algebraic sigmoid uses only +,−,×,÷,abs, so no transcendental crosses
+  // engines (see graft.ext.Irls). Scores embed the final weights.
+  private def irlsOracles: Map[String, String] =
+    irlsCache.toMap match {
+      case one if one.size == 1 =>
+        val m = one.head._2
+        val d1 = m.dim + 1 // |z| = dims + bias; gradient cells use j = dim+1
+        def roundCtes(t: Int): String = {
+          val (w, b) = m.preWeights(t - 1)
+          s"""b$t AS (SELECT
+             |    list_concat(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             |      [CAST(1.0 AS DOUBLE)]) AS z,
+             |    round(list_inner_product(
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             |      ${fmtVec(w.toSeq)}::DOUBLE[]) + ${fmtD(b)}, 6) AS eta,
+             |    CAST(label < 5 AS DOUBLE) AS y
+             |  FROM embeddings WHERE vec_id % 5 = 0),
+             |m$t AS (SELECT z,
+             |    0.5 * (1 + eta / (1 + abs(eta))) AS mu,
+             |    0.5 / ((1 + abs(eta)) * (1 + abs(eta))) AS s, y
+             |  FROM b$t),
+             |c$t AS (
+             |  SELECT ii.i AS i, jj.j AS j, (s * z[ii.i + 1]) * z[jj.j + 1] AS p
+             |  FROM m$t
+             |  CROSS JOIN (SELECT unnest(range(0, $d1)) AS i) ii
+             |  CROSS JOIN (SELECT unnest(range(0, $d1)) AS j) jj
+             |  WHERE jj.j >= ii.i
+             |  UNION ALL
+             |  SELECT ii.i, $d1, (mu - y) * z[ii.i + 1]
+             |  FROM m$t CROSS JOIN (SELECT unnest(range(0, $d1)) AS i) ii),
+             |s$t AS (SELECT CAST($t AS INT) AS round,
+             |    CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+             |    CAST(round(sum(CAST(p AS DECIMAL(28,10))), 6) AS DOUBLE) AS v
+             |  FROM c$t GROUP BY 1, 2, 3)""".stripMargin
+        }
+        val nRounds = m.preWeights.size
+        val trainSql =
+          s"""WITH ${(1 to nRounds).map(roundCtes).mkString(",\n")}
+             |${(1 to nRounds).map(t => s"SELECT * FROM s$t")
+                .mkString("\nUNION ALL ")}""".stripMargin
+        val scoresSql =
+          s"""WITH e AS (SELECT vec_id,
+             |    round(list_inner_product(
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             |      ${fmtVec(m.w.toSeq)}::DOUBLE[]) + ${fmtD(m.b)}, 6) AS eta
+             |  FROM embeddings)
+             |SELECT vec_id,
+             |  round(0.5 * (1 + eta / (1 + abs(eta))), 6) + 0 AS quality
+             |FROM e""".stripMargin
+        Map("x_classifier_train" -> trainSql,
+          "x_classifier_train_scores" -> scoresSql)
       case _ => Map.empty
     }
 
@@ -4427,6 +4523,7 @@ object Extensions {
   reg("pq_train_encode", pqCache, pqFor)(v => unpin(v._2))
   reg("sq_train_encode", sqCache, sqFor)(v => unpin(v._2))
   reg("probe_train", probeCache, probeFor)()
+  reg("classifier_train", irlsCache, irlsFor)()
   reg("pca_train", pcaCache, pcaFor)()
   reg("pca_train_sketched", pcaSkCache, pcaSkFor)()
   reg("ivf_layout_write", ivfLayoutCache, ivfLayoutFor)()
