@@ -88,12 +88,20 @@ object Bpe {
     * count at merge time. Stops early when no pair reaches `minCount`.
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-            minCount: Long = 2L): Seq[(String, String, Long)] = {
+            minCount: Long = 2L): Seq[(String, String, Long)] =
+    trainOverVocab(symbolized(docs, textCol), numMerges, minCount)
+
+  /** The merge-round loop over ANY symbolized vocab — shared by the
+    * code-point trainer above and [[ByteBpe]]'s byte trainer (the symbol
+    * alphabet is the only difference between the two tokenizers).
+    */
+  private[ext] def trainOverVocab(symVocab: Dataset[(Seq[String], Long)],
+                                  numMerges: Int,
+                                  minCount: Long): Seq[(String, String, Long)] = {
     require(numMerges >= 1, s"train: numMerges >= 1, got $numMerges")
-    val spark = docs.sparkSession
+    val spark = symVocab.sparkSession
     import spark.implicits._
-    var vocab: Dataset[(Seq[String], Long)] = symbolized(docs, textCol)
-      .localCheckpoint(true)
+    var vocab: Dataset[(Seq[String], Long)] = symVocab.localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var round = 0
     var done = false

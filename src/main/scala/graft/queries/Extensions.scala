@@ -372,6 +372,18 @@ object Extensions {
         graft.ext.Bpe.train(Tables.documents(s, dir), "text", numMerges = 10)
       })
 
+  /** Byte-level BPE merge list per corpus (graft.ext.ByteBpe) — the GPT-2
+    * class twin, trained like `bpe_train`.
+    */
+  private val bpeBytesCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[(String, String, Long)]]
+
+  private def bpeBytesFor(s: SparkSession, dir: String): Seq[(String, String, Long)] =
+    bpeBytesCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("bpe_bytes_train") {
+        graft.ext.ByteBpe.train(Tables.documents(s, dir), "text", numMerges = 10)
+      })
+
   /** Count-Min sketch per corpus: d·w longs of driver model state, built
     * by one full-corpus aggregation — a BUILD, not query work, so it is
     * cached per (app, dir) and timed like `bpe_train`/`substr_dup_scan`
@@ -1556,6 +1568,26 @@ object Extensions {
         bpeFor(s, dir))
     }),
 
+    // BYTE-level BPE training (GPT-2 class): symbols are UTF-8 bytes as
+    // hex pairs, so the base alphabet is <= 256 and EVERY string encodes
+    // with zero OOV risk (byte fallback — what production tokenizers
+    // actually do); merge machinery shared with the char trainer, oracle =
+    // the same unrolled-CTE recipe over hex(encode(word))
+    "x_bpe_bytes_merges" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      bpeBytesFor(s, dir).zipWithIndex
+        .map { case ((a, b, c), i) => (i + 1, a, b, c) }
+        .toDF("rank", "sym_a", "sym_b", "cnt")
+    }),
+
+    // byte-level encoding with the trained merges: per-doc token counts +
+    // the first word's byte tokens (hex symbols) — the greedy encode loop
+    // over the byte alphabet, never throws on unseen characters
+    "x_bpe_bytes_tokenize" -> ((s: SparkSession, dir: String) => {
+      graft.ext.ByteBpe.tokenize(Tables.documents(s, dir), "doc_id", "text",
+        bpeBytesFor(s, dir))
+    }),
+
     // vocabulary COVERAGE curve: cumulative token-occurrence share by
     // frequency rank — the "how many vocab entries cover 90% of the
     // corpus" question every tokenizer-size decision starts from. Only
@@ -2285,13 +2317,31 @@ object Extensions {
        |    $lamVar -> $bpeO || substr($wordExpr, $lamVar, 1) || $bpeC), '') ||
        |  $bpeO || '</w>' || $bpeC""".stripMargin
 
-  /** CTE chain w, v0, pc1, m1, v1, …, pc_R, m_R (no leading WITH). */
-  private def bpeMergeCtes(rounds: Int): String = {
+  /** BYTE-level symbolization of a word expression — the [[bpeSymbolize]]
+    * twin over UTF-8 bytes: `hex(encode(word))` is the word's byte stream
+    * as hex pairs, and symbol k is its k-th pair — exactly
+    * `ByteBpe.toByteSymbols` (the JVM walks getBytes(UTF_8), both sides
+    * walk the same encoding of the same string). Merged symbols are
+    * concatenated hex pairs, so the delimited-string replace machinery
+    * transfers verbatim.
+    */
+  private def byteSymbolize(wordExpr: String, lamVar: String = "i") =
+    s"""array_to_string(list_transform(generate_series(1, octet_length(encode($wordExpr))),
+       |    $lamVar -> $bpeO || substr(hex(encode($wordExpr)), 2*$lamVar - 1, 2) || $bpeC), '') ||
+       |  $bpeO || '</w>' || $bpeC""".stripMargin
+
+  /** CTE chain w, v0, pc1, m1, v1, …, pc_R, m_R (no leading WITH).
+    * `symbolize` picks the alphabet: code points (default) or UTF-8 bytes
+    * ([[byteSymbolize]]) — the merge/count/apply rounds are identical.
+    */
+  private def bpeMergeCtes(rounds: Int,
+                           symbolize: (String, String) => String =
+                             bpeSymbolize(_, _)): String = {
     val head = Seq(
       s"""w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
          |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
          |  WHERE length(word) > 0 GROUP BY word)""".stripMargin,
-      s"""v0 AS MATERIALIZED (SELECT freq, ${bpeSymbolize("word")} AS s FROM w)""")
+      s"""v0 AS MATERIALIZED (SELECT freq, ${symbolize("word", "i")} AS s FROM w)""")
     val perRound = (1 to rounds).flatMap { r =>
       val apply = if (r == rounds) Seq.empty else Seq(
         s"""v$r AS MATERIALIZED (SELECT freq,
@@ -2315,35 +2365,40 @@ object Extensions {
     (head ++ perRound).mkString(",\n")
   }
 
-  private def bpeMergesOracle(rounds: Int): String = {
+  private def bpeMergesOracle(rounds: Int,
+                              symbolize: (String, String) => String =
+                                bpeSymbolize(_, _)): String = {
     val union = (1 to rounds)
       .map(r => s"SELECT CAST($r AS INT) AS rank, sym_a, sym_b, cnt FROM m$r")
       .mkString("\nUNION ALL ")
-    s"WITH ${bpeMergeCtes(rounds)}\n$union"
+    s"WITH ${bpeMergeCtes(rounds, symbolize)}\n$union"
   }
 
-  private def bpeTokenizeOracle(rounds: Int): String = {
+  private def bpeTokenizeOracle(rounds: Int,
+                                symbolize: (String, String) => String =
+                                  bpeSymbolize(_, _),
+                                tokCol: String = "n_bpe_tokens"): String = {
     val applied = (1 to rounds).foldLeft("s0") { (acc, r) =>
       s"""replace($acc,
          |  (SELECT $bpeO || sym_a || $bpeC || $bpeO || sym_b || $bpeC FROM m$r),
          |  (SELECT $bpeO || sym_a || sym_b || $bpeC FROM m$r))""".stripMargin
     }
-    s"""WITH ${bpeMergeCtes(rounds)},
+    s"""WITH ${bpeMergeCtes(rounds, symbolize)},
        |dw AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
        |       FROM documents),
-       |wd AS (SELECT doc_id, i AS wi, ${bpeSymbolize("ws[i]", lamVar = "j")} AS s0
+       |wd AS (SELECT doc_id, i AS wi, ${symbolize("ws[i]", "j")} AS s0
        |       FROM dw, generate_series(1, 8192) t(i) WHERE i <= len(ws)),
        |enc AS (SELECT doc_id, wi,
        |          string_split(trim($applied, $bpeO || $bpeC), $bpeC || $bpeO) AS syms
        |        FROM wd),
        |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_words,
-       |          CAST(sum(len(syms)) AS INT) AS n_bpe_tokens
+       |          CAST(sum(len(syms)) AS INT) AS $tokCol
        |        FROM enc GROUP BY 1),
        |fw AS (SELECT doc_id, array_to_string(syms, '|') AS first_word_tokens
        |       FROM enc WHERE wi = 1)
        |SELECT d.doc_id,
        |  coalesce(agg.n_words, 0) AS n_words,
-       |  coalesce(agg.n_bpe_tokens, 0) AS n_bpe_tokens,
+       |  coalesce(agg.$tokCol, 0) AS $tokCol,
        |  coalesce(fw.first_word_tokens, '') AS first_word_tokens
        |FROM documents d
        |LEFT JOIN agg USING (doc_id) LEFT JOIN fw USING (doc_id)""".stripMargin
@@ -3348,6 +3403,12 @@ object Extensions {
     // delimited-string replaces — equals the greedy encode loop for merges
     // produced by BPE training (see bpeTokenizeOracle)
     "x_bpe_tokenize" -> bpeTokenizeOracle(10),
+
+    // the byte-level twin: identical recipe, alphabet = UTF-8 bytes as
+    // hex pairs via hex(encode(word)) (see byteSymbolize)
+    "x_bpe_bytes_merges" -> bpeMergesOracle(10, byteSymbolize(_, _)),
+    "x_bpe_bytes_tokenize" ->
+      bpeTokenizeOracle(10, byteSymbolize(_, _), tokCol = "n_byte_tokens"),
 
     "x_bpe_pairs" ->
       """WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
@@ -4540,6 +4601,7 @@ object Extensions {
   reg("cc_star_ledger", ccStarCache, ccStarFor)(unpin)
   reg("cc_incr_prestate", ccIncrCache, ccIncrFor)(v => { unpin(v._1); unpin(v._2) })
   reg("bpe_train", bpeCache, bpeFor)()
+  reg("bpe_bytes_train", bpeBytesCache, bpeBytesFor)()
   reg("cms_sketch", cmsCache, cmsFor)()
   reg("substr_dup_scan", substrOccCache, substrOccFor)(unpin)
   reg("audio_dedup_ledger", audioCcCache, audioCcFor)(unpin)
