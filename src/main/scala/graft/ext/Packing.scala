@@ -52,10 +52,21 @@ object Packing {
                      numPartitions: Int = 0): DataFrame = {
     val p = if (numPartitions > 0) numPartitions
             else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // localCheckpoint is CORRECTNESS, not tuning: `local` is referenced
+    // twice (the offsets aggregation and the final join), and
+    // repartitionByRange SAMPLES its boundaries per evaluation — if Spark
+    // evaluates the two branches without reusing the exchange (observed
+    // in round 12 when another range shuffle stacked on top: AQE planned
+    // the branches separately), the __pid labels describe two DIFFERENT
+    // layouts and the join pairs rows with other partitions' offsets —
+    // silently corrupting every rank downstream (duplicate mix_ranks in
+    // the interleave schedule). Materializing the labeled layout once
+    // makes both branches read the same bytes by construction.
     val local = df.repartitionByRange(p, orderBy: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__cum", sum(col(valCol)).over(
         Window.partitionBy(col("__pid")).orderBy(orderBy: _*)))
+      .localCheckpoint(true)
     // one row per partition; the only unpartitioned window in the plan
     // runs over THESE rows (≤ numPartitions), never over data
     val offsets = local.groupBy(col("__pid"))
@@ -84,10 +95,13 @@ object Packing {
                           valCol: String, numPartitions: Int = 0): DataFrame = {
     val p = if (numPartitions > 0) numPartitions
             else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // same divergent-re-evaluation hazard as runningTotalBy (see the
+    // comment there): the labeled layout must be materialized once
     val local = df.repartitionByRange(p, (col(groupCol) +: orderBy): _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__cum", sum(col(valCol)).over(
         Window.partitionBy(col("__pid"), col(groupCol)).orderBy(orderBy: _*)))
+      .localCheckpoint(true)
     val offsets = local.groupBy(col("__pid"), col(groupCol))
       .agg(sum(col(valCol)).as("__t"))
       .withColumn("__off",
@@ -208,9 +222,19 @@ object Packing {
     * belong to the tokenizer stage, not the packer).
     */
   def packBins(df: DataFrame, idCol: String, tokenCol: String, budget: Long,
-               numPartitions: Int = 0): DataFrame = {
+               numPartitions: Int = 0): DataFrame =
+    packBinsBy(df, Seq(col(idCol)), tokenCol, budget, numPartitions)
+
+  /** [[packBins]] over an arbitrary TOTAL packing order — e.g. the
+    * interleaved mixture schedule's `(pos, domain, mix_rank)` (see
+    * [[graft.ops.Sampling.interleaveSchedule]]): training sequences fill
+    * in the order batches will consume them, which is what makes a shard
+    * a contiguous slice of the training stream (see [[graft.io.Shards]]).
+    */
+  def packBinsBy(df: DataFrame, orderBy: Seq[Column], tokenCol: String,
+                 budget: Long, numPartitions: Int = 0): DataFrame = {
     require(budget >= 1, s"packBins: budget must be >= 1, got $budget")
-    runningTotal(df, idCol, tokenCol, numPartitions)
+    runningTotalBy(df, orderBy, tokenCol, numPartitions)
       .withColumnRenamed("cum", "cum_tokens")
       .withColumn("seq_id",
         expr(s"(cum_tokens - $tokenCol) div CAST($budget AS BIGINT)"))

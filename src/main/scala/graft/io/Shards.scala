@@ -1,0 +1,94 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LOADER-FACING SHARD EXPORT — the artifact a trainer's data loader
+  * actually opens: size-budgeted shard files holding the packed training
+  * sequences in consumption order, plus a manifest mapping each shard to
+  * its sequence span, doc population, and an assignment checksum. This is
+  * the step after [[graft.ext.Packing.packBinsBy]] named the sequences:
+  * nothing upstream wrote the bytes a loader reads.
+  *
+  * Layout under `root`:
+  *  - `root/data/shard_id=N/…parquet` — the rows of shard N, written by
+  *    ONE range-partitioned, within-partition-sorted job: range keys are
+  *    `(shard_id, orderCols…)`, so every output file holds a contiguous
+  *    slice of the training stream and files concatenate in name order
+  *    back to schedule order (a sequential reader never needs a sort).
+  *    Spark's commit protocol gives the usual crash atomicity: `_SUCCESS`
+  *    under `root/data` appears only after every task committed.
+  *  - `root/manifest/…parquet` — one row per shard (see [[manifest]]),
+  *    written AFTER the data job. The two-marker ordering is the crash
+  *    window contract: a reader requires BOTH `_SUCCESS` files, so a
+  *    crash between the jobs (data visible, manifest missing) — or during
+  *    either — leaves the export invisible rather than half-readable
+  *    (the [[graft.streaming.VectorIndexStream]] gating discipline).
+  *
+  * Scale shape: ONE extra exchange total (the range shuffle on
+  * `(shard_id, order)`), the manifest is one keyed aggregation whose
+  * output is shard-count-sized, and shard size is budget-controlled
+  * upstream (seqs/shard × tokens/seq), so file sizes stay loader-friendly
+  * at any corpus size. The write never sorts globally.
+  */
+object Shards {
+
+  /** Per-shard manifest over packed rows carrying `shard_id`, `seq_id`,
+    * the doc id, token counts, and the schedule position: sequence span,
+    * doc count, token total, and `doc_checksum = Σ doc_id·(pos+1)` — an
+    * assignment-sensitive integer (a doc moved to a different schedule
+    * slot or shard changes it), fully SQL-derivable so the WRITTEN
+    * artifact is oracle-checkable end to end.
+    */
+  def manifest(packed: DataFrame, idCol: String = "doc_id",
+               tokenCol: String = "n_tokens", posCol: String = "pos"): DataFrame =
+    packed.groupBy(col("shard_id")).agg(
+      countDistinct(col("seq_id")).cast("int").as("n_seqs"),
+      count(lit(1)).cast("int").as("n_docs"),
+      sum(col(tokenCol)).cast("long").as("shard_tokens"),
+      min(col("seq_id")).cast("long").as("first_seq"),
+      max(col("seq_id")).cast("long").as("last_seq"),
+      sum(col(idCol) * (col(posCol) + lit(1L))).cast("long").as("doc_checksum"))
+
+  /** Write the export: data first, manifest last (the crash-window
+    * ordering readers rely on). `orderCols` is the within-shard
+    * consumption order — it must be the order `shard_id`/`seq_id` were
+    * assigned in.
+    */
+  def write(packed: DataFrame, root: String, orderCols: Seq[Column],
+            idCol: String = "doc_id", tokenCol: String = "n_tokens",
+            posCol: String = "pos"): Unit = {
+    packed
+      .repartitionByRange((col("shard_id") +: orderCols): _*)
+      .sortWithinPartitions((col("shard_id") +: orderCols): _*)
+      .write.mode("overwrite").partitionBy("shard_id").parquet(s"$root/data")
+    manifest(packed, idCol, tokenCol, posCol)
+      .write.mode("overwrite").parquet(s"$root/manifest")
+  }
+
+  private def committed(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The manifest, gated on BOTH commit markers: a half-written export
+    * (crash during data, or between data and manifest) reads as "not
+    * there" — fail loudly rather than serve a torn artifact.
+    */
+  def readManifest(spark: SparkSession, root: String): DataFrame = {
+    require(committed(spark, s"$root/data") && committed(spark, s"$root/manifest"),
+      s"shards: export at $root is not fully committed " +
+        "(missing data/_SUCCESS or manifest/_SUCCESS) — refusing a torn read")
+    spark.read.parquet(s"$root/manifest")
+  }
+
+  /** One shard's rows (same gating). Files concatenate in name order back
+    * to the written schedule order.
+    */
+  def readShard(spark: SparkSession, root: String, shardId: Long): DataFrame = {
+    require(committed(spark, s"$root/data") && committed(spark, s"$root/manifest"),
+      s"shards: export at $root is not fully committed — refusing a torn read")
+    spark.read.option("basePath", s"$root/data")
+      .parquet(s"$root/data/shard_id=$shardId")
+  }
+}

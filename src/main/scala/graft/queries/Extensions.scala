@@ -102,6 +102,31 @@ object Extensions {
           yCol = (col("label") < 5).cast("double"), rounds = 2, lambda = 1e-2)
       })
 
+  /** Loader shard export per corpus (graft.io.Shards): interleave
+    * schedule (total 300, the x_mix_schedule fixture) → 512-token
+    * sequences packed in consumption order → 8 sequences per shard →
+    * written once (data + manifest, dual-_SUCCESS). The entry serves the
+    * written manifest.
+    */
+  private val shardExportCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def shardExportFor(s: SparkSession, dir: String): String =
+    shardExportCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("pack_shards_write") {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-shards").toString + "/export"
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          TextOps.nWords(col("text")).cast("long").as("n_tokens"))
+        val sched = graft.ops.Sampling.interleaveSchedule(docs, "source", total = 300L)
+        val order = Seq(col("pos"), col("source"), col("mix_rank"))
+        val packed = graft.ext.Packing
+          .packBinsBy(sched, order, "n_tokens", budget = 512L)
+          .withColumn("shard_id", expr("seq_id div 8"))
+        graft.io.Shards.write(packed, root, order)
+        root
+      })
+
   /** PCA: train-once model state like the probe — one moments pass +
     * driver eigensolve, cached per (session, corpus).
     */
@@ -1241,6 +1266,16 @@ object Extensions {
           .select(col("doc_id"),
             TextOps.nWords(col("text")).cast("long").as("n_tokens")),
         "doc_id", "n_tokens", budget = 2048L))
+    }),
+
+    // LOADER SHARD EXPORT (io.Shards): the interleaved mixture schedule
+    // packs into 512-token sequences IN CONSUMPTION ORDER, sequences
+    // group 8-per-shard, and the shard files + manifest are WRITTEN
+    // (data job then manifest job, dual-_SUCCESS crash gating) once per
+    // corpus; the entry reads the written manifest back, so the oracle
+    // checks the whole interleave→pack→shard→write→read chain
+    "x_pack_shards" -> ((s: SparkSession, dir: String) => {
+      graft.io.Shards.readManifest(s, shardExportFor(s, dir))
     }),
 
     // encoding hygiene over adversarially-dirtied text: controls +
@@ -3696,6 +3731,46 @@ object Extensions {
         |  array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), '|') AS doc_ids
         |FROM p GROUP BY seq_id""".stripMargin,
 
+    // shard export manifest: the x_mix_schedule CTEs + the running token
+    // total in CONSUMPTION order (pos, source, mix_rank), 512-token
+    // sequences, 8 sequences per shard, then the per-shard aggregation —
+    // checked against the manifest READ BACK from the written artifact
+    "x_pack_shards" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS w
+        |           FROM documents GROUP BY source),
+        |s AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM c),
+        |b AS (SELECT source, (300 * w) // sw AS q, (300 * w) % sw AS rem
+        |      FROM c CROSS JOIN s),
+        |qr AS (SELECT source, q,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rk,
+        |    300 - CAST(sum(q) OVER () AS BIGINT) AS leftover
+        |  FROM b),
+        |quota AS (SELECT source,
+        |    CAST(q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |  FROM qr),
+        |r AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS mix_rank
+        |  FROM documents),
+        |sel AS (SELECT r.doc_id, r.source, r.n_tokens, mix_rank,
+        |    (mix_rank - 1) * 300 // quota AS pos
+        |  FROM r JOIN quota USING (source)
+        |  WHERE quota > 0 AND mix_rank <= quota),
+        |cum AS (SELECT *, CAST(sum(n_tokens)
+        |      OVER (ORDER BY pos, source, mix_rank) AS BIGINT) AS cum_tokens
+        |  FROM sel),
+        |sh AS (SELECT *, ((cum_tokens - n_tokens) // 512) // 8 AS shard_id,
+        |    (cum_tokens - n_tokens) // 512 AS seq_id
+        |  FROM cum)
+        |SELECT shard_id, CAST(count(DISTINCT seq_id) AS INT) AS n_seqs,
+        |  CAST(count(*) AS INT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+        |  CAST(min(seq_id) AS BIGINT) AS first_seq,
+        |  CAST(max(seq_id) AS BIGINT) AS last_seq,
+        |  CAST(sum(doc_id * (pos + 1)) AS BIGINT) AS doc_checksum
+        |FROM sh GROUP BY shard_id""".stripMargin,
+
     "x_text_clean_unicode" ->
       """WITH m AS (SELECT doc_id,
         |    chr(7) || 'bom:' || chr(65279) || replace(text, ' ', chr(160)) ||
@@ -4585,6 +4660,7 @@ object Extensions {
   reg("sq_train_encode", sqCache, sqFor)(v => unpin(v._2))
   reg("probe_train", probeCache, probeFor)()
   reg("classifier_train", irlsCache, irlsFor)()
+  reg("pack_shards_write", shardExportCache, shardExportFor)()
   reg("pca_train", pcaCache, pcaFor)()
   reg("pca_train_sketched", pcaSkCache, pcaSkFor)()
   reg("ivf_layout_write", ivfLayoutCache, ivfLayoutFor)()
