@@ -102,6 +102,27 @@ object Extensions {
           yCol = (col("label") < 5).cast("double"), rounds = 2, lambda = 1e-2)
       })
 
+  /** Decontamination n-gram ledger per corpus
+    * (graft.streaming.DecontamLedgerStream): the training side folds in
+    * as two waves (doc_id % 7 != 0, then the rest) — the probe entry then
+    * measures exactly what an eval-set change pays.
+    */
+  private val decontamLedgerCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def decontamLedgerFor(s: SparkSession, dir: String): String =
+    decontamLedgerCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("decontam_ledger") {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-decontam").toString + "/st"
+        val train = Tables.documents(s, dir).filter(col("source") =!= "src0")
+        graft.streaming.DecontamLedgerStream.maintain(
+          train.filter(col("doc_id") % 7 =!= 0), 0L, root, n = 3)
+        graft.streaming.DecontamLedgerStream.maintain(
+          train.filter(col("doc_id") % 7 === 0), 1L, root, n = 3)
+        root
+      })
+
   /** Loader shard export per corpus (graft.io.Shards): interleave
     * schedule (total 300, the x_mix_schedule fixture) → 512-token
     * sequences packed in consumption order → 8 sequences per shard →
@@ -1135,6 +1156,18 @@ object Extensions {
       graft.ext.Decontaminate.contaminationFraction(
         d.filter(col("source") =!= "src0"),
         d.filter(col("source") === "src0"), n = 3)
+    }),
+
+    // INCREMENTAL decontamination: the training corpus folds into the
+    // n-gram-postings ledger in two waves (doc_id % 7 plays the arriving
+    // ingest); the entry pays only the EVAL-SIDE PROBE — benchmark
+    // explode + one keyed join against VersionedState, no corpus pass —
+    // and must equal the batch operator exactly (x_decontaminate's
+    // oracle, verbatim: maintained == recompute is the checked contract)
+    "x_decontam_incremental" -> ((s: SparkSession, dir: String) => {
+      graft.streaming.DecontamLedgerStream.probe(s,
+        decontamLedgerFor(s, dir),
+        Tables.documents(s, dir).filter(col("source") === "src0"), n = 3)
     }),
 
     // NORMALIZED decontamination: the eval side is deliberately perturbed
@@ -2220,6 +2253,21 @@ object Extensions {
   import Util._
 
   private val sqlWords = "string_split(text, ' ')"
+
+  /** Shared by `x_decontaminate` (the batch operator) and
+    * `x_decontam_incremental` (the streamed ledger probe): the maintained
+    * == recompute contract means ONE oracle checks both.
+    */
+  private val decontamSql =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |d AS (SELECT doc_id, source,
+      |    list_distinct(list_transform(generate_series(1, len(ws) - 2),
+      |                  i -> array_to_string(ws[i:i+2], ' '))) AS ngs
+      |  FROM w),
+      |t AS (SELECT doc_id, unnest(ngs) AS ng FROM d WHERE source <> 'src0'),
+      |e AS (SELECT DISTINCT unnest(ngs) AS ng FROM d WHERE source = 'src0')
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+      |FROM t JOIN e USING (ng) GROUP BY doc_id""".stripMargin
 
   /** Shared keyword-scoring CTE block (no leading WITH) for the two
     * retrieval oracles — ONE copy, so the keyword contract (3-gram
@@ -3546,16 +3594,10 @@ object Extensions {
          |WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
          |    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5""".stripMargin,
 
-    "x_decontaminate" ->
-      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
-        |d AS (SELECT doc_id, source,
-        |    list_distinct(list_transform(generate_series(1, len(ws) - 2),
-        |                  i -> array_to_string(ws[i:i+2], ' '))) AS ngs
-        |  FROM w),
-        |t AS (SELECT doc_id, unnest(ngs) AS ng FROM d WHERE source <> 'src0'),
-        |e AS (SELECT DISTINCT unnest(ngs) AS ng FROM d WHERE source = 'src0')
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
-        |FROM t JOIN e USING (ng) GROUP BY doc_id""".stripMargin,
+    "x_decontaminate" -> decontamSql,
+
+    // the maintained ledger's contract IS the batch recompute
+    "x_decontam_incremental" -> decontamSql,
 
     "x_decontam_fraction" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
@@ -4661,6 +4703,7 @@ object Extensions {
   reg("probe_train", probeCache, probeFor)()
   reg("classifier_train", irlsCache, irlsFor)()
   reg("pack_shards_write", shardExportCache, shardExportFor)()
+  reg("decontam_ledger", decontamLedgerCache, decontamLedgerFor)()
   reg("pca_train", pcaCache, pcaFor)()
   reg("pca_train_sketched", pcaSkCache, pcaSkFor)()
   reg("ivf_layout_write", ivfLayoutCache, ivfLayoutFor)()
