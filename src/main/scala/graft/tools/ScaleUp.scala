@@ -32,10 +32,11 @@ object ScaleUp {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/sf1")
     val k = args.lift(2).map(_.toInt).getOrElse(10)
+    val dupConstant = args.lift(3).contains("dupconst")
     val spark = graft.GraftSession
       .builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    scale(spark, src, dst, k)
+    scale(spark, src, dst, k, dupConstant)
     spark.stop()
   }
 
@@ -64,7 +65,32 @@ object ScaleUp {
     edit(shifted, col("__copy")).drop("__copy").repartition(k)
   }
 
-  def scale(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
+  /** `dupConstant = true` is the DUP-RATE-CONSTANT mode (round-12 verdict
+    * item 6): the default clone fixture keeps ~1/3 cross-copy text overlap
+    * and near-identical cross-copy embeddings, so every duplicate cluster
+    * is K× denser and the pair-defined entries' TRUE output grows ~K² —
+    * the slopes then measure the fixture, not the engine. A genuinely K×
+    * larger corpus holds its duplicate RATE roughly constant, which this
+    * mode reproduces:
+    *  - documents: EVERY word of copy i > 0 gets the `~i` suffix — one
+    *    per-copy tag shared by all words preserves each copy's INTERNAL
+    *    similarity structure exactly (suffixing is a bijection on the
+    *    vocabulary) while zeroing cross-copy n-gram/shingle overlap;
+    *  - embeddings: copy i > 0 rides a per-copy ISOMETRY — a dimension
+    *    permutation (odd multiplier mod the dim count — a bijection on
+    *    Z/2^k) with deterministic sign flips — so within-copy cosines are
+    *    preserved (same product multiset) while cross-copy cosines of the
+    *    near-random base vectors land near 0, far below the 0.4 family
+    *    threshold.
+    * What this mode CANNOT fix, by design: the media/audio dedup fixtures
+    * derive their content from `doc_id % 101` ([[graft.ext.Multimodal]]),
+    * so their duplicate groups saturate at 101 classes and group SIZE
+    * must grow with the corpus — their pair counts stay ~K² in ANY
+    * fixture derived from doc ids; that is the fixture's spec, with the
+    * plans linear in candidate pairs (recorded in BENCH.md).
+    */
+  def scale(spark: SparkSession, src: String, dst: String, k: Int,
+            dupConstant: Boolean = false): Unit = {
     def write(name: String, df: DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
     def read(name: String) = spark.read.parquet(s"$src/$name.parquet")
@@ -78,17 +104,28 @@ object ScaleUp {
     write("lineitem",
       replicate(read("lineitem"), k, Seq("l_orderkey", "l_partkey", "l_suppkey")))
     write("events", replicate(read("events"), k, Seq("event_id", "user_id")))
+    val wordEdit =
+      if (dupConstant) "(w, j) -> concat(w, '~', __copy)"
+      else "(w, j) -> IF(j % 2 = 1, concat(w, '~', __copy), w)"
     write("documents", replicate(read("documents"), k, Seq("doc_id"),
       edit = (d, copy) => d
         .withColumn("text", when(copy === 0, col("text")).otherwise(
-          array_join(expr("transform(split(text, ' '), " +
-            "(w, j) -> IF(j % 2 = 1, concat(w, '~', __copy), w))"), " ")))
+          array_join(expr(s"transform(split(text, ' '), $wordEdit)"), " ")))
         .withColumn("n_chars", length(col("text")).cast("long"))))
+    val embedEdit =
+      if (dupConstant)
+        // per-copy isometry: dims permuted by an odd multiplier (bijective
+        // mod a power of two) + hash-derived sign flips
+        "transform(sequence(0, size(embedding) - 1), dd -> " +
+          "CAST(element_at(embedding, pmod(dd * (2 * __copy + 3), size(embedding)) + 1) * " +
+          "IF(pmod(hash(dd, __copy), 2) = 0, 1.0D, -1.0D) AS FLOAT))"
+      else
+        "transform(embedding, (x, dd) -> " +
+          "CAST(x + (pmod(hash(vec_id, dd, __copy), 97) - 48) / 2000.0 AS FLOAT))"
     write("embeddings", replicate(read("embeddings"), k, Seq("vec_id"),
       edit = (d, copy) => d.withColumn("embedding",
-        when(copy === 0, col("embedding")).otherwise(expr(
-          "transform(embedding, (x, dd) -> " +
-            "CAST(x + (pmod(hash(vec_id, dd, __copy), 97) - 48) / 2000.0 AS FLOAT))")))))
-    println(s"[scaleup] wrote $dst at ${k}x of $src")
+        when(copy === 0, col("embedding")).otherwise(expr(embedEdit)))))
+    println(s"[scaleup] wrote $dst at ${k}x of $src" +
+      (if (dupConstant) " (dup-rate-constant mode)" else ""))
   }
 }
