@@ -94,16 +94,31 @@ object ExactDedup {
     */
   def newAgainstCorpus(batch: DataFrame, corpus: DataFrame,
                        idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
+                       textCol: String = "text"): DataFrame =
+    novelAgainstHashes(batch,
+      corpus.select(xxhash64(col(textCol)).as("h"), col(textCol).as("t")),
+      idCol, textCol)
+
+  /** The incremental core over a PRECOMPUTED corpus content table `(h =
+    * xxhash64(text), t = text)` — the "precomputed 8-byte content-hash
+    * table" the [[newAgainstCorpus]] doc promises, servable from
+    * maintained state ([[graft.streaming.ExactDedupLedgerStream]]) so the
+    * corpus is hashed ONCE, not per ingest. Identical join shape: batch
+    * rows probe by the 8-byte hash (left_anti = novel with no corpus
+    * text ever read), and only hash-matched candidates verify against
+    * corpus text — a collision can never drop a novel document.
+    */
+  def novelAgainstHashes(batch: DataFrame, corpusHT: DataFrame,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
     val b = batch.select(col(idCol), col(textCol).as("t"),
       xxhash64(col(textCol)).as("h"))
-    val corpusHashes = corpus.select(xxhash64(col(textCol)).as("h"))
+    val corpusHashes = corpusHT.select(col("h"))
     val noHashMatch = b.join(corpusHashes, Seq("h"), "left_anti")
       .select(col(idCol))
     val candidates = b.join(corpusHashes, Seq("h"), "left_semi")
-    val corpusVerify = corpus.select(xxhash64(col(textCol)).as("h"),
-      col(textCol).as("t"))
-    val collisionOnly = candidates.join(corpusVerify, Seq("h", "t"), "left_anti")
+    val collisionOnly = candidates
+      .join(corpusHT.select(col("h"), col("t")), Seq("h", "t"), "left_anti")
       .select(col(idCol))
     noHashMatch.union(collisionOnly)
   }

@@ -173,6 +173,59 @@ object MinHashDedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** The incremental md5-twin core, over two [[signaturesMd5]]-shaped
+    * frames (`idCol`, shingles, sigs): batch ids near-duplicating NOTHING
+    * in `corpusSigs` (any-band sub-signature collision, then exact shingle
+    * Jaccard ≥ `minJaccard`). `batchIds` is the FULL batch id set — batch
+    * docs too short to shingle carry no near-dup evidence and come back
+    * novel, the [[newAgainstCorpus]] contract. Taking sig frames (not
+    * documents) is what makes the corpus side SERVABLE FROM STATE: the
+    * maintained signature ledger
+    * ([[graft.streaming.MinHashLedgerStream]]) plugs in directly, so the
+    * steady-state flow the [[newAgainstCorpus]] doc promises — corpus
+    * sketched once, per-ingest cost = batch sketch + one keyed band join —
+    * is this function over stored state. Scale shape unchanged: only
+    * `(band_key, id)` rows cross the LSH shuffle, shingle arrays join in
+    * for candidates only.
+    */
+  def novelAgainstSigsMd5(batchIds: DataFrame, batchSigs: DataFrame,
+                          corpusSigs: DataFrame, minJaccard: Double = 0.5,
+                          h: Int = 16, bands: Int = 4,
+                          idCol: String = "doc_id"): DataFrame = {
+    val r = h / bands
+    def banded(sigs: DataFrame, as: String) = sigs
+      .select(col(idCol).as(as),
+        explode(expr(s"""transform(sequence(0, ${bands - 1}),
+          b -> concat(b, ':', array_join(transform(slice(sigs, b * $r + 1, $r),
+            v -> cast(v as string)), ',')))""")).as("band_key"))
+    val candidates = banded(batchSigs, "batch_id")
+      .join(banded(corpusSigs, "corpus_id"), Seq("band_key"))
+      .select("batch_id", "corpus_id")
+      .dropDuplicates("batch_id", "corpus_id")
+    val matched = candidates
+      .join(batchSigs.select(col(idCol).as("batch_id"), col("shingles").as("sh_a")), "batch_id")
+      .join(corpusSigs.select(col(idCol).as("corpus_id"), col("shingles").as("sh_b")), "corpus_id")
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))) >= minJaccard)
+      .select(col("batch_id").as(idCol)).distinct()
+    batchIds.select(col(idCol)).join(matched, Seq(idCol), "left_anti")
+  }
+
+  /** md5-twin of [[newAgainstCorpus]] — both sides sketched via
+    * [[signaturesMd5]], novelty via [[novelAgainstSigsMd5]]. Exists so the
+    * incremental flow gets a full DuckDB oracle (brute-force any-band
+    * match + exact Jaccard over batch × corpus), which also pins the
+    * maintained-ledger probe — maintained == recompute is one oracle.
+    */
+  def newAgainstCorpusMd5(batch: DataFrame, corpus: DataFrame,
+                          minJaccard: Double = 0.5,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          h: Int = 16, bands: Int = 4, k: Int = 3): DataFrame =
+    novelAgainstSigsMd5(batch.select(col(idCol)),
+      signaturesMd5(batch, idCol, textCol, h, k),
+      signaturesMd5(corpus, idCol, textCol, h, k),
+      minJaccard, h, bands, idCol)
+
   /** Candidate pairs via LSH banding, then exact-Jaccard verification.
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ minJaccard.
     */

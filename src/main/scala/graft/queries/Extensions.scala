@@ -123,6 +123,51 @@ object Extensions {
         root
       })
 
+  /** MinHash signature ledger per corpus
+    * (graft.streaming.MinHashLedgerStream): the corpus (doc_id % 10 != 0)
+    * folds in as two waves playing successive ingests — the probe entry
+    * then pays exactly what a NEW batch's fuzzy dedup costs at steady
+    * state (batch sketch + one band join against stored signatures; the
+    * corpus is never re-sketched).
+    */
+  private val minhashLedgerCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def minhashLedgerFor(s: SparkSession, dir: String): String =
+    minhashLedgerCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("minhash_ledger") {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-mh-ledger").toString + "/st"
+        val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
+        graft.streaming.MinHashLedgerStream.maintain(
+          corpus.filter(col("doc_id") % 3 === 1), 0L, root)
+        graft.streaming.MinHashLedgerStream.maintain(
+          corpus.filter(col("doc_id") % 3 =!= 1), 1L, root)
+        root
+      })
+
+  /** Exact-content ledger per corpus
+    * (graft.streaming.ExactDedupLedgerStream): the corpus (source != src0,
+    * the x_dedup_incremental split) folds in as two waves; the probe entry
+    * then pays the steady-state cost — batch hashed, corpus NEVER re-read
+    * (novel-by-hash anti join + candidate-only text verify against state).
+    */
+  private val exactLedgerCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def exactLedgerFor(s: SparkSession, dir: String): String =
+    exactLedgerCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("exact_dedup_ledger") {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-xd-ledger").toString + "/st"
+        val corpus = Tables.documents(s, dir).filter(col("source") =!= "src0")
+        graft.streaming.ExactDedupLedgerStream.maintain(
+          corpus.filter(col("doc_id") % 3 === 1), 0L, root)
+        graft.streaming.ExactDedupLedgerStream.maintain(
+          corpus.filter(col("doc_id") % 3 =!= 1), 1L, root)
+        root
+      })
+
   /** Loader shard export per corpus (graft.io.Shards): interleave
     * schedule (total 300, the x_mix_schedule fixture) → 512-token
     * sequences packed in consumption order → 8 sequences per shard →
@@ -807,6 +852,17 @@ object Extensions {
         corpus = docs.filter(col("source") =!= "src0"))
     }),
 
+    // incremental dedup, MAINTAINED form: same probe, but the corpus side
+    // is the content-hash ledger (folded in two waves by the build —
+    // batch=/compact= SegmentStore layout), so the corpus is never
+    // re-hashed. Must equal x_dedup_incremental exactly (maintained ==
+    // recompute; the two entries share one oracle)
+    "x_dedup_exact_ledger" -> ((s: SparkSession, dir: String) => {
+      graft.streaming.ExactDedupLedgerStream.probe(s,
+        exactLedgerFor(s, dir),
+        Tables.documents(s, dir).filter(col("source") === "src0"))
+    }),
+
     // n-gram (n=3) variant: string trigram sets, much stricter — catches
     // only genuine phrase-level near-dups (the hashed-shingle scale form
     // is MinHashDedup; this one is oracle-mirrorable)
@@ -845,6 +901,31 @@ object Extensions {
         batch = docs.filter(col("source") === "src0"),
         corpus = docs.filter(col("source") =!= "src0"),
         minJaccard = 0.2)
+    }),
+
+    // md5-twin incremental fuzzy dedup, BATCH form: both sides sketched in
+    // place — the recompute reference for the ledger entry below, and the
+    // twin that gives the x_dedup_minhash_incr flow a full DuckDB oracle
+    // (brute-force any-band + exact Jaccard over batch x corpus)
+    "x_dedup_minhash_md5_incr" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir)
+      MinHashDedup.newAgainstCorpusMd5(
+        batch = docs.filter(col("doc_id") % 10 === 0),
+        corpus = docs.filter(col("doc_id") % 10 =!= 0),
+        minJaccard = 0.5)
+    }),
+
+    // md5-twin incremental fuzzy dedup, MAINTAINED form: the corpus side
+    // is served from the signature ledger (folded in two waves by the
+    // build — batch=/compact= SegmentStore layout), so the entry pays
+    // the steady-state probe only: batch sketch + ONE band join + the
+    // candidate verify. Must equal the batch form exactly (maintained ==
+    // recompute; the two entries share one oracle)
+    "x_dedup_minhash_ledger" -> ((s: SparkSession, dir: String) => {
+      graft.streaming.MinHashLedgerStream.probe(s,
+        minhashLedgerFor(s, dir),
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+        minJaccard = 0.5)
     }),
 
     "x_dedup_simhash_sigs" -> ((s: SparkSession, dir: String) => {
@@ -2269,6 +2350,45 @@ object Extensions {
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
       |FROM t JOIN e USING (ng) GROUP BY doc_id""".stripMargin
 
+  /** Shared by `x_dedup_minhash_md5_incr` (batch recompute) and
+    * `x_dedup_minhash_ledger` (the maintained-signature probe): the
+    * maintained == recompute contract means ONE oracle checks both. Same
+    * md5-surrogate arithmetic as the x_minhash_md5_* oracles (mod 2^31-1,
+    * overflow-free in both engines); novelty is an anti-join against the
+    * brute-forced matched set.
+    */
+  private val minhashIncrSql =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(string_split(lower(text), ' ')) - 2),
+      |    i -> string_split(lower(text), ' ')[i] || ' ' ||
+      |         string_split(lower(text), ' ')[i+1] || ' ' ||
+      |         string_split(lower(text), ' ')[i+2]))) AS s
+      |  FROM documents WHERE text IS NOT NULL),
+      |hs AS (
+      |  SELECT doc_id, s,
+      |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h1,
+      |    CAST(concat('0x', substr(md5(s), 16, 15)) AS BIGINT) % 2147483647 AS h2
+      |  FROM sh),
+      |sigs AS (
+      |  SELECT doc_id, list(CAST(m AS BIGINT) ORDER BY i) AS sig
+      |  FROM (SELECT doc_id, i, min((h1 + i * h2) % 2147483647) AS m
+      |        FROM hs CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+      |        GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |sets AS (SELECT doc_id, list(DISTINCT s) AS ws FROM sh GROUP BY 1),
+      |matched AS (
+      |  SELECT DISTINCT a.doc_id
+      |  FROM sigs a JOIN sigs b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+      |  JOIN sets sa ON sa.doc_id = a.doc_id
+      |  JOIN sets sb ON sb.doc_id = b.doc_id
+      |  WHERE (a.sig[1:4] = b.sig[1:4] OR a.sig[5:8] = b.sig[5:8]
+      |      OR a.sig[9:12] = b.sig[9:12] OR a.sig[13:16] = b.sig[13:16])
+      |    AND CAST(len(list_intersect(sa.ws, sb.ws)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(sa.ws, sb.ws))) >= 0.5)
+      |SELECT d.doc_id FROM documents d LEFT JOIN matched m ON d.doc_id = m.doc_id
+      |WHERE d.doc_id % 10 = 0 AND m.doc_id IS NULL""".stripMargin
+
   /** Shared keyword-scoring CTE block (no leading WITH) for the two
     * retrieval oracles — ONE copy, so the keyword contract (3-gram
     * terms, df cap 100, integer ⌊N/df⌋ scoring, 5 query docs) cannot
@@ -3247,6 +3367,14 @@ object Extensions {
         |  AND NOT EXISTS (SELECT 1 FROM documents c
         |                  WHERE c.source <> 'src0' AND c.text = b.text)""".stripMargin,
 
+    // the maintained-ledger probe shares the batch operator's oracle
+    // VERBATIM (maintained == recompute is the checked contract)
+    "x_dedup_exact_ledger" ->
+      """SELECT doc_id FROM documents b
+        |WHERE source = 'src0'
+        |  AND NOT EXISTS (SELECT 1 FROM documents c
+        |                  WHERE c.source <> 'src0' AND c.text = b.text)""".stripMargin,
+
     // md5-surrogate SimHash: token hash = first 15 hex chars of md5 parsed
     // as a 60-bit int (same parse both engines); bit b of the signature is
     // the per-bit majority. Mirrors SimHash.signaturesMd5 exactly.
@@ -3345,6 +3473,18 @@ object Extensions {
         |    OR a.sig[9:12] = b.sig[9:12] OR a.sig[13:16] = b.sig[13:16])
         |  AND CAST(len(list_intersect(sa.ws, sb.ws)) AS DOUBLE) /
         |    len(list_distinct(list_concat(sa.ws, sb.ws))) >= 0.5""".stripMargin,
+
+    // incremental md5-twin fuzzy dedup: novel = batch (doc_id % 10 = 0)
+    // docs whose any-band sub-signature collision with the corpus survives
+    // the exact-Jaccard >= 0.5 verify against NO corpus doc. The oracle
+    // brute-forces batch x corpus; Spark answers via one band-key shuffle.
+    // Shared verbatim by the batch recompute (x_dedup_minhash_md5_incr)
+    // and the ledger probe (x_dedup_minhash_ledger) — maintained ==
+    // recompute is the checked contract, so ONE oracle pins both. Batch
+    // docs too short to shingle (or NULL text) never enter `sh` and come
+    // back novel through the anti-join, mirroring the engine contract.
+    "x_dedup_minhash_md5_incr" -> minhashIncrSql,
+    "x_dedup_minhash_ledger" -> minhashIncrSql,
 
     // linear-probe moments: z = [embedding, 1, label] (66 cells at the
     // fixture's 64-dim embeddings); upper triangle i <= j; per-row products
@@ -4704,6 +4844,8 @@ object Extensions {
   reg("classifier_train", irlsCache, irlsFor)()
   reg("pack_shards_write", shardExportCache, shardExportFor)()
   reg("decontam_ledger", decontamLedgerCache, decontamLedgerFor)()
+  reg("minhash_ledger", minhashLedgerCache, minhashLedgerFor)()
+  reg("exact_dedup_ledger", exactLedgerCache, exactLedgerFor)()
   reg("pca_train", pcaCache, pcaFor)()
   reg("pca_train_sketched", pcaSkCache, pcaSkFor)()
   reg("ivf_layout_write", ivfLayoutCache, ivfLayoutFor)()

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The append-shaped state layout shared by the corpus-sized incremental
+  * maintainers ([[VectorIndexStream]], [[MinHashLedgerStream]]): per-batch
+  * `batch=<id>/` parquet directories plus optional `compact=<id>/` merge
+  * segments, all gated by Spark's own `_SUCCESS` marker. [[VersionedState]]
+  * rewrites a COMPLETE ledger per commit — right for rollup-sized state,
+  * wrong for state proportional to the corpus (a 100 TB signature or
+  * vector index cannot be rewritten per ingest) — so this store appends
+  * instead and makes reads union the committed segments.
+  *
+  * Commit discipline (identical to [[VersionedState]] in spirit):
+  *  - a batch write targets its OWN directory (`batch=<id>`), so replaying
+  *    a batch id overwrites with identical content instead of duplicating
+  *    (idempotence is the maintainer's contract: folded rows must be pure
+  *    functions of the batch);
+  *  - a crash mid-write leaves a directory without `_SUCCESS`, which every
+  *    read here skips;
+  *  - compaction writes the merged segment FIRST, then best-effort deletes
+  *    the inputs — until deletion the newest-compact read rule already
+  *    ignores them, so no crash point double-counts or loses data.
+  */
+object SegmentStore {
+
+  private def fsOf(spark: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed (`_SUCCESS`-gated) segment dirs under `root` with the given
+    * name prefix, as (id, path).
+    */
+  def committed(spark: SparkSession, root: String,
+                prefix: String): Seq[(Long, String)] = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(rp)) Seq.empty
+    else fs.listStatus(rp).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith(prefix) &&
+        st.getPath.getName.drop(prefix.length).forall(_.isDigit) &&
+        st.getPath.getName.length > prefix.length &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) =>
+        (st.getPath.getName.drop(prefix.length).toLong, st.getPath.toString)
+    }
+  }
+
+  /** The segments a read must cover EXACTLY ONCE: the newest committed
+    * `compact=` segment (if any) plus every `batch=` dir with a HIGHER id.
+    * Batch dirs at-or-below the compact id are merged content awaiting
+    * best-effort deletion (the crash window between a compaction's commit
+    * and its cleanup) — reading them too would double-count; older compact
+    * segments are superseded the same way.
+    */
+  def live(spark: SparkSession, root: String): Seq[String] = {
+    val compacts = committed(spark, root, "compact=")
+    val batches = committed(spark, root, "batch=")
+    compacts.sortBy(-_._1).headOption match {
+      case Some((cid0, path)) =>
+        path +: batches.filter(_._1 > cid0).map(_._2)
+      case None => batches.map(_._2)
+    }
+  }
+
+  /** Union of the live segments through `reader` (each segment is its own
+    * read root, so per-segment partition discovery never mixes the
+    * batch/compact level into the schema); `empty` when nothing is
+    * committed yet.
+    */
+  def read(spark: SparkSession, root: String,
+           reader: String => DataFrame, empty: => DataFrame): DataFrame = {
+    val segs = live(spark, root)
+    if (segs.isEmpty) empty
+    else segs.map(reader).reduce(_.unionByName(_))
+  }
+
+  /** COMPACTION — the maintenance pass a long-lived append-shaped store
+    * needs: thousands of small per-batch directories eventually dominate
+    * listing/footer cost, so the newest compact segment (if any) and every
+    * later batch merge into ONE `compact=<maxBatchId>` segment written via
+    * `write(df, path)` (the caller supplies the write so segment layout —
+    * partition columns, sort — is preserved). No-op when there is nothing
+    * to merge (0 new batches, or a single batch with no prior compact — a
+    * rewrite that saves no files). Returns the new segment's id if one was
+    * written. Cleanup of merged inputs runs AFTER the commit and is
+    * best-effort — failures leave unreferenced-but-ignored directories.
+    */
+  def compact(spark: SparkSession, root: String,
+              reader: String => DataFrame,
+              write: (DataFrame, String) => Unit): Option[Long] = {
+    val fs = fsOf(spark, root)
+    val compacts = committed(spark, root, "compact=")
+    val newestCompact = compacts.map(_._1).sorted.lastOption
+    val mergeBatches = committed(spark, root, "batch=")
+      .filter(b => newestCompact.forall(b._1 > _))
+    if (mergeBatches.isEmpty ||
+      (mergeBatches.size == 1 && compacts.isEmpty)) return None
+    val newId = mergeBatches.map(_._1).max
+    val inputs = compacts.sortBy(-_._1).headOption.map(_._2).toSeq ++
+      mergeBatches.map(_._2)
+    write(inputs.map(reader).reduce(_.unionByName(_)), s"$root/compact=$newId")
+    (compacts.map(_._2) ++ mergeBatches.map(_._2)).foreach { p =>
+      try { fs.delete(new org.apache.hadoop.fs.Path(p), true); () }
+      catch { case _: Throwable => () }
+    }
+    Some(newId)
+  }
+}

@@ -89,94 +89,30 @@ object VectorIndexStream {
     }
   }
 
-  private def fsOf(spark: SparkSession, root: String) =
-    new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  /** Committed (`_SUCCESS`-gated) segment dirs under `root` with the given
-    * name prefix, as (id, path).
-    */
-  private def committedSegments(spark: SparkSession, root: String,
-                                prefix: String): Seq[(Long, String)] = {
-    val rp = new org.apache.hadoop.fs.Path(root)
-    val fs = fsOf(spark, root)
-    if (!fs.exists(rp)) Seq.empty
-    else fs.listStatus(rp).toSeq.collect {
-      case st if st.isDirectory && st.getPath.getName.startsWith(prefix) &&
-        st.getPath.getName.drop(prefix.length).forall(_.isDigit) &&
-        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) =>
-        (st.getPath.getName.drop(prefix.length).toLong, st.getPath.toString)
-    }
-  }
-
-  /** The segments a read must cover EXACTLY ONCE: the newest committed
-    * `compact=` segment (if any) plus every `batch=` dir with a HIGHER id.
-    * Batch dirs at-or-below the compact id are merged content awaiting
-    * best-effort deletion (the crash window between a compaction's commit
-    * and its cleanup) — reading them too would double-count; older compact
-    * segments are superseded the same way.
-    */
-  private def liveSegments(spark: SparkSession, root: String): Seq[String] = {
-    val compacts = committedSegments(spark, root, "compact=")
-    val batches = committedSegments(spark, root, "batch=")
-    compacts.sortBy(-_._1).headOption match {
-      case Some((cid0, path)) =>
-        path +: batches.filter(_._1 > cid0).map(_._2)
-      case None => batches.map(_._2)
-    }
-  }
-
-  /** COMPACTION — the maintenance pass a long-lived append-shaped index
-    * needs: thousands of small per-batch directories eventually dominate
-    * listing/footer cost, so all batches up to the newest are merged into
+  /** COMPACTION — all batches past the newest compact segment merge into
     * ONE `compact=<maxBatchId>` segment (still cid-partitioned — probe
-    * pruning is unchanged). Crash discipline mirrors [[VersionedState]]:
-    * the merged segment is written FIRST (`_SUCCESS`-gated); only then are
-    * the merged batch dirs and superseded compact segments deleted
-    * (best-effort — until deletion, [[serve]]'s newest-compact rule
-    * already ignores them, so a crash anywhere leaves a readable,
-    * non-double-counting layout). No-op when there is nothing to merge.
-    * Returns the compacted segment's id, if one was written.
+    * pruning is unchanged). Layout + crash discipline are
+    * [[SegmentStore.compact]]'s: merged segment committed first, inputs
+    * best-effort deleted after, [[serve]]'s newest-compact rule correct at
+    * every crash point. Returns the compacted segment's id, if written.
     */
-  def compact(spark: SparkSession, root: String): Option[Long] = {
-    val fs = fsOf(spark, root)
-    val compacts = committedSegments(spark, root, "compact=")
-    val newestCompact = compacts.map(_._1).sorted.lastOption
-    val mergeBatches = committedSegments(spark, root, "batch=")
-      .filter(b => newestCompact.forall(b._1 > _))
-    // nothing new to fold in (0 batches), or a single batch with no prior
-    // compact segment (a rewrite that saves no files): skip
-    if (mergeBatches.isEmpty ||
-      (mergeBatches.size == 1 && compacts.isEmpty)) return None
-    val newId = mergeBatches.map(_._1).max
-    val inputs = compacts.sortBy(-_._1).headOption.map(_._2).toSeq ++
-      mergeBatches.map(_._2)
-    // per-segment reads (each segment is its own cid-partitioned root —
-    // mixing batch=/compact= names under one basePath would make Spark
-    // infer CONFLICTING partition columns)
-    val merged = inputs.map(readSegment(spark, _)).reduce(_.unionByName(_))
-    merged.write.mode("overwrite").partitionBy("cid")
-      .parquet(s"$root/compact=$newId")
-    // cleanup AFTER the new segment is committed — failures here are
-    // harmless (serve ignores superseded segments)
-    (compacts.map(_._2) ++ mergeBatches.map(_._2)).foreach { p =>
-      try { fs.delete(new org.apache.hadoop.fs.Path(p), true); () }
-      catch { case _: Throwable => () }
-    }
-    Some(newId)
-  }
+  def compact(spark: SparkSession, root: String): Option[Long] =
+    SegmentStore.compact(spark, root, readSegment(spark, _),
+      // per-segment reads and a cid-partitioned rewrite (mixing
+      // batch=/compact= names under one basePath would make Spark infer
+      // CONFLICTING partition columns)
+      (df, path) => df.write.mode("overwrite").partitionBy("cid").parquet(path))
 
   /** The served assignment relation (cid, n_id, n_vec) across every
     * COMMITTED segment — directories without Spark's `_SUCCESS` marker are
-    * crash leftovers and are skipped ([[VersionedState]] discipline), and
-    * batches already folded into a compact segment are read from the
-    * segment only (see [[liveSegments]]). `cid` stays a partition column,
-    * so probe-side cid filters prune at the file level exactly as with
-    * the batch layout.
+    * crash leftovers and are skipped, and batches already folded into a
+    * compact segment are read from the segment only
+    * ([[SegmentStore.live]]). `cid` stays a partition column, so
+    * probe-side cid filters prune at the file level exactly as with the
+    * batch layout.
     */
-  def serve(spark: SparkSession, root: String): DataFrame = {
-    val committed = liveSegments(spark, root)
-    if (committed.isEmpty)
+  def serve(spark: SparkSession, root: String): DataFrame =
+    SegmentStore.read(spark, root, readSegment(spark, _),
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType(Seq(
@@ -186,9 +122,7 @@ object VectorIndexStream {
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("n_vec",
             org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.DoubleType)))))
-    else committed.map(readSegment(spark, _)).reduce(_.unionByName(_))
-  }
+              org.apache.spark.sql.types.DoubleType))))))
 
   /** One segment dir read as (cid, n_id, n_vec) — the segment is its own
     * partition-discovery root, so `cid=` stays the (only) inferred
