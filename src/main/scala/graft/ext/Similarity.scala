@@ -230,6 +230,36 @@ object Similarity {
       .select(col("n_id").as("vec_id"), col("cid"))
   }
 
+  /** Incremental SemDeDup — which vectors of a NEW batch near-duplicate
+    * (same-cluster cosine ≥ `threshold`) NOTHING already indexed? Both
+    * sides are ASSIGNED relations `(cid, n_id, n_vec)`: the batch assigned
+    * at probe time against the frozen model ([[ivfAssign]]), the corpus
+    * side served from maintained state
+    * ([[graft.streaming.VectorIndexStream.serve]]) — so a 100 TB corpus is
+    * assigned once at ingest and a new batch's semantic dedup costs the
+    * batch assignment + ONE cid-keyed join against the index. Same
+    * quadratic bound as [[semDedup]]: cid keys the pair join, cluster size
+    * bounds the per-key work ([[autoNlist]] holds that constant as the
+    * corpus grows). Recall is the cluster assignment's: a cross-cluster
+    * near-dup stays "novel" — the SemDeDup contract, measured by
+    * `x_dedup_semantic_recall`.
+    */
+  def semNovelAgainstAssigned(batchAssigned: DataFrame,
+                              corpusAssigned: DataFrame,
+                              threshold: Double = 0.9): DataFrame = {
+    val b = batchAssigned.withColumn("nb", sqrt(dot(col("n_vec"), col("n_vec"))))
+      .select(col("cid"), col("n_id").as("b_id"), col("n_vec").as("wb"), col("nb"))
+    val c = corpusAssigned.withColumn("nc", sqrt(dot(col("n_vec"), col("n_vec"))))
+      .select(col("cid"), col("n_vec").as("wc"), col("nc"))
+    val matched = b.join(c, Seq("cid"))
+      .select(col("b_id"),
+        cosinePre(dot(col("wb"), col("wc")), col("nb"), col("nc")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("b_id").as("vec_id")).distinct()
+    batchAssigned.select(col("n_id").as("vec_id"))
+      .join(matched, Seq("vec_id"), "left_anti")
+  }
+
   /** The SemDeDup production knob: cluster count scaled WITH the corpus so
     * the expected cluster size — the base of the within-cluster quadratic
     * term — stays constant as data grows (Abbas et al. use k ∝ n; a fixed

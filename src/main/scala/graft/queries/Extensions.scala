@@ -1190,6 +1190,25 @@ object Extensions {
       Similarity.semDedup(assigned, threshold = 0.4)
     }),
 
+    // incremental SemDeDup, served from MAINTAINED state: the batch
+    // (vec_id % 10 = 0) is assigned at probe time against the frozen
+    // model; the corpus side comes from the VectorIndexStream layout the
+    // ann_index_ledger build already maintains (filtered to the corpus
+    // ids — the pre-fold view of the index, since assignment is
+    // per-vector pure). Cost = batch assignment + ONE cid-keyed join;
+    // the corpus is never re-assigned or re-read from the raw table.
+    // Oracle is generated with the trained centroid literals (semIncr
+    // below) — maintained == recompute, cross-engine
+    "x_dedup_semantic_incremental" -> ((s: SparkSession, dir: String) => {
+      val (model, _) = ivfFor(s, dir)
+      val batch = Similarity.ivfAssign(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0), model)
+      val corpusState = graft.streaming.VectorIndexStream
+        .serve(s, annLedgerFor(s, dir))
+        .filter(col("n_id") % 10 =!= 0)
+      Similarity.semNovelAgainstAssigned(batch, corpusState, threshold = 0.4)
+    }),
+
     // SemDeDup RECALL vs the cluster-free greedy rule: the exact all-pairs
     // form drops a doc iff ANY smaller-id doc is >= threshold-similar;
     // SemDeDup only sees same-cluster pairs, so its misses are exactly the
@@ -3058,9 +3077,25 @@ object Extensions {
           s"""$prefix,
              |$ivfAssignCte
              |SELECT n_id, cid, CAST(len(n_vec) AS INT) AS dim FROM a""".stripMargin
+        // incremental SemDeDup over the maintained index: batch (n_id %
+        // 10 = 0) novel iff NO same-cluster corpus vector is >= 0.4
+        // cosine-similar — the oracle recomputes assignment + the
+        // cross-split pair rule from scratch, so maintained-state serving
+        // == recompute is the checked contract
+        val semIncr =
+          s"""$prefix,
+             |$ivfAssignCte,
+             |matched AS (SELECT DISTINCT b.n_id
+             |  FROM a b JOIN a c2 ON b.cid = c2.cid
+             |  WHERE b.n_id % 10 = 0 AND c2.n_id % 10 <> 0
+             |    AND round(list_cosine_similarity(b.n_vec, c2.n_vec), 6) >= 0.4)
+             |SELECT n_id AS vec_id FROM a
+             |WHERE n_id % 10 = 0
+             |  AND n_id NOT IN (SELECT n_id FROM matched)""".stripMargin
         val base = Map("x_sim_ann_ivf" -> annIvf, "x_sim_ivf_recall" -> recall,
           "x_dedup_semantic" -> sem, "x_dedup_semantic_recall" -> semRecall,
-          "x_ann_incremental" -> annIncr)
+          "x_ann_incremental" -> annIncr,
+          "x_dedup_semantic_incremental" -> semIncr)
         // layout oracle only when the cid-partitioned parquet was written
         // this run: DuckDB reads the SERVED FILES themselves, so the check
         // covers the on-disk layout, not just the arithmetic

@@ -180,6 +180,10 @@ class PlanShapeSpec extends SparkSpec {
       "x_dedup_semantic",    // inherits the nlist-bounded assignment cross
                              // join from the cached IVF lineage; the pair
                              // join itself is keyed on cid (pinned below)
+      "x_dedup_semantic_incremental", // batch-side assignment is the same
+                             // nlist-bounded centroid cross; the probe
+                             // join against the served index is keyed on
+                             // cid
       "x_dedup_semantic_recall") // includes the exact all-pairs reference
                              // (the eval's ground truth is quadratic by
                              // spec, like the other *_recall entries)

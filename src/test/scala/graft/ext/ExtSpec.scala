@@ -547,6 +547,32 @@ class SimilaritySpec extends SparkSpec {
     assert((0L until 24L).forall(kept.contains), s"only the planted dup may drop: $kept")
   }
 
+  test("semNovelAgainstAssigned: indexed near-dup matched, fresh vector novel") {
+    // corpus = 24 near-orthogonal random vectors, assigned once (the
+    // maintained-index stand-in); batch: 100 near-copies corpus id 0
+    // (same nearest centroid by construction -> matched, not novel),
+    // 101 is fresh noise (novel)
+    val rnd = new scala.util.Random(7)
+    val noise = (0 until 24).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val corpus = noise.toDF("vec_id", "embedding")
+    val copy = noise.head._2.clone(); copy(0) += 0.001f
+    val batch = Seq(
+      (100L, copy),
+      (101L, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val model = Similarity.ivfTrain(corpus, nlist = 4, iters = 2)
+    val novel = Similarity.semNovelAgainstAssigned(
+        Similarity.ivfAssign(batch, model),
+        Similarity.ivfAssign(corpus, model), threshold = 0.99)
+      .collect().map(_.getLong(0)).toSet
+    assert(novel === Set(101L))
+    // empty corpus state: everything is novel
+    val allNovel = Similarity.semNovelAgainstAssigned(
+        Similarity.ivfAssign(batch, model),
+        Similarity.ivfAssign(corpus.limit(0), model), threshold = 0.99)
+      .collect().map(_.getLong(0)).toSet
+    assert(allNovel === Set(100L, 101L))
+  }
+
   test("autoNlist scales cluster count with the corpus, keeping cluster size flat") {
     // 10× corpus → 10× clusters (same expected cluster size = same
     // per-cluster pair work), floored at 1, capped at maxNlist
