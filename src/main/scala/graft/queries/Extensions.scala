@@ -146,6 +146,28 @@ object Extensions {
         root
       })
 
+  /** SimHash fingerprint ledger per corpus
+    * (graft.streaming.SimHashLedgerStream): the corpus (doc_id % 10 != 0)
+    * folds in as two waves; the probe entry pays the steady-state hamming
+    * near-dup cost — batch sketch + one pigeonhole join against 16 B/doc
+    * stored fingerprints.
+    */
+  private val simhashLedgerCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def simhashLedgerFor(s: SparkSession, dir: String): String =
+    simhashLedgerCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("simhash_ledger") {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-sh-ledger").toString + "/st"
+        val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
+        graft.streaming.SimHashLedgerStream.maintain(
+          corpus.filter(col("doc_id") % 3 === 1), 0L, root)
+        graft.streaming.SimHashLedgerStream.maintain(
+          corpus.filter(col("doc_id") % 3 =!= 1), 1L, root)
+        root
+      })
+
   /** Exact-content ledger per corpus
     * (graft.streaming.ExactDedupLedgerStream): the corpus (source != src0,
     * the x_dedup_incremental split) folds in as two waves; the probe entry
@@ -952,6 +974,26 @@ object Extensions {
     "x_simhash_md5_pairs" -> ((s: SparkSession, dir: String) => {
       SimHash.nearDuplicatesFromSigs(
         SimHash.signaturesMd5(Tables.documents(s, dir)), maxDist = 3)
+    }),
+
+    // md5-twin incremental hamming dedup, BATCH form: both sides sketched
+    // in place — the recompute reference for the ledger entry below
+    // (brute-force batch x corpus hamming oracle)
+    "x_dedup_simhash_md5_incr" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir)
+      SimHash.newAgainstCorpusMd5(
+        batch = docs.filter(col("doc_id") % 10 === 0),
+        corpus = docs.filter(col("doc_id") % 10 =!= 0), maxDist = 3)
+    }),
+
+    // md5-twin incremental hamming dedup, MAINTAINED form: the corpus side
+    // is 16 B/doc fingerprints served from the SimHash ledger (two waves,
+    // batch=/compact= SegmentStore layout). Must equal the batch form
+    // exactly (maintained == recompute; one shared oracle)
+    "x_dedup_simhash_ledger" -> ((s: SparkSession, dir: String) => {
+      graft.streaming.SimHashLedgerStream.probe(s,
+        simhashLedgerFor(s, dir),
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0), maxDist = 3)
     }),
 
     // md5-surrogate MinHash twins (same treatment as the SimHash twins):
@@ -2369,6 +2411,33 @@ object Extensions {
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
       |FROM t JOIN e USING (ng) GROUP BY doc_id""".stripMargin
 
+  /** Shared by `x_dedup_simhash_md5_incr` (batch recompute) and
+    * `x_dedup_simhash_ledger` (the maintained-fingerprint probe) — one
+    * oracle checks both (the maintained == recompute contract). Same
+    * md5-token simhash arithmetic as the x_simhash_md5_* oracles.
+    */
+  private val simhashIncrSql =
+    """WITH toks AS (
+      |  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents WHERE text IS NOT NULL)),
+      |n AS (SELECT doc_id, count(*) AS cnt FROM toks GROUP BY 1),
+      |bits AS (
+      |  SELECT doc_id, b, count(*) FILTER (WHERE (h >> b) & 1 = 1) AS ones
+      |  FROM toks CROSS JOIN (SELECT unnest(range(0, 60)) AS b)
+      |  GROUP BY 1, 2),
+      |sigs AS (
+      |  SELECT bits.doc_id,
+      |    CAST(sum(CASE WHEN 2 * ones > cnt THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits JOIN n USING (doc_id)
+      |  GROUP BY 1),
+      |matched AS (
+      |  SELECT DISTINCT a.doc_id
+      |  FROM sigs a JOIN sigs b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+      |SELECT d.doc_id FROM documents d LEFT JOIN matched m ON d.doc_id = m.doc_id
+      |WHERE d.doc_id % 10 = 0 AND m.doc_id IS NULL""".stripMargin
+
   /** Shared by `x_dedup_minhash_md5_incr` (batch recompute) and
     * `x_dedup_minhash_ledger` (the maintained-signature probe): the
     * maintained == recompute contract means ONE oracle checks both. Same
@@ -3451,6 +3520,17 @@ object Extensions {
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    // incremental md5-twin hamming dedup: novel = batch (doc_id % 10 = 0)
+    // docs within hamming <= 3 of NO corpus doc, brute-forced batch x
+    // corpus; Spark answers via one pigeonhole chunk join (exact at
+    // maxDist <= 3). Shared VERBATIM by the batch recompute
+    // (x_dedup_simhash_md5_incr) and the ledger probe
+    // (x_dedup_simhash_ledger) — maintained == recompute, one oracle pins
+    // both. NULL-text batch docs never enter sigs and come back novel
+    // through the anti-join, mirroring the engine contract.
+    "x_dedup_simhash_md5_incr" -> simhashIncrSql,
+    "x_dedup_simhash_ledger" -> simhashIncrSql,
 
     // md5-surrogate MinHash: shingle = lowercase word 3-gram; two base
     // hashes from disjoint md5 hex ranges, reduced mod 2^31-1; minhash_i =
@@ -4881,6 +4961,7 @@ object Extensions {
   reg("decontam_ledger", decontamLedgerCache, decontamLedgerFor)()
   reg("minhash_ledger", minhashLedgerCache, minhashLedgerFor)()
   reg("exact_dedup_ledger", exactLedgerCache, exactLedgerFor)()
+  reg("simhash_ledger", simhashLedgerCache, simhashLedgerFor)()
   reg("pca_train", pcaCache, pcaFor)()
   reg("pca_train_sketched", pcaSkCache, pcaSkFor)()
   reg("ivf_layout_write", ivfLayoutCache, ivfLayoutFor)()
