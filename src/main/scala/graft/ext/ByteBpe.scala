@@ -98,6 +98,42 @@ object ByteBpe {
     * shape (id, word count, token count, first word's tokens as hex
     * symbols joined "|"), same per-partition memo discipline.
     */
+  /** Per-document byte-FALLBACK stats under frozen merges — the tokenizer
+    * staleness signal (the [[graft.streaming.VectorIndexStream]] drift
+    * gate's analog for the tokenizer family): a token that is a single
+    * byte (one hex-pair symbol) is content no trained merge covered, and
+    * a batch/source whose fallback rate jumps above the training-time
+    * baseline is the retrain signal. Returns `(idCol, n_tokens,
+    * n_fallback)`; docs with no words contribute zero tokens. Map-only —
+    * same per-partition memoized encoder as [[tokenize]].
+    */
+  def fallbackStats(docs: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(String, String, Long)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.map { case ((a, b, _), i) => (a, b) -> i }.toMap
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap.empty[String, (Int, Int)]
+        it.map { case (id, text) =>
+          val words = Option(text).map(_.split(" ").filter(_.nonEmpty))
+            .getOrElse(Array.empty[String])
+          var tok = 0L; var fb = 0L
+          words.foreach { w =>
+            val (t, f) = memo.getOrElseUpdate(w, {
+              val syms = encodeWord(w, ranks)
+              (syms.length, syms.count(_.length == 2))
+            })
+            tok += t; fb += f
+          }
+          (id, tok, fb)
+        }
+      }
+      .toDF(idCol, "n_tokens", "n_fallback")
+  }
+
   def tokenize(docs: DataFrame, idCol: String, textCol: String,
                merges: Seq[(String, String, Long)]): DataFrame = {
     val spark = docs.sparkSession

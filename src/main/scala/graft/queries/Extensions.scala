@@ -1798,6 +1798,21 @@ object Extensions {
         bpeBytesFor(s, dir))
     }),
 
+    // tokenizer DRIFT / OOV monitor: per-source byte-fallback counts under
+    // the frozen merges — single-byte tokens are content no trained merge
+    // covers, and a source whose fallback rate jumps is the tokenizer's
+    // retrain signal (the drift-gate analog for the tokenizer family).
+    // Map-only encode + one keyed aggregation; the oracle re-runs the
+    // delimited-symbol replace chain and counts len-2 symbols
+    "x_bpe_oov_drift" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir)
+      graft.ext.ByteBpe.fallbackStats(docs, "doc_id", "text", bpeBytesFor(s, dir))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_fallback")).as("n_fallback"))
+    }),
+
     // vocabulary COVERAGE curve: cumulative token-occurrence share by
     // frequency rank — the "how many vocab entries cover 90% of the
     // corpus" question every tokenizer-size decision starts from. Only
@@ -2693,6 +2708,36 @@ object Extensions {
        |  coalesce(fw.first_word_tokens, '') AS first_word_tokens
        |FROM documents d
        |LEFT JOIN agg USING (doc_id) LEFT JOIN fw USING (doc_id)""".stripMargin
+  }
+
+  /** Per-source byte-fallback counts under the frozen byte-BPE merges —
+    * the oracle for `x_bpe_oov_drift`: the x_bpe_bytes_tokenize replace
+    * chain re-run per word, single-byte tokens = len-2 hex symbols,
+    * aggregated per source with zero-count sources kept (mirrors the
+    * Spark side's per-doc zeros).
+    */
+  private def bpeOovDriftOracle(rounds: Int): String = {
+    val applied = (1 to rounds).foldLeft("s0") { (acc, r) =>
+      s"""replace($acc,
+         |  (SELECT $bpeO || sym_a || $bpeC || $bpeO || sym_b || $bpeC FROM m$r),
+         |  (SELECT $bpeO || sym_a || sym_b || $bpeC FROM m$r))""".stripMargin
+    }
+    s"""WITH ${bpeMergeCtes(rounds, byteSymbolize(_, _))},
+       |dw AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+       |       FROM documents),
+       |wd AS (SELECT doc_id, i AS wi, ${byteSymbolize("ws[i]", "j")} AS s0
+       |       FROM dw, generate_series(1, 8192) t(i) WHERE i <= len(ws)),
+       |enc AS (SELECT doc_id, wi,
+       |          string_split(trim($applied, $bpeO || $bpeC), $bpeC || $bpeO) AS syms
+       |        FROM wd),
+       |tok AS (SELECT doc_id, unnest(syms) AS sym FROM enc),
+       |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS t,
+       |          CAST(count(*) FILTER (WHERE len(sym) = 2) AS BIGINT) AS f
+       |        FROM tok GROUP BY 1)
+       |SELECT d.source, CAST(sum(coalesce(per.t, 0)) AS BIGINT) AS n_tokens,
+       |  CAST(sum(coalesce(per.f, 0)) AS BIGINT) AS n_fallback
+       |FROM documents d LEFT JOIN per USING (doc_id)
+       |GROUP BY 1""".stripMargin
   }
 
   /** Shared CTEs for the exact-substring family: stride-1 40-char windows
@@ -3747,6 +3792,13 @@ object Extensions {
     "x_bpe_bytes_merges" -> bpeMergesOracle(10, byteSymbolize(_, _)),
     "x_bpe_bytes_tokenize" ->
       bpeTokenizeOracle(10, byteSymbolize(_, _), tokCol = "n_byte_tokens"),
+
+    // per-source byte-fallback counts under the frozen merges: the same
+    // replace-chain encode as x_bpe_bytes_tokenize, with single-byte
+    // tokens (len-2 hex symbols) counted per source. Sources whose docs
+    // have no words still appear with zero counts (the Spark aggregate
+    // sums per-doc zeros), hence the documents LEFT JOIN.
+    "x_bpe_oov_drift" -> bpeOovDriftOracle(10),
 
     "x_bpe_pairs" ->
       """WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq

@@ -61,6 +61,26 @@ class ByteBpeSpec extends SparkSpec {
     assert(rt === "zürich😀")
   }
 
+  test("fallbackStats: merged content lowers fallback; unseen content is all fallback") {
+    val merges = ByteBpe.train(corpus, "text", numMerges = 4)
+    val probe = Seq(
+      (1L, "low low"),      // trained content: some bytes ride merges
+      (2L, "qqq"),          // 'q' never in corpus: every byte is fallback
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val rows = ByteBpe.fallbackStats(probe, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // trained word: fallback strictly below the token count (merges fired)
+    assert(rows(1L)._2 < rows(1L)._1)
+    // unseen word: 3 bytes all fallback; +1 Eow token (len 4, not counted)
+    assert(rows(2L) === ((4L, 3L)))
+    // no words: zero tokens, zero fallback (the doc still appears)
+    assert(rows(3L) === ((0L, 0L)))
+    // cross-check totals against tokenize's n_byte_tokens
+    val tok = ByteBpe.tokenize(probe, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(rows.forall { case (id, (t, _)) => t === tok(id).toLong })
+  }
+
   test("tokenize: counts line up; first word's tokens concatenate to its bytes") {
     val merges = ByteBpe.train(corpus, "text", numMerges = 4)
     val rows = ByteBpe.tokenize(corpus, "doc_id", "text", merges)
