@@ -169,7 +169,12 @@ object Irls {
   def train(labeled: DataFrame, yCol: Column, rounds: Int = 2,
             lambda: Double = 1e-2, vecCol: String = "embedding"): IrlsModel = {
     require(rounds >= 1, s"irls: rounds >= 1, got $rounds")
-    val dim = labeled.select(size(col(vecCol)).as("d")).head.getInt(0)
+    // probe the dimension defensively: an empty labeled slice must fail
+    // with a named error, not .head's opaque NoSuchElementException
+    // (round-12 ADVICE — the UnigramLm empty-corpus discipline)
+    val dim = labeled.select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(throw new IllegalArgumentException(
+        "irls: empty labeled slice — no rows to train on"))
     var w = new Array[Double](dim)
     var b = 0.0
     val pre = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Double)]

@@ -187,18 +187,37 @@ object MinHashDedup {
     * is this function over stored state. Scale shape unchanged: only
     * `(band_key, id)` rows cross the LSH shuffle, shingle arrays join in
     * for candidates only.
+    *
+    * Persistence contract (round-12 ADVICE — the [[exactPairsMd5]]
+    * contract, shared with [[SimHash.novelAgainstSigs]]): with
+    * `materialize = true` (the default) both sig frames are persisted only
+    * for the duration of this call — the novel-id result comes back
+    * PERSISTED (MEMORY_AND_DISK) and counted, sig storage already
+    * released, and the CALLER OWNS the result's (batch-id-sized) storage:
+    * `.unpersist()` when done. A per-micro-batch probe loop never
+    * accumulates corpus-sized blocks. Pass `materialize = false` for a
+    * fully LAZY plan with zero storage side effects — right when the
+    * caller passes sig frames it already persists and owns.
     */
   def novelAgainstSigsMd5(batchIds: DataFrame, batchSigs: DataFrame,
                           corpusSigs: DataFrame, minJaccard: Double = 0.5,
                           h: Int = 16, bands: Int = 4,
-                          idCol: String = "doc_id"): DataFrame = {
+                          idCol: String = "doc_id",
+                          materialize: Boolean = true): DataFrame = {
+    require(bands >= 1 && h % bands == 0,
+      s"minhash: h must be divisible by bands (h=$h, bands=$bands) — a " +
+        "ragged band slice would band on short/empty sub-signatures")
     val r = h / bands
     // each side feeds banding AND verify — persist, the same
     // lifetime-scoped reasoning as nearDuplicates/newAgainstCorpus (and
     // measured: the unpersisted form re-ran the md5 sketch per consumer,
     // 14.3 s warm vs 0.5 s for the persisted pairs twin at sf0.1)
-    val bs = batchSigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cs = corpusSigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bs = if (materialize)
+      batchSigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else batchSigs
+    val cs = if (materialize)
+      corpusSigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else corpusSigs
     def banded(sigs: DataFrame, as: String) = sigs
       .select(col(idCol).as(as),
         explode(expr(s"""transform(sequence(0, ${bands - 1}),
@@ -214,7 +233,16 @@ object MinHashDedup {
       .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
         size(array_union(col("sh_a"), col("sh_b"))) >= minJaccard)
       .select(col("batch_id").as(idCol)).distinct()
-    batchIds.select(col(idCol)).join(matched, Seq(idCol), "left_anti")
+    val novel = batchIds.select(col(idCol)).join(matched, Seq(idCol), "left_anti")
+    if (!materialize) novel
+    else {
+      novel.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // count BEFORE releasing the sig frames (the exactPairsMd5 ordering)
+      novel.count()
+      bs.unpersist(blocking = false)
+      cs.unpersist(blocking = false)
+      novel
+    }
   }
 
   /** md5-twin of [[newAgainstCorpus]] — both sides sketched via

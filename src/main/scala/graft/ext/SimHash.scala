@@ -63,24 +63,51 @@ object SimHash {
     */
   /** The incremental core over two (id, simhash) frames: batch ids within
     * hamming ≤ `maxDist` of NO corpus signature (chunk-pigeonhole
-    * candidates — ONE keyed shuffle — with the exact hamming verify inline,
-    * exact for maxDist ≤ 3). `batchIds` is the FULL batch id set — docs the
+    * candidates — ONE keyed shuffle — with the exact hamming verify inline).
+    * `batchIds` is the FULL batch id set — docs the
     * sketch excluded (NULL text) carry no evidence and come back novel.
     * Taking sig frames is what makes the corpus side servable from
     * maintained state ([[graft.streaming.SimHashLedgerStream]]): the
     * corpus is fingerprinted once at ingest — 16 bytes per document, the
     * narrowest state of the dedup-ledger family — and a new batch's probe
     * costs its own sketch + one (chunk_id, chunk_val)-keyed join.
+    *
+    * `maxDist` is HARD-REQUIRED ≤ 3: the 4×16-bit chunk pigeonhole only
+    * guarantees a shared chunk for hamming ≤ 3, so a larger bound would
+    * silently miss candidates and report near-duplicates as novel — for an
+    * operator whose contract is NOVELTY that is a wrong answer, not a
+    * recall trade, so it fails loudly (round-12 ADVICE).
+    *
+    * Persistence contract (round-12 ADVICE — the exactPairsMd5 contract):
+    * with `materialize = true` (the default) both sig frames are persisted
+    * only for the duration of this call — the novel-id result comes back
+    * PERSISTED (MEMORY_AND_DISK) and fully counted, the sig storage is
+    * already released, and the CALLER OWNS the result's storage (it is
+    * batch-id-sized; `.unpersist()` when done). A per-micro-batch probe
+    * loop therefore never accumulates corpus-sized blocks. Pass
+    * `materialize = false` for a fully LAZY plan with zero storage side
+    * effects — right when the caller passes sig frames it already persists
+    * and owns (the registry's build-cached twins); each consumer of the
+    * result then re-evaluates the sig plans.
     */
   def novelAgainstSigs(batchIds: DataFrame, batchSigs: DataFrame,
                        corpusSigs: DataFrame, maxDist: Int = 3,
-                       idCol: String = "doc_id"): DataFrame = {
-    // persist both sig frames before chunking — the [[nearDuplicatesFromSigs]]
-    // lesson: without it the md5 twin's O(64·T) sig lambda re-evaluates
-    // through the chunk explode and the join (measured 31.6 s warm at
-    // sf0.1 unpersisted vs sub-second persisted, identical bits)
-    val bs = batchSigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cs = corpusSigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                       idCol: String = "doc_id",
+                       materialize: Boolean = true): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"simhash: novelAgainstSigs is exact only for maxDist in [0, 3] " +
+        s"(4-chunk pigeonhole), got $maxDist — a larger bound would " +
+        "silently under-report near-duplicates as novel")
+    // persist both sig frames across the chunk explode and the join — the
+    // [[nearDuplicatesFromSigs]] lesson: without it the md5 twin's O(64·T)
+    // sig lambda re-evaluates per consumer (measured 31.6 s warm at sf0.1
+    // unpersisted vs sub-second persisted, identical bits)
+    val bs = if (materialize)
+      batchSigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else batchSigs
+    val cs = if (materialize)
+      corpusSigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else corpusSigs
     def chunked(sigs: DataFrame, as: String, sh: String) = sigs
       .select(col(idCol).as(as), col("simhash").as(sh),
         explode(expr("""transform(sequence(0, 3),
@@ -90,7 +117,17 @@ object SimHash {
       .join(chunked(cs, "corpus_id", "sh_b"), Seq("chunk_id", "chunk_val"))
       .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxDist)
       .select(col("batch_id").as(idCol)).distinct()
-    batchIds.select(col(idCol)).join(matched, Seq(idCol), "left_anti")
+    val novel = batchIds.select(col(idCol)).join(matched, Seq(idCol), "left_anti")
+    if (!materialize) novel
+    else {
+      novel.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // count BEFORE releasing the sig frames: materializing the result is
+      // what lets the corpus-sized storage go (the exactPairsMd5 ordering)
+      novel.count()
+      bs.unpersist(blocking = false)
+      cs.unpersist(blocking = false)
+      novel
+    }
   }
 
   /** md5-twin incremental fuzzy dedup by hamming — both sides sketched via

@@ -54,15 +54,29 @@ object Shards {
     * ordering readers rely on). `orderCols` is the within-shard
     * consumption order — it must be the order `shard_id`/`seq_id` were
     * assigned in.
+    *
+    * The manifest is derived from the WRITTEN data read back through the
+    * committed `root/data` — not from the in-memory plan — so
+    * `doc_checksum` attests to the bytes a loader will actually read: a
+    * data-job anomaly (lost update, torn file, non-deterministic upstream
+    * re-evaluation) surfaces as a checksum mismatch against any
+    * independently recomputed manifest instead of being notarized
+    * (round-12 ADVICE).
     */
   def write(packed: DataFrame, root: String, orderCols: Seq[Column],
             idCol: String = "doc_id", tokenCol: String = "n_tokens",
             posCol: String = "pos"): Unit = {
+    val spark = packed.sparkSession
+    // partition-column read-back infers int; restore the written type so
+    // the manifest schema is independent of partition-type inference
+    val shardType = packed.schema("shard_id").dataType
     packed
       .repartitionByRange((col("shard_id") +: orderCols): _*)
       .sortWithinPartitions((col("shard_id") +: orderCols): _*)
       .write.mode("overwrite").partitionBy("shard_id").parquet(s"$root/data")
-    manifest(packed, idCol, tokenCol, posCol)
+    val written = spark.read.parquet(s"$root/data")
+      .withColumn("shard_id", col("shard_id").cast(shardType))
+    manifest(written, idCol, tokenCol, posCol)
       .write.mode("overwrite").parquet(s"$root/manifest")
   }
 

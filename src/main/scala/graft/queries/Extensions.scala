@@ -125,10 +125,13 @@ object Extensions {
 
   /** MinHash signature ledger per corpus
     * (graft.streaming.MinHashLedgerStream): the corpus (doc_id % 10 != 0)
-    * folds in as two waves playing successive ingests — the probe entry
-    * then pays exactly what a NEW batch's fuzzy dedup costs at steady
-    * state (batch sketch + one band join against stored signatures; the
-    * corpus is never re-sketched).
+    * folds in as three waves playing successive ingests, with a
+    * COMPACTION after the second — the probe entry then serves from the
+    * steady-state layout a long-lived maintenance job actually has (one
+    * compact segment + a fresh batch dir, round-12 verdict item 5) and
+    * pays exactly what a NEW batch's fuzzy dedup costs (batch sketch +
+    * one band join against stored signatures; the corpus is never
+    * re-sketched).
     */
   private val minhashLedgerCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
@@ -142,13 +145,18 @@ object Extensions {
         graft.streaming.MinHashLedgerStream.maintain(
           corpus.filter(col("doc_id") % 3 === 1), 0L, root)
         graft.streaming.MinHashLedgerStream.maintain(
-          corpus.filter(col("doc_id") % 3 =!= 1), 1L, root)
+          corpus.filter(col("doc_id") % 3 === 2), 1L, root)
+        graft.streaming.MinHashLedgerStream.compact(s, root)
+        graft.streaming.MinHashLedgerStream.maintain(
+          corpus.filter(col("doc_id") % 3 === 0), 2L, root)
         root
       })
 
   /** SimHash fingerprint ledger per corpus
     * (graft.streaming.SimHashLedgerStream): the corpus (doc_id % 10 != 0)
-    * folds in as two waves; the probe entry pays the steady-state hamming
+    * folds in as three waves with a compaction after the second (the
+    * steady-state layout — one compact segment + a fresh batch, round-12
+    * verdict item 5); the probe entry pays the steady-state hamming
     * near-dup cost — batch sketch + one pigeonhole join against 16 B/doc
     * stored fingerprints.
     */
@@ -164,15 +172,61 @@ object Extensions {
         graft.streaming.SimHashLedgerStream.maintain(
           corpus.filter(col("doc_id") % 3 === 1), 0L, root)
         graft.streaming.SimHashLedgerStream.maintain(
-          corpus.filter(col("doc_id") % 3 =!= 1), 1L, root)
+          corpus.filter(col("doc_id") % 3 === 2), 1L, root)
+        graft.streaming.SimHashLedgerStream.compact(s, root)
+        graft.streaming.SimHashLedgerStream.maintain(
+          corpus.filter(col("doc_id") % 3 === 0), 2L, root)
         root
+      })
+
+  /** Persisted md5 signature frames (batch + corpus splits) for the two
+    * in-place incremental twins `x_dedup_{minhash,simhash}_md5_incr`. The
+    * O(H·S)/O(64·T) sig lambdas feed banding AND the candidate verify, so
+    * the frames must be persisted — but the round-12 ADVICE moved that
+    * storage decision OUT of the library (`novelAgainstSigs*` runs here
+    * with `materialize = false`, zero storage side effects): this cache
+    * OWNS the persisted frames and the rebuild hook's unpin releases them
+    * — the prPreFor discipline. The maintained-ledger probe entries use
+    * the library's materialize=true path instead, paying the honest
+    * per-batch steady-state cost with nothing left pinned.
+    */
+  private val minhashIncrSigCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (DataFrame, DataFrame)]
+
+  private def minhashIncrSigsFor(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    minhashIncrSigCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("minhash_incr_sigs") {
+        val docs = Tables.documents(s, dir)
+        val bs = MinHashDedup.signaturesMd5(docs.filter(col("doc_id") % 10 === 0))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cs = MinHashDedup.signaturesMd5(docs.filter(col("doc_id") % 10 =!= 0))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        bs.count(); cs.count()
+        (bs, cs)
+      })
+
+  private val simhashIncrSigCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (DataFrame, DataFrame)]
+
+  private def simhashIncrSigsFor(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    simhashIncrSigCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("simhash_incr_sigs") {
+        val docs = Tables.documents(s, dir)
+        val bs = SimHash.signaturesMd5(docs.filter(col("doc_id") % 10 === 0))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cs = SimHash.signaturesMd5(docs.filter(col("doc_id") % 10 =!= 0))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        bs.count(); cs.count()
+        (bs, cs)
       })
 
   /** Exact-content ledger per corpus
     * (graft.streaming.ExactDedupLedgerStream): the corpus (source != src0,
-    * the x_dedup_incremental split) folds in as two waves; the probe entry
-    * then pays the steady-state cost — batch hashed, corpus NEVER re-read
-    * (novel-by-hash anti join + candidate-only text verify against state).
+    * the x_dedup_incremental split) folds in as three waves with a
+    * compaction after the second (the steady-state layout — round-12
+    * verdict item 5); the probe entry then pays the steady-state cost —
+    * batch hashed, corpus NEVER re-read (novel-by-hash anti join +
+    * candidate-only text verify against state).
     */
   private val exactLedgerCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
@@ -186,7 +240,10 @@ object Extensions {
         graft.streaming.ExactDedupLedgerStream.maintain(
           corpus.filter(col("doc_id") % 3 === 1), 0L, root)
         graft.streaming.ExactDedupLedgerStream.maintain(
-          corpus.filter(col("doc_id") % 3 =!= 1), 1L, root)
+          corpus.filter(col("doc_id") % 3 === 2), 1L, root)
+        graft.streaming.ExactDedupLedgerStream.compact(s, root)
+        graft.streaming.ExactDedupLedgerStream.maintain(
+          corpus.filter(col("doc_id") % 3 === 0), 2L, root)
         root
       })
 
@@ -928,13 +985,15 @@ object Extensions {
     // md5-twin incremental fuzzy dedup, BATCH form: both sides sketched in
     // place — the recompute reference for the ledger entry below, and the
     // twin that gives the x_dedup_minhash_incr flow a full DuckDB oracle
-    // (brute-force any-band + exact Jaccard over batch x corpus)
+    // (brute-force any-band + exact Jaccard over batch x corpus); sig
+    // frames come persisted from the owned build cache, the core runs
+    // storage-neutral (materialize = false — round-12 ADVICE)
     "x_dedup_minhash_md5_incr" -> ((s: SparkSession, dir: String) => {
-      val docs = Tables.documents(s, dir)
-      MinHashDedup.newAgainstCorpusMd5(
-        batch = docs.filter(col("doc_id") % 10 === 0),
-        corpus = docs.filter(col("doc_id") % 10 =!= 0),
-        minJaccard = 0.5)
+      val (bs, cs) = minhashIncrSigsFor(s, dir)
+      MinHashDedup.novelAgainstSigsMd5(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id")),
+        bs, cs, minJaccard = 0.5, materialize = false)
     }),
 
     // md5-twin incremental fuzzy dedup, MAINTAINED form: the corpus side
@@ -978,12 +1037,15 @@ object Extensions {
 
     // md5-twin incremental hamming dedup, BATCH form: both sides sketched
     // in place — the recompute reference for the ledger entry below
-    // (brute-force batch x corpus hamming oracle)
+    // (brute-force batch x corpus hamming oracle); sig frames come
+    // persisted from the owned build cache, the core runs storage-neutral
+    // (materialize = false — round-12 ADVICE)
     "x_dedup_simhash_md5_incr" -> ((s: SparkSession, dir: String) => {
-      val docs = Tables.documents(s, dir)
-      SimHash.newAgainstCorpusMd5(
-        batch = docs.filter(col("doc_id") % 10 === 0),
-        corpus = docs.filter(col("doc_id") % 10 =!= 0), maxDist = 3)
+      val (bs, cs) = simhashIncrSigsFor(s, dir)
+      SimHash.novelAgainstSigs(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id")),
+        bs, cs, maxDist = 3, materialize = false)
     }),
 
     // md5-twin incremental hamming dedup, MAINTAINED form: the corpus side
@@ -5014,6 +5076,10 @@ object Extensions {
   reg("minhash_ledger", minhashLedgerCache, minhashLedgerFor)()
   reg("exact_dedup_ledger", exactLedgerCache, exactLedgerFor)()
   reg("simhash_ledger", simhashLedgerCache, simhashLedgerFor)()
+  reg("minhash_incr_sigs", minhashIncrSigCache, minhashIncrSigsFor)(
+    v => { unpin(v._1); unpin(v._2) })
+  reg("simhash_incr_sigs", simhashIncrSigCache, simhashIncrSigsFor)(
+    v => { unpin(v._1); unpin(v._2) })
   reg("pca_train", pcaCache, pcaFor)()
   reg("pca_train_sketched", pcaSkCache, pcaSkFor)()
   reg("ivf_layout_write", ivfLayoutCache, ivfLayoutFor)()

@@ -55,13 +55,23 @@ object DecontamLedgerStream {
     */
   def maintain(docs: DataFrame, batchId: Long, root: String, n: Int = 3,
                idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    if (!docs.isEmpty) {
-      val spark = docs.sparkSession
-      val state = VersionedState.current(spark, root, StateSchema)
-      VersionedState.commit(
-        IndexLedgerStream.merge(state, partial(docs, n, idCol, textCol)),
-        batchId, root)
-    }
+    // pinned so the batch's upstream plan runs once across the emptiness
+    // gate and the merge job (the PageRankLedgerStream.maintain pattern);
+    // micro-batch-sized, dropped before return
+    val pinned = docs.select(col(idCol), col(textCol)).persist()
+    try {
+      if (!pinned.isEmpty) {
+        val spark = pinned.sparkSession
+        // first committed fold pins the n-gram order; later folds or
+        // probes with a different n fail loudly instead of mixing
+        // incomparable term universes (the MinHashLedgerStream discipline)
+        SegmentStore.pinParams(spark, root, Seq("n" -> n.toLong))
+        val state = VersionedState.current(spark, root, StateSchema)
+        VersionedState.commit(
+          IndexLedgerStream.merge(state, partial(pinned, n, idCol, textCol)),
+          batchId, root)
+      }
+    } finally { pinned.unpersist(blocking = false): Unit }
   }
 
   /** The eval-side probe: (doc_id, n_overlap) for every maintained
@@ -74,6 +84,12 @@ object DecontamLedgerStream {
     */
   def probe(spark: SparkSession, root: String, evalSet: DataFrame, n: Int = 3,
             textCol: String = "text"): DataFrame = {
+    SegmentStore.readParams(spark, root).foreach { pinned =>
+      require(pinned == Map("n" -> n.toLong),
+        s"decontamination ledger at $root stores ${pinned.getOrElse("n", -1L)}-gram " +
+          s"postings — refusing to probe with n=$n (disjoint term " +
+          "universes would silently report zero contamination)")
+    }
     val eg = evalSet
       .select(explode(array_distinct(
         graft.ext.Decontaminate.ngrams(textCol, n))).as("term"))

@@ -61,8 +61,14 @@ object MinHashLedgerStream {
       .select(col(idCol).as("doc_id"), col("shingles"), col("sigs"))
       .persist()
     try {
-      if (!sigs.isEmpty)
+      if (!sigs.isEmpty) {
+        // first committed fold pins (h, k); later folds with different
+        // sketch parameters fail loudly instead of mixing misaligned
+        // signatures into one store (round-12 ADVICE)
+        SegmentStore.pinParams(docs.sparkSession, root,
+          Seq("h" -> h.toLong, "k" -> k.toLong))
         sigs.write.mode("overwrite").parquet(s"$root/batch=$batchId")
+      }
     } finally { sigs.unpersist(); () }
   }
 
@@ -92,17 +98,36 @@ object MinHashLedgerStream {
     * [[graft.ext.MinHashDedup.newAgainstCorpusMd5]] over every document
     * ever maintained (the maintained == recompute contract, checked by the
     * registry oracle). Batch docs too short to shingle come back novel.
+    *
+    * A probe whose `h`/`k` differ from the parameters the store was built
+    * with fails loudly ([[SegmentStore.pinParams]]) — banding a 16-slot
+    * stored signature with a probe-side h=32 would slice past the array
+    * end and silently mis-answer (round-12 ADVICE).
+    *
+    * Storage: the returned novel-id frame comes back persisted + counted
+    * and the probe's own sig frames are already released
+    * ([[graft.ext.MinHashDedup.novelAgainstSigsMd5]]'s materialize
+    * contract) — the caller owns the batch-id-sized result storage; a
+    * per-micro-batch loop never accumulates corpus-sized blocks.
     */
   def probe(spark: SparkSession, root: String, batch: DataFrame,
             minJaccard: Double = 0.5, h: Int = 16, bands: Int = 4,
             k: Int = 3, idCol: String = "doc_id",
-            textCol: String = "text"): DataFrame =
+            textCol: String = "text"): DataFrame = {
+    SegmentStore.readParams(spark, root).foreach { pinned =>
+      require(pinned == Map("h" -> h.toLong, "k" -> k.toLong),
+        s"minhash ledger at $root stores h=${pinned.getOrElse("h", -1L)}, " +
+          s"k=${pinned.getOrElse("k", -1L)} sketches — refusing to probe " +
+          s"with h=$h, k=$k (misaligned band slices would silently return " +
+          "wrong novelty)")
+    }
     graft.ext.MinHashDedup.novelAgainstSigsMd5(
       batch.select(col(idCol)),
       graft.ext.MinHashDedup.signaturesMd5(batch, idCol, textCol, h, k)
         .select(col(idCol), col("shingles"), col("sigs")),
       serve(spark, root).withColumnRenamed("doc_id", idCol),
       minJaccard, h, bands, idCol)
+  }
 
   /** Attach the maintainer to a document stream. Caller starts/stops the
     * query; the layout lives under `root`.

@@ -74,6 +74,52 @@ object SegmentStore {
     else segs.map(reader).reduce(_.unionByName(_))
   }
 
+  /** SKETCH-PARAMETER PIN — stores whose rows are only meaningful under
+    * the sketch parameters that produced them (MinHash h/k, n-gram n)
+    * persist those parameters beside the segments as `root/_params`
+    * (sorted `key=value` lines). The FIRST committed fold pins them;
+    * every later fold or probe validates its own parameters against the
+    * pin and FAILS LOUDLY on mismatch — a probe with a different h or k
+    * would otherwise band on misaligned signature slices and silently
+    * return wrong novelty (round-12 ADVICE). Readers of a pre-params
+    * layout get None and proceed on their own parameters (compat).
+    */
+  def pinParams(spark: SparkSession, root: String,
+                params: Seq[(String, Long)]): Unit = {
+    readParams(spark, root) match {
+      case Some(existing) =>
+        val mine = params.toMap
+        require(existing == mine,
+          s"segment store at $root was built with parameters " +
+            s"${fmt(existing.toSeq)} — refusing to fold/probe with " +
+            s"${fmt(params)} (misaligned sketches would silently corrupt " +
+            "novelty answers)")
+      case None =>
+        val fs = fsOf(spark, root)
+        val p = new org.apache.hadoop.fs.Path(root, "_params")
+        val out = fs.create(p, false) // no overwrite: first writer wins
+        try out.write(fmt(params).getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** The pinned parameters, if this store has any ([[pinParams]]). */
+  def readParams(spark: SparkSession, root: String): Option[Map[String, Long]] = {
+    val fs = fsOf(spark, root)
+    val p = new org.apache.hadoop.fs.Path(root, "_params")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      Some(body.split('\n').filter(_.contains("="))
+        .map { ln => val Array(k, v) = ln.split("=", 2); (k, v.trim.toLong) }
+        .toMap)
+    }
+  }
+
+  private def fmt(params: Seq[(String, Long)]): String =
+    params.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\n")
+
   /** COMPACTION — the maintenance pass a long-lived append-shaped store
     * needs: thousands of small per-batch directories eventually dominate
     * listing/footer cost, so the newest compact segment (if any) and every

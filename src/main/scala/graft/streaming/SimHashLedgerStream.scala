@@ -73,7 +73,16 @@ object SimHashLedgerStream {
     * ever folded — bit-identical to
     * [[graft.ext.SimHash.newAgainstCorpusMd5]] over every document ever
     * maintained (maintained == recompute, checked by the registry oracle).
-    * NULL-text batch docs come back novel.
+    * NULL-text batch docs come back novel. No parameter pin is needed:
+    * the fingerprint is always one 64-bit word and `maxDist` is a
+    * probe-side question, hard-bounded ≤ 3 by the pigeonhole require in
+    * [[graft.ext.SimHash.novelAgainstSigs]].
+    *
+    * Storage: the returned novel-id frame comes back persisted + counted
+    * with the probe's sig frames already released (novelAgainstSigs'
+    * materialize contract) — caller owns the batch-id-sized result; a
+    * per-micro-batch loop never accumulates corpus-sized blocks
+    * (round-12 ADVICE).
     */
   def probe(spark: SparkSession, root: String, batch: DataFrame,
             maxDist: Int = 3, idCol: String = "doc_id",

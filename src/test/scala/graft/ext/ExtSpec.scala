@@ -65,6 +65,30 @@ class MinHashDedupSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq
     assert(kept === Seq(3L, 4L, 5L))
   }
+
+  test("novelAgainstSigsMd5: ragged banding refused; materialize contract releases sig storage") {
+    val none = org.apache.spark.storage.StorageLevel.NONE
+    val text = (1 to 30).map(i => s"t$i").mkString(" ")
+    val batch = Seq((0L, text), (9L, (50 to 80).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val corpus = Seq((1L, text)).toDF("doc_id", "text")
+    val bs = MinHashDedup.signaturesMd5(batch)
+    val cs = MinHashDedup.signaturesMd5(corpus)
+    val e = intercept[IllegalArgumentException] {
+      MinHashDedup.novelAgainstSigsMd5(batch.select($"doc_id"), bs, cs,
+        h = 16, bands = 5)
+    }
+    assert(e.getMessage.contains("divisible"))
+    val novel = MinHashDedup.novelAgainstSigsMd5(batch.select($"doc_id"), bs, cs)
+    assert(novel.storageLevel !== none)  // persisted + counted, caller-owned
+    assert(bs.storageLevel === none && cs.storageLevel === none)
+    assert(novel.as[Long].collect().toSet === Set(9L))
+    novel.unpersist(blocking = true)
+    val lzy = MinHashDedup.novelAgainstSigsMd5(batch.select($"doc_id"), bs, cs,
+      materialize = false)
+    assert(lzy.as[Long].collect().toSet === Set(9L))
+    assert(lzy.storageLevel === none && bs.storageLevel === none)
+  }
 }
 
 class SimHashSpec extends SparkSpec {
@@ -127,6 +151,35 @@ class SimHashSpec extends SparkSpec {
     val Array(a, b) = SimHash.signatures(docs).orderBy("doc_id")
       .select("simhash").as[Long].collect()
     assert(java.lang.Long.bitCount(a ^ b) <= 16) // small perturbation
+  }
+
+  test("novelAgainstSigs refuses maxDist > 3 (pigeonhole exactness bound)") {
+    val docs = Seq((0L, base)).toDF("doc_id", "text")
+    val sigs = SimHash.signaturesMd5(docs)
+    val e = intercept[IllegalArgumentException] {
+      SimHash.novelAgainstSigs(docs.select($"doc_id"), sigs, sigs, maxDist = 4)
+    }
+    assert(e.getMessage.contains("exact only for maxDist"))
+  }
+
+  test("novelAgainstSigs materialize contract: caller owns the counted result, sig storage released") {
+    val none = org.apache.spark.storage.StorageLevel.NONE
+    val batch = Seq((0L, base), (9L, "other words entirely unrelated text"))
+      .toDF("doc_id", "text")
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    val bs = SimHash.signaturesMd5(batch)
+    val cs = SimHash.signaturesMd5(corpus)
+    val novel = SimHash.novelAgainstSigs(batch.select($"doc_id"), bs, cs)
+    assert(novel.storageLevel !== none)  // persisted + counted, caller-owned
+    assert(bs.storageLevel === none)     // corpus-sized storage already gone
+    assert(cs.storageLevel === none)
+    assert(novel.as[Long].collect().toSet === Set(9L))
+    novel.unpersist(blocking = true)
+    // lazy form: zero storage side effects, same bits
+    val lzy = SimHash.novelAgainstSigs(batch.select($"doc_id"), bs, cs,
+      materialize = false)
+    assert(lzy.as[Long].collect().toSet === Set(9L))
+    assert(lzy.storageLevel === none && bs.storageLevel === none)
   }
 }
 

@@ -47,6 +47,14 @@ class IrlsSpec extends SparkSpec {
     }
   }
 
+  test("empty labeled slice fails with a named error, not an opaque NoSuchElement") {
+    val empty = separable().limit(0)
+    val e = intercept[IllegalArgumentException] {
+      Irls.train(empty, (col("label") === 1).cast("double"))
+    }
+    assert(e.getMessage.contains("empty labeled slice"))
+  }
+
   test("train converges on a separable fixture: every score on the right side") {
     val docs = separable()
     val m = Irls.train(docs, (col("label") === 1).cast("double"),

@@ -53,6 +53,25 @@ class ShardsSpec extends SparkSpec {
     }
   }
 
+  test("manifest attests to the WRITTEN data files, not the in-memory plan") {
+    val packed = packedFixture()
+    val root = java.nio.file.Files.createTempDirectory("shards-a").toString + "/ex"
+    Shards.write(packed, root, Seq(col("pos"), col("doc_id")))
+    val shardType = packed.schema("shard_id").dataType
+    def fromDisk() = Shards.manifest(spark.read.parquet(s"$root/data")
+        .withColumn("shard_id", col("shard_id").cast(shardType)))
+      .orderBy("shard_id").collect().toSeq
+    val stored = Shards.readManifest(spark, root).orderBy("shard_id").collect().toSeq
+    assert(stored === fromDisk()) // checksum attests to readable bytes
+    // schema is partition-inference-independent: shard_id keeps its type
+    assert(Shards.readManifest(spark, root).schema("shard_id").dataType === shardType)
+    // a data file lost after commit makes the attestation visibly stale
+    val pf = new java.io.File(s"$root/data/shard_id=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(pf.delete())
+    assert(fromDisk() !== stored)
+  }
+
   test("crash window: missing either _SUCCESS marker refuses the read") {
     val packed = packedFixture()
     val root = java.nio.file.Files.createTempDirectory("shards-c").toString + "/ex"

@@ -62,6 +62,22 @@ class DecontamLedgerStreamSpec extends SparkSpec {
     assert(got.keySet === Set(4L))
   }
 
+  test("n-gram order is pinned: a mismatched fold or probe fails loudly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("dcled-pin").toString + "/st"
+    val train = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    DecontamLedgerStream.maintain(train, 0L, root, n = 3)
+    val foldErr = intercept[IllegalArgumentException] {
+      DecontamLedgerStream.maintain(train, 1L, root, n = 4)
+    }
+    assert(foldErr.getMessage.contains("refusing"))
+    val probeErr = intercept[IllegalArgumentException] {
+      DecontamLedgerStream.probe(spark, root, train, n = 2)
+    }
+    assert(probeErr.getMessage.contains("refusing to probe"))
+    assert(DecontamLedgerStream.probe(spark, root, train, n = 3).count() === 1L)
+  }
+
   test("streamed document batches converge to the batch operator") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -57,6 +57,24 @@ class MinHashLedgerStreamSpec extends SparkSpec {
     assert(SegmentStore.committed(spark, root, "batch=").map(_._1).sorted === Seq(0L))
   }
 
+  test("sketch parameters are pinned: a mismatched fold or probe fails loudly") {
+    val root = java.nio.file.Files.createTempDirectory("mhled-pin").toString + "/st"
+    MinHashLedgerStream.maintain(corpus.toDF("doc_id", "text"), 0L, root) // h=16, k=3
+    val foldErr = intercept[IllegalArgumentException] {
+      MinHashLedgerStream.maintain(corpus.toDF("doc_id", "text"), 1L, root, h = 32)
+    }
+    assert(foldErr.getMessage.contains("refusing"))
+    val probeErr = intercept[IllegalArgumentException] {
+      MinHashLedgerStream.probe(spark, root, batch.toDF("doc_id", "text"), h = 32, bands = 8)
+    }
+    assert(probeErr.getMessage.contains("refusing to probe"))
+    val kErr = intercept[IllegalArgumentException] {
+      MinHashLedgerStream.probe(spark, root, batch.toDF("doc_id", "text"), k = 4)
+    }
+    assert(kErr.getMessage.contains("refusing to probe"))
+    assert(probed(root) === want(corpus)) // matching params still serve
+  }
+
   test("crash leftovers (no _SUCCESS) and non-numeric segment names are ignored") {
     val root = java.nio.file.Files.createTempDirectory("mhled-cw").toString + "/st"
     MinHashLedgerStream.maintain(corpus.toDF("doc_id", "text"), 0L, root)
