@@ -1285,6 +1285,28 @@ object Extensions {
       graft.ext.Irls.scores(Tables.embeddings(s, dir), m.w, m.b)
     }),
 
+    // GATE EVALUATION (round-12 verdict item 6) — the measurement the
+    // train→score→gate loop was missing: confusion counts + accuracy at
+    // threshold 0.5 on a HOLDOUT slice (vec_id % 5 == 1, disjoint from
+    // the % 5 == 0 training slice). Exact integer counts over the frozen
+    // final weights (same literals discipline as the scores entry); one
+    // narrow scoring pass + one global aggregate
+    "x_classifier_eval" -> ((s: SparkSession, dir: String) => {
+      val m = irlsFor(s, dir)
+      val holdout = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 1)
+      graft.ext.Irls.scores(holdout, m.w, m.b)
+        .join(holdout.select(col("vec_id"),
+          (col("label") < 5).cast("int").as("y")), Seq("vec_id"))
+        .agg(
+          sum(when(col("quality") >= 0.5 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("quality") >= 0.5 && col("y") === 0, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("quality") < 0.5 && col("y") === 0, 1L).otherwise(0L)).as("tn"),
+          sum(when(col("quality") < 0.5 && col("y") === 1, 1L).otherwise(0L)).as("fn"),
+          count(lit(1)).as("n"),
+          round(sum(when((col("quality") >= 0.5) === (col("y") === 1), 1L)
+            .otherwise(0L)).cast("double") / count(lit(1)), 6).as("accuracy"))
+    }),
+
     // SemDeDup: k-means cluster (the cached IVF model — clustering and ANN
     // share one build), then within-cluster cosine pruning; the pair join
     // is KEYED on cid, which is the algorithm's whole scale story. Oracle
@@ -3118,8 +3140,27 @@ object Extensions {
              |SELECT vec_id,
              |  round(0.5 * (1 + eta / (1 + abs(eta))), 6) + 0 AS quality
              |FROM e""".stripMargin
+        val evalSql =
+          s"""WITH e AS (SELECT vec_id,
+             |    round(list_inner_product(
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             |      ${fmtVec(m.w.toSeq)}::DOUBLE[]) + ${fmtD(m.b)}, 6) AS eta,
+             |    CAST(label < 5 AS INT) AS y
+             |  FROM embeddings WHERE vec_id % 5 = 1),
+             |q AS (SELECT round(0.5 * (1 + eta / (1 + abs(eta))), 6) AS quality, y
+             |  FROM e)
+             |SELECT
+             |  CAST(sum(CASE WHEN quality >= 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             |  CAST(sum(CASE WHEN quality >= 0.5 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             |  CAST(sum(CASE WHEN quality < 0.5 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+             |  CAST(sum(CASE WHEN quality < 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  round(CAST(sum(CASE WHEN (quality >= 0.5) = (y = 1) THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / count(*), 6) + 0 AS accuracy
+             |FROM q""".stripMargin
         Map("x_classifier_train" -> trainSql,
-          "x_classifier_train_scores" -> scoresSql)
+          "x_classifier_train_scores" -> scoresSql,
+          "x_classifier_eval" -> evalSql)
       case _ => Map.empty
     }
 

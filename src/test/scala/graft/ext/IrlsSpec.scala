@@ -47,6 +47,18 @@ class IrlsSpec extends SparkSpec {
     }
   }
 
+  test("gate evaluation: separable fixture reaches accuracy 1.0 at threshold 0.5") {
+    val docs = separable()
+    val m = Irls.train(docs, (col("label") === 1).cast("double"),
+      rounds = 3, lambda = 1e-2)
+    val eval = Irls.scores(docs, m.w, m.b)
+      .join(docs.select(col("vec_id"), col("label").as("y")), Seq("vec_id"))
+      .agg(
+        sum(when((col("quality") >= 0.5) === (col("y") === 1), 1L).otherwise(0L)).as("correct"),
+        count(lit(1)).as("n")).head()
+    assert(eval.getLong(0) === eval.getLong(1)) // accuracy 1.0
+  }
+
   test("empty labeled slice fails with a named error, not an opaque NoSuchElement") {
     val empty = separable().limit(0)
     val e = intercept[IllegalArgumentException] {
