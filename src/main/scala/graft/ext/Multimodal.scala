@@ -475,12 +475,27 @@ object Multimodal {
     out
   }
 
+  /** DUP-RATE-CONSTANT class modulus for the media/audio dedup fixtures
+    * (round-12 verdict item 2): `101 · max(1, n/5000)` — identical to the
+    * historical fixed 101 up to the sf0.1 bench corpus (n = 5000, where
+    * the fixture's ~50-doc identical groups were calibrated), then scales
+    * the CLASS COUNT with the corpus so group sizes — and true pair
+    * counts per ingest — stay constant. With the fixed modulus, dup
+    * classes saturated and pair counts grew ∝ (n/101)², so sf1 slopes
+    * (~×20 dhash, ~×7 audio-fp) measured the fixture, not the engine.
+    * Mirrored verbatim in the oracle SQL as
+    * `101 * greatest(1, count(*) // 5000)` over the same table.
+    */
+  def dedupClassModulus(n: Long): Long = 101L * math.max(1L, n / 5000L)
+
   /** Dedup fixture: 18×16 PNGs whose pixel content depends on `doc_id`
-    * only through `seed = doc_id % 101` — so ~n/101 groups of IDENTICAL
-    * images exist (exact-dup structure) — and rows with `doc_id % 3 == 0`
-    * additionally perturb pixel (0,0)'s low blue bits (xor 7), a
-    * near-invisible edit that moves the hash by 0–2 bits (near-dup
-    * structure). Pixels are `(seed·2654435761 + x·131 + y·31) & 0xffffff`
+    * only through `seed = doc_id % m`, `m = dedupClassModulus(count)` —
+    * so ~n/m ≈ 50 groups-of-IDENTICAL-images per 101 classes at any scale
+    * (exact-dup structure, constant dup rate) — and rows with
+    * `doc_id % 3 == 0` additionally perturb pixel (0,0)'s low blue bits
+    * (xor 7), a near-invisible edit that moves the hash by 0–2 bits
+    * (near-dup structure). Pixels are
+    * `(seed·2654435761 + x·131 + y·31) & 0xffffff`
     * — arithmetic both engines can compute, so unlike a real photo corpus
     * the WHOLE dedup pipeline (decode → hash → band → verify) carries a
     * DuckDB oracle; the codec round trip is still the real ImageIO both
@@ -488,9 +503,10 @@ object Multimodal {
     */
   def dedupMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
+    val m = dedupClassModulus(docs.count())
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
       it.map { id =>
-        val seed = id % 101
+        val seed = id % m
         val img = new java.awt.image.BufferedImage(
           18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
         var y = 0

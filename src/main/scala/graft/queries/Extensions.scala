@@ -2596,19 +2596,28 @@ object Extensions {
        |  FROM toks t JOIN rare USING (term) JOIN qt USING (term), n
        |  WHERE t.doc_id <> q_id GROUP BY 1, 2)""".stripMargin
 
+  /** The dup-rate-constant fixture class modulus, as SQL — mirrors
+    * `Multimodal.dedupClassModulus(count(documents))` verbatim (round-12
+    * verdict item 2: class count scales with the corpus so group sizes
+    * and true pair counts stay constant per ingest; ≡ 101 up to the
+    * sf0.1 corpus, so historical pins are unchanged).
+    */
+  private val mmModSql = "(SELECT 101 * greatest(1, count(*) // 5000) FROM documents)"
+
   /** Shared CTEs (no leading WITH — composes under plain and RECURSIVE
     * WITH) for the perceptual-hash family: re-derives the dedup fixture's
     * 18×16 pixels arithmetically (`Multimodal.dedupMediaFromDocuments` —
-    * seed `doc_id % 101`, xor-7 perturbation at (0,0) for `doc_id % 3 = 0`),
+    * seed `doc_id % m` with the dup-rate-constant modulus `m`, xor-7
+    * perturbation at (0,0) for `doc_id % 3 = 0`),
     * then grayscale `(r+g+b)//3`, 2×2 block means `//4`, and the 60-bit
     * dHash (horizontal gradient signs) + aHash (vs the 8×8 mean `//64`) —
     * every step integer, mirroring `Multimodal.dHash60`/`aHash60` exactly.
     */
   private val mmHashCtes =
-    """px AS MATERIALIZED (SELECT doc_id, x.x, y.y,
+    s"""px AS MATERIALIZED (SELECT doc_id, x.x, y.y,
       |    CASE WHEN doc_id % 3 = 0 AND x.x = 0 AND y.y = 0
-      |         THEN xor(((doc_id % 101) * 2654435761 + x.x * 131 + y.y * 31) & 16777215, 7)
-      |         ELSE ((doc_id % 101) * 2654435761 + x.x * 131 + y.y * 31) & 16777215
+      |         THEN xor(((doc_id % $mmModSql) * 2654435761 + x.x * 131 + y.y * 31) & 16777215, 7)
+      |         ELSE ((doc_id % $mmModSql) * 2654435761 + x.x * 131 + y.y * 31) & 16777215
       |    END AS rgb
       |  FROM documents
       |  CROSS JOIN (SELECT unnest(range(0, 18)) AS x) x
@@ -2649,18 +2658,19 @@ object Extensions {
 
   /** Shared CTEs (no leading WITH) for the audio fingerprint family:
     * re-derives the dedup fixture (`Audio.dedupWavFromDocuments` — seed
-    * `doc_id % 101`, fixed n=1220, xor-7 raw perturbation at k=0 for
+    * `doc_id % m` with the dup-rate-constant modulus `m` above, fixed
+    * n=1220, xor-7 raw perturbation at k=0 for
     * `doc_id % 3 = 0`), then the 61 20-sample frames (`f = k // 20`),
     * exact Σs² energies, and the 60-bit energy-gradient fingerprint —
     * mirroring `Audio.fingerprint60` exactly.
     */
   private val audioFpCtes =
-    """afx AS MATERIALIZED (SELECT doc_id, k,
+    s"""afx AS MATERIALIZED (SELECT doc_id, k,
       |    CASE WHEN doc_id % 3 = 0 AND k = 0
       |         THEN xor((x * x * 48271) % 65536, 7)
       |         ELSE (x * x * 48271) % 65536
       |    END - 32768 AS s
-      |  FROM (SELECT doc_id, k.k AS k, (doc_id % 101) * 1009 + k.k * 131 AS x
+      |  FROM (SELECT doc_id, k.k AS k, (doc_id % $mmModSql) * 1009 + k.k * 131 AS x
       |        FROM documents
       |        CROSS JOIN (SELECT unnest(range(0, 1220)) AS k) k) t),
       |afe AS MATERIALIZED (SELECT doc_id, k // 20 AS f,

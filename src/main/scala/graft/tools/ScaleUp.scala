@@ -82,12 +82,13 @@ object ScaleUp {
     *    preserved (same product multiset) while cross-copy cosines of the
     *    near-random base vectors land near 0, far below the 0.4 family
     *    threshold.
-    * What this mode CANNOT fix, by design: the media/audio dedup fixtures
-    * derive their content from `doc_id % 101` ([[graft.ext.Multimodal]]),
-    * so their duplicate groups saturate at 101 classes and group SIZE
-    * must grow with the corpus — their pair counts stay ~K² in ANY
-    * fixture derived from doc ids; that is the fixture's spec, with the
-    * plans linear in candidate pairs (recorded in BENCH.md).
+    * The media/audio dedup fixtures need no help from this mode: since
+    * round 13 they derive their content from
+    * `doc_id % Multimodal.dedupClassModulus(n)` — the class count scales
+    * with the corpus (anchored at the sf0.1 group size), so identical
+    * groups stay ~50 docs and true pair counts are linear in the corpus
+    * at ANY scale (previously they saturated at 101 classes and pair
+    * counts grew ~K²; recorded in BENCH.md).
     */
   def scale(spark: SparkSession, src: String, dst: String, k: Int,
             dupConstant: Boolean = false): Unit = {
