@@ -105,4 +105,56 @@ object Shards {
     spark.read.option("basePath", s"$root/data")
       .parquet(s"$root/data/shard_id=$shardId")
   }
+
+  /** READ-PATH VALIDATION — the loader's actual contract, checked
+    * DISTRIBUTED so it runs at full corpus scale (round-12 verdict
+    * item 7): a sequential reader opens each shard's files in NAME order
+    * and must see the training schedule in order. Verified as
+    *
+    *  - file-order monotonicity: within a shard, each file's `posCol`
+    *    range starts strictly after the previous file's (name order)
+    *    ends — concatenation never goes backwards or overlaps;
+    *  - manifest agreement: per-shard `n_docs`, `shard_tokens`, and
+    *    `doc_checksum` recomputed from the READ bytes match the stored
+    *    manifest row exactly (and no shard is missing on either side).
+    *
+    * Cost: one corpus-wide keyed aggregation per check (grouped on
+    * `(shard_id, file)` and `shard_id`); the windows/joins run on
+    * file-count-sized frames. Returns ONE row
+    * `(n_shards, n_files, order_violations, manifest_mismatches)` —
+    * both violation counts must be 0 for a valid export.
+    */
+  def validateReadPath(spark: SparkSession, root: String,
+                       idCol: String = "doc_id", tokenCol: String = "n_tokens",
+                       posCol: String = "pos"): DataFrame = {
+    require(committed(spark, s"$root/data") && committed(spark, s"$root/manifest"),
+      s"shards: export at $root is not fully committed — refusing a torn read")
+    val stored = spark.read.parquet(s"$root/manifest")
+    val shardType = stored.schema("shard_id").dataType
+    val rows = spark.read.parquet(s"$root/data")
+      .withColumn("shard_id", col("shard_id").cast(shardType))
+      .withColumn("__file", input_file_name())
+    val perFile = rows.groupBy(col("shard_id"), col("__file"))
+      .agg(min(col(posCol)).as("lo"), max(col(posCol)).as("hi"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard_id")).orderBy(col("__file"))
+    val orderViolations = perFile
+      .withColumn("prev_hi", lag(col("hi"), 1).over(w))
+      .agg(
+        sum(when(col("prev_hi").isNotNull && col("lo") <= col("prev_hi"), 1L)
+          .otherwise(0L)).as("order_violations"),
+        countDistinct(col("shard_id")).as("n_shards"),
+        count(lit(1)).as("n_files"))
+    val recomputed = manifest(rows, idCol, tokenCol, posCol)
+    val cmpCols = Seq("n_seqs", "n_docs", "shard_tokens", "first_seq",
+      "last_seq", "doc_checksum")
+    val manifestMismatches = stored.as("m")
+      .join(recomputed.as("r"), Seq("shard_id"), "full_outer")
+      .agg(sum(when(
+        cmpCols.map(c => col(s"m.$c") === col(s"r.$c")).reduce(_ && _),
+        0L).otherwise(1L)).as("manifest_mismatches")) // null side → mismatch
+    orderViolations.crossJoin(manifestMismatches)
+      .select(col("n_shards"), col("n_files"),
+        col("order_violations"), col("manifest_mismatches"))
+  }
 }

@@ -72,6 +72,41 @@ class ShardsSpec extends SparkSpec {
     assert(fromDisk() !== stored)
   }
 
+  test("validateReadPath: clean export passes; broken name order and lost files are counted") {
+    // larger fixture so shards straddle range-partition boundaries →
+    // multi-file shard dirs (the case the name-order contract exists for)
+    val docs = (0L until 400L).map(i => (i, i, 10L)).toDF("doc_id", "pos", "n_tokens")
+    val packed = graft.ext.Packing.packBinsBy(docs, Seq(col("pos"), col("doc_id")),
+        "n_tokens", budget = 20L, numPartitions = 8)
+      .withColumn("shard_id", expr("seq_id div 4"))
+    val root = java.nio.file.Files.createTempDirectory("shards-v").toString + "/ex"
+    // AQE coalesces the tiny range shuffle to one partition (one file per
+    // shard); hold it off so shards straddle task boundaries as at scale
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try Shards.write(packed, root, Seq(col("pos"), col("doc_id")))
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val ok = Shards.validateReadPath(spark, root).head()
+    assert(ok.getLong(0) === 50L, "n_shards")
+    assert(ok.getLong(2) === 0L, "order_violations on a clean export")
+    assert(ok.getLong(3) === 0L, "manifest_mismatches on a clean export")
+    // break file NAME order in a multi-file shard: the lexicographically
+    // first file renamed to sort last makes the concatenation go backwards
+    val multi = (0L until 50L).map(s => new java.io.File(s"$root/data/shard_id=$s"))
+      .find(_.listFiles().count(_.getName.endsWith(".parquet")) >= 2)
+    assert(multi.nonEmpty, "fixture must produce a multi-file shard")
+    val files = multi.get.listFiles().filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val renamed = new java.io.File(multi.get, "part-zzz-reordered.parquet")
+    assert(files.head.renameTo(renamed))
+    val broken = Shards.validateReadPath(spark, root).head()
+    assert(broken.getLong(2) >= 1L, "reordered file must violate name order")
+    assert(renamed.renameTo(files.head)) // restore
+    // a data file lost after commit shows up as a manifest mismatch
+    assert(files.head.delete())
+    val lost = Shards.validateReadPath(spark, root).head()
+    assert(lost.getLong(3) >= 1L, "lost file must mismatch the manifest")
+  }
+
   test("crash window: missing either _SUCCESS marker refuses the read") {
     val packed = packedFixture()
     val root = java.nio.file.Files.createTempDirectory("shards-c").toString + "/ex"
