@@ -138,4 +138,22 @@ class UnigramLmSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("empty corpus"))
   }
+
+  test("40-code-point word trains AND tokenizes end-to-end at a cap >= 40") {
+    // positive twin of the cap-enforcement tests: a word well past the
+    // registry's DpUnroll=16 but inside a caller cap of 40 must survive
+    // the whole train -> tokenize chain (pieces concatenate back), so the
+    // shared-bound fix rejects ONLY out-of-contract input
+    val w40 = ("abcd" * 10) // 40 code points
+    val docs = Seq((1L, s"$w40 ok ok")).toDF("doc_id", "text")
+    val m = UnigramLm.train(docs, "text", emRounds = 2, maxPieceLen = 4,
+      seedSize = 20, maxWordLen = 40)
+    val rows = UnigramLm.tokenize(docs, "doc_id", "text", m.finalScores,
+      maxPieceLen = 4, maxWordLen = 40)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(rows(1L)._1 === 3)
+    // the 40-char word's pieces concatenate back to it verbatim
+    assert(rows(1L)._3.split('|').mkString === w40)
+  }
 }
