@@ -425,17 +425,63 @@ object Multimodal {
     }.toDF("media_id", "dhash", "ahash")
   }
 
-  /** Image near-duplicate pairs: dHash signatures through the text
-    * SimHash's chunk-pigeonhole banding ([[SimHash.nearDuplicatesFromSigs]]
-    * — ONE shuffle keyed on (chunk_id, chunk_val), exact for maxDist ≤ 3 by
-    * pigeonhole, the 100 TB-safe shape). Output `(media_a, media_b,
-    * hamming)`.
+  /** Image near-duplicate pairs, HASH-FIRST (round 13): collapse to
+    * DISTINCT dHash values before any pairing — the chunk-pigeonhole band
+    * join ([[SimHash.nearDuplicatesFromSigs]], exact for maxDist ≤ 3)
+    * runs over one representative per distinct signature, and doc-level
+    * pairs are expanded back through keyed joins on the signature:
+    *
+    *  - same-signature pairs (hamming 0): one self-join on `dhash` — its
+    *    row count IS the output's exact-dup portion, nothing larger ever
+    *    materializes;
+    *  - cross-signature pairs: each rep pair within `maxDist` expands to
+    *    members(sig_a) × members(sig_b) via two keyed joins, again
+    *    output-sized, and every expanded pair inherits the rep pair's
+    *    hamming because hamming is a function of the signatures alone.
+    *
+    * Why not run the band join over all docs directly (the pre-round-13
+    * form): a web-scale image corpus is dominated by exact duplicates, so
+    * every K-copy group put K rows in each of its 4 chunk buckets and the
+    * join carried Σ K² candidate rows through a shuffle + dropDuplicates
+    * — measured 545M candidates / 35 s warm at sf1 where the true output
+    * was ~10× smaller; the same 500k-copy logo that motivated the
+    * hash-first [[imageDedupGroups]] (round 8) would make the candidate
+    * set 250G rows. Candidates are now ∝ distinct signatures and total
+    * work is ∝ output size — the optimal shape for this contract. Output
+    * `(media_a, media_b, hamming)`, identical bits to the doc-level form
+    * (oracle-checked against the all-pairs hamming scan).
     */
-  def imageNearDuplicates(media: Dataset[MediaRecord], maxDist: Int = 3): DataFrame =
-    SimHash.nearDuplicatesFromSigs(
-      perceptualHashes(media).select(col("media_id"), col("dhash").as("simhash")),
+  def imageNearDuplicates(media: Dataset[MediaRecord], maxDist: Int = 3): DataFrame = {
+    val sigs = perceptualHashes(media).select(col("media_id"), col("dhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grp = sigs.groupBy(col("dhash")).agg(min(col("media_id")).as("rep"))
+    // hamming-0 pairs: all ordered pairs within one signature group
+    val same = sigs.select(col("dhash"), col("media_id").as("media_a"))
+      .join(sigs.select(col("dhash"), col("media_id").as("media_b")), Seq("dhash"))
+      .filter(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"), lit(0).cast("int").as("hamming"))
+    // rep-level near pairs (distinct sigs ⇒ hamming ≥ 1), expanded to members
+    val repPairs = SimHash.nearDuplicatesFromSigs(
+      grp.select(col("rep").as("media_id"), col("dhash").as("simhash")),
       maxDist, idCol = "media_id")
-      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))
+    val repSig = grp.select(col("rep"), col("dhash"))
+    val cross = repPairs
+      .join(repSig.select(col("rep").as("doc_a"), col("dhash").as("sig_a")), Seq("doc_a"))
+      .join(repSig.select(col("rep").as("doc_b"), col("dhash").as("sig_b")), Seq("doc_b"))
+      .join(sigs.select(col("dhash").as("sig_a"), col("media_id").as("m_a")), Seq("sig_a"))
+      .join(sigs.select(col("dhash").as("sig_b"), col("media_id").as("m_b")), Seq("sig_b"))
+      .select(least(col("m_a"), col("m_b")).as("media_a"),
+        greatest(col("m_a"), col("m_b")).as("media_b"),
+        col("hamming").cast("int").as("hamming"))
+    // the imageDedupGroups persist-lifetime discipline: materialize the
+    // output, then release the signature frame (caller owns the result's
+    // storage; nothing corpus-sized stays pinned past this call)
+    val out = same.unionByName(cross)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sigs.unpersist(blocking = false)
+    out
+  }
 
   /** Image dedup GROUPS — (media_id, component), component = min reachable
     * media_id under the hamming-≤-maxDist relation — computed HASH-FIRST:
@@ -492,14 +538,25 @@ object Multimodal {
     * only through `seed = doc_id % m`, `m = dedupClassModulus(count)` —
     * so ~n/m ≈ 50 groups-of-IDENTICAL-images per 101 classes at any scale
     * (exact-dup structure, constant dup rate) — and rows with
-    * `doc_id % 3 == 0` additionally perturb pixel (0,0)'s low blue bits
-    * (xor 7), a near-invisible edit that moves the hash by 0–2 bits
-    * (near-dup structure). Pixels are
-    * `(seed·2654435761 + x·131 + y·31) & 0xffffff`
-    * — arithmetic both engines can compute, so unlike a real photo corpus
-    * the WHOLE dedup pipeline (decode → hash → band → verify) carries a
-    * DuckDB oracle; the codec round trip is still the real ImageIO both
-    * ways.
+    * `doc_id % 3 == 0` additionally xor the RED high bits of one pixel in
+    * each of two separate hash blocks, an edit that moves the dHash by
+    * 0–3 bits (measured over 1010 seeds: 0 bits 83%, 1–3 bits 17% — real
+    * near-dup structure that always stays within the maxDist=3 contract).
+    * Pixels are `t = (seed·2654435761 + x·131 + y·31) & 0xffffff` then
+    * `rgb = ((t·t mod 2²⁴)·48271) & 0xffffff` — the SQUARE is the mixing
+    * step (the audio fixture's trick): without it, adjacent-block mean
+    * DIFFERENCES are gradient-dominated and nearly seed-independent, so
+    * dHash collapsed the class space (209 distinct signatures for 50k
+    * docs at sf1 — groups grew with the corpus and the sf1 pair slope
+    * measured the fixture's saturation, the round-12-item-2 failure mode
+    * one level deeper). With the square, block means are i.i.d. per
+    * class: 1010/1010 seeds map to distinct signatures and cross-class
+    * hamming-≤3 collisions are ~0, so the signature-level dup rate — not
+    * just the content-level one — is constant in corpus size. All
+    * arithmetic stays < 2⁶³ at ANY modulus and both engines compute it,
+    * so unlike a real photo corpus the WHOLE dedup pipeline (decode →
+    * hash → band → verify) carries a DuckDB oracle; the codec round trip
+    * is still the real ImageIO both ways.
     */
   def dedupMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -513,8 +570,13 @@ object Multimodal {
         while (y < 16) {
           var x = 0
           while (x < 18) {
-            var rgb = ((seed * 2654435761L + x * 131 + y * 31) & 0xffffff).toInt
-            if (id % 3 == 0 && x == 0 && y == 0) rgb ^= 7
+            val t = (seed * 2654435761L + x * 131 + y * 31) & 0xffffffL
+            var rgb = (((t * t) % 16777216L) * 48271L & 0xffffffL).toInt
+            // blocks (0,0) and (2,2): dHash bits {0} and {17,18} — hamming
+            // moves by at most 3, so a perturbed doc is always still a
+            // near-dup of its class under the maxDist=3 contract
+            if (id % 3 == 0 && ((x == 0 && y == 0) || (x == 4 && y == 4)))
+              rgb ^= 0x700000
             img.setRGB(x, y, rgb)
             x += 1
           }

@@ -1537,6 +1537,19 @@ object Extensions {
       graft.io.Shards.readManifest(s, shardExportFor(s, dir))
     }),
 
+    // the loader's READ contract on the same written export, checked
+    // distributed (Shards.validateReadPath): per-shard files concatenate
+    // in name order back to schedule order (zero range overlaps) and the
+    // manifest recomputed from the read bytes matches the stored one.
+    // n_files is dropped from the entry (file count is a commit-layout
+    // detail, not contract); the oracle derives n_shards from the same
+    // packing CTEs and pins both violation counts at zero
+    "x_pack_shards_read" -> ((s: SparkSession, dir: String) => {
+      graft.io.Shards.validateReadPath(s, shardExportFor(s, dir))
+        .select(col("n_shards"), col("order_violations"),
+          col("manifest_mismatches"))
+    }),
+
     // encoding hygiene over adversarially-dirtied text: controls +
     // zero-widths injected, every space swapped for NBSP — cleaning must
     // restore the printable text byte-identically in both engines
@@ -2607,21 +2620,24 @@ object Extensions {
   /** Shared CTEs (no leading WITH — composes under plain and RECURSIVE
     * WITH) for the perceptual-hash family: re-derives the dedup fixture's
     * 18×16 pixels arithmetically (`Multimodal.dedupMediaFromDocuments` —
-    * seed `doc_id % m` with the dup-rate-constant modulus `m`, xor-7
-    * perturbation at (0,0) for `doc_id % 3 = 0`),
+    * seed `doc_id % m` with the dup-rate-constant modulus `m`, the squared
+    * mixing step so dHash distinguishes classes, and the two-block red-bit
+    * perturbation at (0,0)/(4,4) for `doc_id % 3 = 0`),
     * then grayscale `(r+g+b)//3`, 2×2 block means `//4`, and the 60-bit
     * dHash (horizontal gradient signs) + aHash (vs the 8×8 mean `//64`) —
     * every step integer, mirroring `Multimodal.dHash60`/`aHash60` exactly.
     */
   private val mmHashCtes =
-    s"""px AS MATERIALIZED (SELECT doc_id, x.x, y.y,
-      |    CASE WHEN doc_id % 3 = 0 AND x.x = 0 AND y.y = 0
-      |         THEN xor(((doc_id % $mmModSql) * 2654435761 + x.x * 131 + y.y * 31) & 16777215, 7)
-      |         ELSE ((doc_id % $mmModSql) * 2654435761 + x.x * 131 + y.y * 31) & 16777215
-      |    END AS rgb
-      |  FROM documents
-      |  CROSS JOIN (SELECT unnest(range(0, 18)) AS x) x
-      |  CROSS JOIN (SELECT unnest(range(0, 16)) AS y) y),
+    s"""px AS MATERIALIZED (SELECT doc_id, x, y,
+      |    CASE WHEN doc_id % 3 = 0 AND ((x = 0 AND y = 0) OR (x = 4 AND y = 4))
+      |         THEN xor(rgb0, 7340032) ELSE rgb0 END AS rgb
+      |  FROM (SELECT doc_id, x, y,
+      |      (((t * t) % 16777216) * 48271) & 16777215 AS rgb0
+      |    FROM (SELECT doc_id, x.x AS x, y.y AS y,
+      |        ((doc_id % $mmModSql) * 2654435761 + x.x * 131 + y.y * 31) & 16777215 AS t
+      |      FROM documents
+      |      CROSS JOIN (SELECT unnest(range(0, 18)) AS x) x
+      |      CROSS JOIN (SELECT unnest(range(0, 16)) AS y) y))),
       |blk AS MATERIALIZED (SELECT doc_id, x // 2 AS gx, y // 2 AS gy,
       |    CAST(sum((((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)) // 3) // 4 AS BIGINT) AS bval
       |  FROM px GROUP BY 1, 2, 3),
@@ -4232,6 +4248,42 @@ object Extensions {
         |  CAST(max(seq_id) AS BIGINT) AS last_seq,
         |  CAST(sum(doc_id * (pos + 1)) AS BIGINT) AS doc_checksum
         |FROM sh GROUP BY shard_id""".stripMargin,
+
+    // read-path validation: shard count re-derived from the same packing
+    // CTEs; a clean export must report ZERO order violations and ZERO
+    // manifest mismatches — the engine side computes these from the
+    // written files, the oracle pins the contract values
+    "x_pack_shards_read" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS w
+        |           FROM documents GROUP BY source),
+        |s AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM c),
+        |b AS (SELECT source, (300 * w) // sw AS q, (300 * w) % sw AS rem
+        |      FROM c CROSS JOIN s),
+        |qr AS (SELECT source, q,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rk,
+        |    300 - CAST(sum(q) OVER () AS BIGINT) AS leftover
+        |  FROM b),
+        |quota AS (SELECT source,
+        |    CAST(q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |  FROM qr),
+        |r AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS mix_rank
+        |  FROM documents),
+        |sel AS (SELECT r.doc_id, r.source, r.n_tokens, mix_rank,
+        |    (mix_rank - 1) * 300 // quota AS pos
+        |  FROM r JOIN quota USING (source)
+        |  WHERE quota > 0 AND mix_rank <= quota),
+        |cum AS (SELECT *, CAST(sum(n_tokens)
+        |      OVER (ORDER BY pos, source, mix_rank) AS BIGINT) AS cum_tokens
+        |  FROM sel),
+        |sh AS (SELECT ((cum_tokens - n_tokens) // 512) // 8 AS shard_id
+        |  FROM cum)
+        |SELECT CAST(count(DISTINCT shard_id) AS BIGINT) AS n_shards,
+        |  CAST(0 AS BIGINT) AS order_violations,
+        |  CAST(0 AS BIGINT) AS manifest_mismatches
+        |FROM sh""".stripMargin,
 
     "x_text_clean_unicode" ->
       """WITH m AS (SELECT doc_id,

@@ -167,6 +167,8 @@ class PlanShapeSpec extends SparkSpec {
                              // the series (replaced the unpartitioned
                              // window — no single-partition exchange left)
       "x_substr_summary",    // 1×1 cross join: span summary × corpus chars
+      "x_pack_shards_read",  // 1×1 cross join: file-order summary ×
+                             // manifest-agreement summary (both single-row)
       "x_curriculum",        // single-row N aggregate broadcast back
       "x_text_vocab_coverage", // broadcast single-row corpus-total × top-20 head
       "x_pq_topk",           // code scan × broadcast(per-query ADC LUTs)

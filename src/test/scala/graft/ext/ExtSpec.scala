@@ -844,17 +844,18 @@ class MultimodalSpec extends SparkSpec {
     assert(banded === brute)
   }
 
-  test("dedup fixture: same-seed docs hash identically; xor-7 perturbation is a near-dup") {
+  test("dedup fixture: same-seed docs hash identically; the perturbation is a near-dup") {
     // ids 5 and 106 share seed 5 (106 % 101 = 5), neither is % 3 == 0 ->
     // identical images -> hamming 0; id 207 shares the seed AND is
-    // perturbed -> near-dup at small positive-or-zero hamming
+    // perturbed (two-block red-bit xor) -> near-dup at hamming <= 3 (the
+    // perturbed blocks touch dHash bits {0} and {17,18} only)
     val docs = Seq(5L, 106L, 207L).map(id => (id, s"t$id", 1L))
       .toDF("doc_id", "text", "n_chars")
     val sigs = Multimodal.perceptualHashes(
       Multimodal.dedupMediaFromDocuments(spark, docs))
       .select($"media_id", $"dhash").as[(Long, Long)].collect().toMap
     assert(sigs(5L) === sigs(106L))
-    assert(java.lang.Long.bitCount(sigs(5L) ^ sigs(207L)) <= 2)
+    assert(java.lang.Long.bitCount(sigs(5L) ^ sigs(207L)) <= 3)
   }
 
   test("imageDedupGroups (hash-first) == CC over the expanded pair graph") {
