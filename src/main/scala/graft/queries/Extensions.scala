@@ -1987,6 +1987,41 @@ object Extensions {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // END-TO-END INCREMENTAL INGEST (round 13): one NEW batch
+    // (doc_id % 10 == 0, the ledger family's batch convention; the eval
+    // docs themselves are never ingested) through the whole curation
+    // chain at BATCH cost — quality gate (map-only rule battery), fuzzy
+    // novelty SERVED from the maintained MinHash signature ledger (batch
+    // sketch + one band join against stored state; the corpus is never
+    // re-read), and benchmark decontamination against the static src0
+    // eval set (bloom-prescreened keyed join, eval-sized build). Per-doc
+    // gate decisions out — the composition the ledger family exists for:
+    // at 100 TB an ingest pays ~|batch|, not a corpus pass, through ALL
+    // three gates. The oracle recomputes every flag from scratch
+    // (maintained == recompute, per gate, in one entry).
+    "x_pipeline_ingest" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir)
+      val batch = docs.filter(col("doc_id") % 10 === 0 && col("source") =!= "src0")
+      val novel = graft.streaming.MinHashLedgerStream.probe(s,
+        minhashLedgerFor(s, dir),
+        docs.filter(col("doc_id") % 10 === 0), minJaccard = 0.5)
+        .select(col("doc_id")).withColumn("__novel", lit(1))
+      val dirty = graft.ext.Decontaminate.contaminated(
+        batch, docs.filter(col("source") === "src0"))
+        .select(col("doc_id")).withColumn("__dirty", lit(1))
+      batch
+        .withColumn("quality_ok",
+          coalesce((TextOps.qualityScore("text") >= 3).cast("int"), lit(0)))
+        .join(novel, Seq("doc_id"), "left")
+        .join(dirty, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("quality_ok"),
+          coalesce(col("__novel"), lit(0)).as("novel"),
+          (lit(1) - coalesce(col("__dirty"), lit(0))).as("clean"))
+        .withColumn("keep",
+          (col("quality_ok") === 1 && col("novel") === 1 && col("clean") === 1)
+            .cast("int"))
+    }),
+
     // approximate aggregates — the sketches any 100 TB pipeline leans on.
     // Engine-specific sketch internals (HLL++, GK) can't hash-match another
     // engine → rows-only here; tolerance vs exact is asserted in
@@ -2557,8 +2592,14 @@ object Extensions {
     * overflow-free in both engines); novelty is an anti-join against the
     * brute-forced matched set.
     */
-  private val minhashIncrSql =
-    """WITH sh AS (
+  /** CTE block (no leading WITH) deriving `matched` — the batch
+    * (doc_id % 10 = 0) docs whose brute-force any-band + exact-Jaccard
+    * match against the corpus says "duplicate". ONE copy shared by the
+    * incremental-twin oracles and the end-to-end ingest oracle, so the
+    * novelty contract cannot silently diverge between them.
+    */
+  private val minhashIncrCtes =
+    """sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    generate_series(1, len(string_split(lower(text), ' ')) - 2),
       |    i -> string_split(lower(text), ' ')[i] || ' ' ||
@@ -2585,7 +2626,10 @@ object Extensions {
       |  WHERE (a.sig[1:4] = b.sig[1:4] OR a.sig[5:8] = b.sig[5:8]
       |      OR a.sig[9:12] = b.sig[9:12] OR a.sig[13:16] = b.sig[13:16])
       |    AND CAST(len(list_intersect(sa.ws, sb.ws)) AS DOUBLE) /
-      |      len(list_distinct(list_concat(sa.ws, sb.ws))) >= 0.5)
+      |      len(list_distinct(list_concat(sa.ws, sb.ws))) >= 0.5)""".stripMargin
+
+  private val minhashIncrSql =
+    s"""WITH $minhashIncrCtes
       |SELECT d.doc_id FROM documents d LEFT JOIN matched m ON d.doc_id = m.doc_id
       |WHERE d.doc_id % 10 = 0 AND m.doc_id IS NULL""".stripMargin
 
@@ -3966,6 +4010,36 @@ object Extensions {
          |  ${sqlCount()} AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM gated WHERE doc_id IN (SELECT doc_id FROM canon)
          |GROUP BY 1""".stripMargin,
+
+    // end-to-end ingest: every gate recomputed from scratch — quality via
+    // the shared rule battery, novelty via the shared brute-force
+    // any-band + exact-Jaccard CTEs (the SAME `matched` the ledger and
+    // md5-twin oracles use), decontamination via the shared 3-gram
+    // overlap form — so ONE oracle pins the composed maintained-state
+    // serve chain against full recomputation
+    "x_pipeline_ingest" ->
+      s"""WITH $minhashIncrCtes,
+         |batch AS (SELECT doc_id, text FROM documents
+         |          WHERE doc_id % 10 = 0 AND source <> 'src0'),
+         |tg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(string_split(text, ' ')) - 2),
+         |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS ng
+         |  FROM batch),
+         |eg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+         |    generate_series(1, len(string_split(text, ' ')) - 2),
+         |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS ng
+         |  FROM documents WHERE source = 'src0'),
+         |dirty AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (ng)),
+         |flags AS (SELECT b.doc_id,
+         |    COALESCE(CAST(($sqlQualityScore) >= 3 AS INT), 0) AS quality_ok,
+         |    CAST(m.doc_id IS NULL AS INT) AS novel,
+         |    CAST(dd.doc_id IS NULL AS INT) AS clean
+         |  FROM batch b
+         |  LEFT JOIN matched m ON m.doc_id = b.doc_id
+         |  LEFT JOIN dirty dd ON dd.doc_id = b.doc_id)
+         |SELECT doc_id, quality_ok, novel, clean,
+         |  CAST(quality_ok = 1 AND novel = 1 AND clean = 1 AS INT) AS keep
+         |FROM flags""".stripMargin,
 
     "x_dedup_embed_exact" ->
       """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
