@@ -558,9 +558,13 @@ object Multimodal {
     * hash → band → verify) carries a DuckDB oracle; the codec round trip
     * is still the real ImageIO both ways.
     */
-  def dedupMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+  def dedupMediaFromDocuments(spark: SparkSession, docs: DataFrame,
+                              modulus: Long = -1L): Dataset[MediaRecord] = {
     import spark.implicits._
-    val m = dedupClassModulus(docs.count())
+    // explicit modulus: a SUBSET (e.g. an ingest batch) must render the
+    // SAME image per doc_id as the full corpus, so the class modulus has
+    // to come from the corpus count, not the subset's
+    val m = if (modulus > 0) modulus else dedupClassModulus(docs.count())
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
       it.map { id =>
         val seed = id % m

@@ -2184,6 +2184,35 @@ object Extensions {
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
     }),
 
+    // MULTIMODAL INCREMENTAL INGEST (round 13): the x_pipeline_ingest
+    // story for images — a NEW media batch pays its OWN decode +
+    // perceptual hash, then one pigeonhole band join against the
+    // maintained signature ledger's corpus side (16 B/doc stored state;
+    // the corpus is never re-decoded). The batch is the % 10 slice
+    // (re-ingested KNOWN content — must come back duplicate) plus the
+    // whole ≡ 7 (mod 101) content-class family (GENUINELY new content
+    // that exists nowhere in the corpus — must come back novel; at >sf0.1
+    // moduli this is n/101 docs across 10+ render classes, so the planted
+    // novelty scales with the corpus). Batch images render with the
+    // CORPUS class modulus (a subset must produce the same bytes per id
+    // as the full fixture). The oracle is the brute-force batch × corpus
+    // hamming scan over the same derived hashes.
+    "x_mm_ingest_novel" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir)
+      val m = Multimodal.dedupClassModulus(docs.count())
+      val inBatch = col("doc_id") % 10 === 0 || col("doc_id") % 101 === 7
+      val batch = docs.filter(inBatch)
+      val batchSigs = Multimodal.perceptualHashes(
+          Multimodal.dedupMediaFromDocuments(s, batch, m))
+        .select(col("media_id"), col("dhash").as("simhash"))
+      val corpusSigs = mmSigsFor(s, dir)
+        .filter(!(col("media_id") % 10 === 0 || col("media_id") % 101 === 7))
+        .select(col("media_id"), col("dhash").as("simhash"))
+      SimHash.novelAgainstSigs(
+        batch.select(col("doc_id").as("media_id")),
+        batchSigs, corpusSigs, maxDist = 3, idCol = "media_id")
+    }),
+
     // cross-modal curation JOIN (the LAION-style pairing gate): REAL image
     // decode joined back to the caption text on the shared id — keep
     // samples whose image is large enough AND whose caption passes the
@@ -4896,6 +4925,20 @@ object Extensions {
          |SELECT component, min(media_id) AS keep_id,
          |  CAST(count(*) AS BIGINT) AS n_members
          |FROM comp GROUP BY component""".stripMargin,
+
+    // multimodal ingest novelty: brute-force batch x corpus hamming scan
+    // over the same derived hashes — the maintained-ledger serve must
+    // equal full recomputation
+    "x_mm_ingest_novel" ->
+      s"""WITH $mmHashCtes,
+         |matched AS (SELECT DISTINCT a.media_id
+         |  FROM sigs a JOIN sigs b
+         |    ON (a.media_id % 10 = 0 OR a.media_id % 101 = 7)
+         |   AND NOT (b.media_id % 10 = 0 OR b.media_id % 101 = 7)
+         |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3)
+         |SELECT s.media_id FROM sigs s LEFT JOIN matched m USING (media_id)
+         |WHERE (s.media_id % 10 = 0 OR s.media_id % 101 = 7)
+         |  AND m.media_id IS NULL""".stripMargin,
 
     // hamming top-k retrieval: brute scan per query, rank by (dist, id)
     "x_mm_sim_topk" ->
