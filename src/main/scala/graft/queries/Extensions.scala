@@ -1307,6 +1307,28 @@ object Extensions {
             .otherwise(0L)).cast("double") / count(lit(1)), 6).as("accuracy"))
     }),
 
+    // CALIBRATION of the trained gate (the reliability-curve data a
+    // threshold choice is made from): holdout scores binned into deciles,
+    // per bin exact counts + mean predicted quality (decimal-sum scheme)
+    // vs the empirical positive rate. Same frozen-weight literals
+    // discipline as eval/scores; one narrow scoring pass + one 10-row
+    // aggregate. bin = floor(quality·10) clamps to 9 — quality is the
+    // 6-decimal-rounded algebraic sigmoid, so the double product and
+    // floor are bit-identical cross-engine
+    "x_classifier_calibration" -> ((s: SparkSession, dir: String) => {
+      val m = irlsFor(s, dir)
+      val holdout = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 1)
+      graft.ext.Irls.scores(holdout, m.w, m.b)
+        .join(holdout.select(col("vec_id"),
+          (col("label") < 5).cast("long").as("y")), Seq("vec_id"))
+        .withColumn("bin", least(floor(col("quality") * 10), lit(9L)).cast("int"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("y")).as("n_pos"),
+          Util.davg(col("quality")).as("mean_pred"),
+          round(sum(col("y")).cast("double") / count(lit(1)), 6).as("pos_rate"))
+    }),
+
     // SemDeDup: k-means cluster (the cached IVF model — clustering and ANN
     // share one build), then within-cluster cosine pruning; the pair join
     // is KEYED on cid, which is the algorithm's whole scale story. Oracle
@@ -3257,9 +3279,27 @@ object Extensions {
              |  round(CAST(sum(CASE WHEN (quality >= 0.5) = (y = 1) THEN 1 ELSE 0 END) AS DOUBLE)
              |    / count(*), 6) + 0 AS accuracy
              |FROM q""".stripMargin
+        val calibSql =
+          s"""WITH e AS (SELECT vec_id,
+             |    round(list_inner_product(
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             |      ${fmtVec(m.w.toSeq)}::DOUBLE[]) + ${fmtD(m.b)}, 6) AS eta,
+             |    CAST(label < 5 AS BIGINT) AS y
+             |  FROM embeddings WHERE vec_id % 5 = 1),
+             |q AS (SELECT round(0.5 * (1 + eta / (1 + abs(eta))), 6) AS quality, y
+             |  FROM e),
+             |bq AS (SELECT
+             |    CAST(LEAST(CAST(floor(quality * 10) AS BIGINT), 9) AS INT) AS bin,
+             |    quality, y FROM q)
+             |SELECT bin, ${Util.sqlCount()} AS n,
+             |  CAST(sum(y) AS BIGINT) AS n_pos,
+             |  ${Util.sqlDavg("quality")} AS mean_pred,
+             |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) + 0 AS pos_rate
+             |FROM bq GROUP BY 1""".stripMargin
         Map("x_classifier_train" -> trainSql,
           "x_classifier_train_scores" -> scoresSql,
-          "x_classifier_eval" -> evalSql)
+          "x_classifier_eval" -> evalSql,
+          "x_classifier_calibration" -> calibSql)
       case _ => Map.empty
     }
 

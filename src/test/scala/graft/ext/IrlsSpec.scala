@@ -59,6 +59,29 @@ class IrlsSpec extends SparkSpec {
     assert(eval.getLong(0) === eval.getLong(1)) // accuracy 1.0
   }
 
+  test("calibration bins: partition the slice; separable fixture has pure bins") {
+    val docs = separable()
+    val m = Irls.train(docs, (col("label") === 1).cast("double"),
+      rounds = 3, lambda = 1e-2)
+    val bins = Irls.scores(docs, m.w, m.b)
+      .join(docs.select(col("vec_id"),
+        (col("label") === 1).cast("long").as("y")), Seq("vec_id"))
+      .withColumn("bin", least(floor(col("quality") * 10), lit(9L)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      .collect()
+    // bins partition the slice, every bin in [0, 9]
+    assert(bins.map(_.getLong(1)).sum === docs.count())
+    assert(bins.forall(r => r.getInt(0) >= 0 && r.getInt(0) <= 9))
+    // a separable fixture calibrates to PURE occupied bins: everything
+    // scoring >= 0.5 (bins 5-9) is a positive, everything below a negative
+    bins.foreach { r =>
+      val (bin, n, pos) = (r.getInt(0), r.getLong(1), r.getLong(2))
+      if (bin >= 5) assert(pos === n, s"bin $bin impure: $pos/$n")
+      else assert(pos === 0L, s"bin $bin impure: $pos/$n")
+    }
+  }
+
   test("empty labeled slice fails with a named error, not an opaque NoSuchElement") {
     val empty = separable().limit(0)
     val e = intercept[IllegalArgumentException] {
