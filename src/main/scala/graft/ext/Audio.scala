@@ -162,15 +162,24 @@ object Audio {
     * sample, so distinct seeds land at the ~30-bit hamming distance true
     * noise would.
     */
-  def dedupWavFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+  def dedupWavFromDocuments(spark: SparkSession, docs: DataFrame,
+                            modulus: Long = -1L): Dataset[MediaRecord] = {
     import spark.implicits._
-    val m = Multimodal.dedupClassModulus(docs.count())
+    // explicit modulus: a SUBSET (an ingest batch) must render the SAME
+    // clip per doc_id as the full corpus (the dedupMediaFromDocuments
+    // contract)
+    val m = if (modulus > 0) modulus else Multimodal.dedupClassModulus(docs.count())
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
       it.map { id =>
         val seed = id % m
         val samples = Array.tabulate(1220) { k =>
           val x = seed * 1009L + k.toLong * 131L
-          var r = (x * x * 48271L) % 65536L
+          // reduce mod 2^16 BEFORE the final multiply: identical value
+          // ((a·b) mod m == ((a mod m)·b) mod m) but the intermediate
+          // stays < 2^48 at any class modulus — the unreduced x²·48271
+          // exceeded 2^63 past m ≈ 1.4e4 (~sf13), where Scala wraps
+          // silently and the DuckDB mirror raises (round-13 review)
+          var r = ((x * x) % 65536L) * 48271L % 65536L
           if (id % 3L == 0L && k == 0) r = r ^ 7L
           (r - 32768L).toShort
         }

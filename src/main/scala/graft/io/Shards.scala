@@ -112,8 +112,13 @@ object Shards {
     * and must see the training schedule in order. Verified as
     *
     *  - file-order monotonicity: within a shard, each file's `posCol`
-    *    range starts strictly after the previous file's (name order)
-    *    ends — concatenation never goes backwards or overlaps;
+    *    range must not OVERLAP the previous file's (name order) — i.e.
+    *    `lo < prev_hi` is a violation. A boundary TIE (`lo == prev_hi`)
+    *    is legal: the written order is `(pos, source, mix_rank)` and
+    *    `pos` carries duplicates across sources, so a range boundary can
+    *    land between two equal-pos rows whose full ordering key is still
+    *    monotone (a strict check would false-positive a correct export
+    *    whenever that happens — round-13 review);
     *  - manifest agreement: per-shard `n_docs`, `shard_tokens`, and
     *    `doc_checksum` recomputed from the READ bytes match the stored
     *    manifest row exactly (and no shard is missing on either side).
@@ -141,7 +146,7 @@ object Shards {
     val orderViolations = perFile
       .withColumn("prev_hi", lag(col("hi"), 1).over(w))
       .agg(
-        sum(when(col("prev_hi").isNotNull && col("lo") <= col("prev_hi"), 1L)
+        sum(when(col("prev_hi").isNotNull && col("lo") < col("prev_hi"), 1L)
           .otherwise(0L)).as("order_violations"),
         countDistinct(col("shard_id")).as("n_shards"),
         count(lit(1)).as("n_files"))

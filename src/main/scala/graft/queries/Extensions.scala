@@ -2778,8 +2778,8 @@ object Extensions {
   private val audioFpCtes =
     s"""afx AS MATERIALIZED (SELECT doc_id, k,
       |    CASE WHEN doc_id % 3 = 0 AND k = 0
-      |         THEN xor((x * x * 48271) % 65536, 7)
-      |         ELSE (x * x * 48271) % 65536
+      |         THEN xor(((x * x) % 65536) * 48271 % 65536, 7)
+      |         ELSE ((x * x) % 65536) * 48271 % 65536
       |    END - 32768 AS s
       |  FROM (SELECT doc_id, k.k AS k, (doc_id % $mmModSql) * 1009 + k.k * 131 AS x
       |        FROM documents

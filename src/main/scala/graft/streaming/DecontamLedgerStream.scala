@@ -62,14 +62,17 @@ object DecontamLedgerStream {
     try {
       if (!pinned.isEmpty) {
         val spark = pinned.sparkSession
-        // first committed fold pins the n-gram order; later folds or
-        // probes with a different n fail loudly instead of mixing
-        // incomparable term universes (the MinHashLedgerStream discipline)
-        SegmentStore.pinParams(spark, root, Seq("n" -> n.toLong))
+        // n-gram order validated BEFORE the commit (a mismatched fold
+        // must not merge an incomparable term universe), pinned AFTER the
+        // first successful commit (a failed first fold must not pin an
+        // empty store) — the MinHashLedgerStream discipline + the
+        // round-13 ordering fix
+        SegmentStore.validateParams(spark, root, Seq("n" -> n.toLong))
         val state = VersionedState.current(spark, root, StateSchema)
         VersionedState.commit(
           IndexLedgerStream.merge(state, partial(pinned, n, idCol, textCol)),
           batchId, root)
+        SegmentStore.pinParams(spark, root, Seq("n" -> n.toLong))
       }
     } finally { pinned.unpersist(blocking = false): Unit }
   }

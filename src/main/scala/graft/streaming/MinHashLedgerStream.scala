@@ -62,12 +62,14 @@ object MinHashLedgerStream {
       .persist()
     try {
       if (!sigs.isEmpty) {
-        // first committed fold pins (h, k); later folds with different
-        // sketch parameters fail loudly instead of mixing misaligned
-        // signatures into one store (round-12 ADVICE)
-        SegmentStore.pinParams(docs.sparkSession, root,
-          Seq("h" -> h.toLong, "k" -> k.toLong))
+        // validate BEFORE the write (a mismatched fold must not commit a
+        // misaligned segment), pin AFTER it (a failed first fold must not
+        // pin parameters on an empty store) — round-12 ADVICE + round-13
+        // ordering fix
+        val params = Seq("h" -> h.toLong, "k" -> k.toLong)
+        SegmentStore.validateParams(docs.sparkSession, root, params)
         sigs.write.mode("overwrite").parquet(s"$root/batch=$batchId")
+        SegmentStore.pinParams(docs.sparkSession, root, params)
       }
     } finally { sigs.unpersist(); () }
   }

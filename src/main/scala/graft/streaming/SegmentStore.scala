@@ -84,21 +84,42 @@ object SegmentStore {
     * return wrong novelty (round-12 ADVICE). Readers of a pre-params
     * layout get None and proceed on their own parameters (compat).
     */
+  /** Fail loudly if the store is pinned to DIFFERENT parameters; no-op
+    * when unpinned or matching. Folds call this BEFORE committing a
+    * segment (a mismatched fold must not pollute the store) and
+    * [[pinParams]] AFTER (a failed first fold must not pin an empty
+    * store) — the round-13 ordering.
+    */
+  def validateParams(spark: SparkSession, root: String,
+                     params: Seq[(String, Long)]): Unit =
+    readParams(spark, root).foreach { existing =>
+      require(existing == params.toMap,
+        s"segment store at $root was built with parameters " +
+          s"${fmt(existing.toSeq)} — refusing to fold/probe with " +
+          s"${fmt(params)} (misaligned sketches would silently corrupt " +
+          "novelty answers)")
+    }
+
   def pinParams(spark: SparkSession, root: String,
                 params: Seq[(String, Long)]): Unit = {
     readParams(spark, root) match {
-      case Some(existing) =>
-        val mine = params.toMap
-        require(existing == mine,
-          s"segment store at $root was built with parameters " +
-            s"${fmt(existing.toSeq)} — refusing to fold/probe with " +
-            s"${fmt(params)} (misaligned sketches would silently corrupt " +
-            "novelty answers)")
+      case Some(_) => validateParams(spark, root, params)
       case None =>
         val fs = fsOf(spark, root)
         val p = new org.apache.hadoop.fs.Path(root, "_params")
-        val out = fs.create(p, false) // no overwrite: first writer wins
+        // ATOMIC pin: write a temp file, then rename — a crash mid-write
+        // can never leave a truncated _params (which would read as an
+        // empty pin and brick the store with an opaque mismatch), and of
+        // two concurrent first folds the rename loser falls through to
+        // validation instead of a raw create failure (round-13 review)
+        val tmp = new org.apache.hadoop.fs.Path(root,
+          s"_params.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+        val out = fs.create(tmp, false)
         try out.write(fmt(params).getBytes("UTF-8")) finally out.close()
+        if (!fs.rename(tmp, p)) {
+          fs.delete(tmp, false)
+          validateParams(spark, root, params) // a concurrent writer won
+        }
     }
   }
 
