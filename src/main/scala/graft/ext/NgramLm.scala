@@ -40,8 +40,8 @@ object NgramLm {
     * `(id, th2, th1, n)` — th2 hashes the bigram "w1 w2", th1 its first
     * word, n the in-document occurrence count.
     */
-  private def docBigrams(docs: DataFrame, idCol: String,
-                         textCol: String): DataFrame =
+  private[graft] def docBigrams(docs: DataFrame, idCol: String,
+                                textCol: String): DataFrame =
     docs.select(col(idCol).as("id"),
         explode(graft.functions.GraftFunctions.word_ngrams(toks(textCol), 2))
           .as("gram"))
@@ -59,10 +59,27 @@ object NgramLm {
   def scoreDocs(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
     val b = docBigrams(docs, idCol, textCol)
-    val c2 = b.groupBy(col("th2")).agg(sum(col("n")).as("c2"))
-    val c1 = docs.select(explode(toks(textCol)).as("w"))
+    scoreAgainst(b, b.groupBy(col("th2")).agg(sum(col("n")).as("c2")),
+      uniCounts(docs, textCol))
+  }
+
+  /** Corpus unigram totals `(th1, c1)` — the score's denominators. */
+  private[graft] def uniCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(toks(textCol)).as("w"))
       .select(xxhash64(col("w")).as("th1"))
       .groupBy(col("th1")).agg(count(lit(1)).as("c1"))
+
+  /** The scoring join against EXPLICIT count tables — shared verbatim by
+    * [[scoreDocs]] (counts derived from the scored corpus itself) and the
+    * maintained-count ledger probe
+    * ([[graft.streaming.LmLedgerStream.probe]]), so ledger-served ==
+    * batch-recomputed is checkable bit for bit. `b` is a [[docBigrams]]
+    * frame; `c2` is `(th2, c2)`, `c1` is `(th1, c1)`. Every probe gram
+    * must exist in the counts (inner joins — the trained-on-scored-corpus
+    * precondition in the object doc).
+    */
+  private[graft] def scoreAgainst(b: DataFrame, c2: DataFrame,
+                                  c1: DataFrame): DataFrame =
     b.join(c2, "th2").join(c1, "th1")
       .select(col("id"), col("n"),
         (expr("(1000000 * c2) DIV c1") * col("n")).as("p"))
@@ -70,5 +87,4 @@ object NgramLm {
       .agg(sum(col("n")).as("n_bigrams"),
         expr("sum(p) DIV sum(n)").as("lm_score"))
       .select(col("id").as("doc_id"), col("n_bigrams"), col("lm_score"))
-  }
 }

@@ -156,12 +156,50 @@ object WebPipeline {
       }
     })
 
+  /** Maintained LM count ledger per corpus
+    * (graft.streaming.LmLedgerStream): the FULL documents table folds in
+    * as three waves (`doc_id % 3`) with a compaction after the second —
+    * the steady-state layout — so the probe entry pays only its own parse
+    * plus two gram-keyed joins against pre-summed count state; the corpus
+    * is never re-aggregated. Counts cover ALL docs because the batch twin
+    * (`x_text_lm_score`) trains on the scored corpus itself.
+    */
+  private val lmLedgerCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def lmLedgerFor(s: SparkSession, dir: String): String =
+    lmLedgerCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("lm_count_ledger") {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-lm-ledger").toString + "/st"
+        val docs = Tables.documents(s, dir)
+        graft.streaming.LmLedgerStream.maintain(
+          docs.filter(col("doc_id") % 3 === 1), 0L, root)
+        graft.streaming.LmLedgerStream.maintain(
+          docs.filter(col("doc_id") % 3 === 2), 1L, root)
+        graft.streaming.LmLedgerStream.compact(s, root)
+        graft.streaming.LmLedgerStream.maintain(
+          docs.filter(col("doc_id") % 3 === 0), 2L, root)
+        root
+      })
+
   val queries: Map[String, Q] = Map(
 
     // CCNet-shape LM quality score: corpus bigram MLE, integer surrogate
     // probabilities (no floats cross-engine), hash-keyed count joins
     "x_text_lm_score" -> ((s: SparkSession, dir: String) => {
       NgramLm.scoreDocs(Tables.documents(s, dir))
+    }),
+
+    // LM scoring, MAINTAINED form: the src0 slice scored against the
+    // count LEDGER (corpus folded in three waves + compaction by the
+    // build — additive gram counts on the SegmentStore layout), bit-equal
+    // to the batch recompute restricted to the same docs (the two entries
+    // share the scoring join; the oracle is x_text_lm_score's + the slice
+    // predicate)
+    "x_lm_score_ledger" -> ((s: SparkSession, dir: String) => {
+      graft.streaming.LmLedgerStream.probe(s, lmLedgerFor(s, dir),
+        Tables.documents(s, dir).filter(col("source") === "src0"))
     }),
 
     // URL canonicalization over the planted messy-URL column
@@ -420,6 +458,25 @@ object WebPipeline {
         |  CAST(sum(p) // count(*) AS BIGINT) AS lm_score
         |FROM p GROUP BY doc_id""".stripMargin,
 
+    // the maintained-ledger probe: x_text_lm_score's oracle with counts
+    // still over the FULL corpus, output restricted to the probed slice
+    // (maintained == recompute is the checked contract)
+    "x_lm_score_ledger" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT doc_id, list_extract(ws, i) AS w1,
+        |    concat(list_extract(ws, i), ' ', list_extract(ws, i + 1)) AS g
+        |  FROM t, generate_series(1, 1024) gs(i) WHERE i <= len(ws) - 1),
+        |c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM b GROUP BY g),
+        |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+        |       FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w),
+        |p AS (SELECT b.doc_id, (1000000 * c2.c2) // c1.c1 AS p
+        |      FROM b JOIN c2 USING (g) JOIN c1 ON c1.w = b.w1)
+        |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(p.p) // count(*) AS BIGINT) AS lm_score
+        |FROM p JOIN documents d ON d.doc_id = p.doc_id
+        |WHERE d.source = 'src0'
+        |GROUP BY p.doc_id""".stripMargin,
+
     "x_url_canonical" ->
       s"""WITH u AS (SELECT doc_id, $plantedUrlSql AS url FROM documents)
          |SELECT doc_id, url, ${Urls.canonicalUrlSql} AS canonical_url FROM u""".stripMargin,
@@ -546,6 +603,10 @@ object WebPipeline {
       } catch { case _: Throwable => }
     }
     prPreFor(s, dir): Unit
+  }
+  graft.BuildRebuild.register("lm_count_ledger") { (s, dir) =>
+    lmLedgerCache.remove((s.sparkContext.applicationId, dir)): Unit
+    lmLedgerFor(s, dir): Unit
   }
   graft.BuildRebuild.register("pr_incr_update") { (s, dir) =>
     prUpdCache.remove((s.sparkContext.applicationId, dir)).foreach { v =>
