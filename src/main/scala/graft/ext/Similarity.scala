@@ -260,6 +260,35 @@ object Similarity {
       .join(matched, Seq("vec_id"), "left_anti")
   }
 
+  /** Semantic DECONTAMINATION — the embedding-level complement of
+    * [[Decontaminate]]'s n-gram matching (a paraphrased benchmark answer
+    * shares no 13-gram with the eval set but sits next to it in embedding
+    * space): flag every corpus vector whose same-cluster cosine to ANY
+    * eval vector reaches `threshold`, with the hit count and the maximum
+    * similarity (the evidence a removal decision is audited with). Both
+    * sides are ASSIGNED relations `(cid, n_id, n_vec)`; the eval side is
+    * benchmark-sized, so the cid-keyed join broadcasts it and the corpus
+    * side streams through in one pass — the [[semNovelAgainstAssigned]]
+    * scale shape with the roles transposed. Recall is the cluster
+    * assignment's, as for all SemDeDup-family ops: a cross-cluster
+    * near-hit is missed (measured for this fixture by
+    * `x_dedup_semantic_recall`).
+    */
+  def semContamination(corpusAssigned: DataFrame, evalAssigned: DataFrame,
+                       threshold: Double = 0.9): DataFrame = {
+    val c = corpusAssigned.withColumn("nt", sqrt(dot(col("n_vec"), col("n_vec"))))
+      .select(col("cid"), col("n_id").as("t_id"), col("n_vec").as("wt"), col("nt"))
+    val e = evalAssigned.withColumn("ne", sqrt(dot(col("n_vec"), col("n_vec"))))
+      .select(col("cid"), col("n_vec").as("we"), col("ne"))
+    c.join(e, Seq("cid"))
+      .select(col("t_id"),
+        cosinePre(dot(col("wt"), col("we")), col("nt"), col("ne")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("t_id"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("cos")).as("max_cos"))
+      .select(col("t_id").as("vec_id"), col("n_eval_hits"), col("max_cos"))
+  }
+
   /** The SemDeDup production knob: cluster count scaled WITH the corpus so
     * the expected cluster size — the base of the within-cluster quadratic
     * term — stays constant as data grows (Abbas et al. use k ∝ n; a fixed

@@ -1385,6 +1385,23 @@ object Extensions {
             .otherwise(col("n_sem_dropped").cast("double") / col("n_true_dropped")))
     }),
 
+    // SEMANTIC decontamination: the embedding-level complement of the
+    // n-gram x_decontaminate (catches paraphrased eval leakage that
+    // shares no n-gram) — eval = the vec_id % 10 = 0 slice, corpus = the
+    // rest, both served from the ONE cached IVF assignment; a corpus
+    // vector is contaminated when a same-cluster eval vector reaches
+    // cosine 0.4, reported with hit count + max similarity (the audit
+    // evidence). ONE cid-keyed join against a broadcast-sized eval side.
+    // Oracle is generated with the trained centroid literals (decontamSem
+    // in ivfOracles) — assignment + the cross-split rule recomputed from
+    // the embeddings table alone
+    "x_decontam_semantic" -> ((s: SparkSession, dir: String) => {
+      val (_, assigned) = ivfFor(s, dir)
+      Similarity.semContamination(
+        assigned.filter(col("n_id") % 10 =!= 0),
+        assigned.filter(col("n_id") % 10 === 0), threshold = 0.4)
+    }),
+
     // train/eval decontamination: docs from source 'src0' stand in for the
     // eval benchmark; every other doc sharing a 3-gram with it is flagged.
     // Bloom-prescreened corpus side, exact-join verify — output is exact
@@ -3448,10 +3465,26 @@ object Extensions {
              |SELECT n_id AS vec_id FROM a
              |WHERE n_id % 10 = 0
              |  AND n_id NOT IN (SELECT n_id FROM matched)""".stripMargin
+        // semantic decontamination: eval slice (n_id % 10 = 0) vs the
+        // corpus rest — per contaminated corpus vector the same-cluster
+        // eval-hit count and max cosine at threshold 0.4 (assignment and
+        // the cross-split rule recomputed from the embeddings table, so
+        // the entry's one-cached-assignment serving == recompute)
+        val decontamSem =
+          s"""$prefix,
+             |$ivfAssignCte,
+             |hits AS (SELECT c2.n_id,
+             |    round(list_cosine_similarity(b.n_vec, c2.n_vec), 6) AS cos
+             |  FROM a b JOIN a c2 ON b.cid = c2.cid
+             |  WHERE b.n_id % 10 = 0 AND c2.n_id % 10 <> 0)
+             |SELECT n_id AS vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+             |  max(cos) AS max_cos
+             |FROM hits WHERE cos >= 0.4 GROUP BY n_id""".stripMargin
         val base = Map("x_sim_ann_ivf" -> annIvf, "x_sim_ivf_recall" -> recall,
           "x_dedup_semantic" -> sem, "x_dedup_semantic_recall" -> semRecall,
           "x_ann_incremental" -> annIncr,
-          "x_dedup_semantic_incremental" -> semIncr)
+          "x_dedup_semantic_incremental" -> semIncr,
+          "x_decontam_semantic" -> decontamSem)
         // layout oracle only when the cid-partitioned parquet was written
         // this run: DuckDB reads the SERVED FILES themselves, so the check
         // covers the on-disk layout, not just the arithmetic

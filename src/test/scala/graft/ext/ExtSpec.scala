@@ -626,6 +626,30 @@ class SimilaritySpec extends SparkSpec {
     assert(allNovel === Set(100L, 101L))
   }
 
+  test("semContamination: near-copy of an eval vector flagged with hit count + max cos") {
+    // corpus = 24 near-orthogonal vectors; eval = near-copies of corpus
+    // ids 0 and 1 (same nearest centroid by construction); corpus ids 0
+    // and 1 must be flagged with one hit each, everything else clean
+    val rnd = new scala.util.Random(11)
+    val noise = (0 until 24).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val corpus = noise.toDF("vec_id", "embedding")
+    val ev = Seq(
+      (100L, { val c = noise(0)._2.clone(); c(0) += 0.001f; c }),
+      (101L, { val c = noise(1)._2.clone(); c(1) += 0.001f; c }))
+      .toDF("vec_id", "embedding")
+    val model = Similarity.ivfTrain(corpus, nlist = 4, iters = 2)
+    val got = Similarity.semContamination(
+        Similarity.ivfAssign(corpus, model),
+        Similarity.ivfAssign(ev, model), threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet === Set(0L, 1L))
+    assert(got(0L)._1 === 1L && got(0L)._2 >= 0.99)
+    // empty eval set: nothing is contaminated
+    assert(Similarity.semContamination(
+      Similarity.ivfAssign(corpus, model),
+      Similarity.ivfAssign(ev.limit(0), model), threshold = 0.99).count() === 0)
+  }
+
   test("autoNlist scales cluster count with the corpus, keeping cluster size flat") {
     // 10× corpus → 10× clusters (same expected cluster size = same
     // per-cluster pair work), floored at 1, capped at maxNlist
