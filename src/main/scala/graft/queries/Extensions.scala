@@ -247,6 +247,22 @@ object Extensions {
         root
       })
 
+  /** JSONL export per corpus (graft.io.Jsonl): the documents table
+    * written ONCE as real one-object-per-line files; the roundtrip entry
+    * re-ingests them schema-pinned.
+    */
+  private val jsonlExportCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def jsonlExportFor(s: SparkSession, dir: String): String =
+    jsonlExportCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("jsonl_export") {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-jsonl").toString + "/export"
+        graft.io.Jsonl.write(Tables.documents(s, dir), root)
+        root
+      })
+
   /** Loader shard export per corpus (graft.io.Shards): interleave
     * schedule (total 300, the x_mix_schedule fixture) → 512-token
     * sequences packed in consumption order → 8 sequences per shard →
@@ -2358,6 +2374,36 @@ object Extensions {
       graft.io.Warc.roundTrip(s, Tables.documents(s, dir))
     }),
 
+    // JSONL round trip: the corpus exported as real one-object-per-line
+    // files (the build, per-partition sharding) and re-ingested
+    // SCHEMA-PINNED in FAILFAST mode; the oracle reads the ORIGINAL
+    // documents table, so a hash match proves JSON escaping (quotes,
+    // control chars, non-ASCII) survives encode → parse → decode bit for
+    // bit. The PERMISSIVE quarantine policy for foreign feeds is pinned
+    // in JsonlSpec.
+    "x_jsonl_roundtrip" -> ((s: SparkSession, dir: String) => {
+      graft.io.Jsonl.read(s, jsonlExportFor(s, dir))
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    }),
+
+    // content-defined chunking (Rabin-style divisor rule, FastCDC shape):
+    // boundaries are a function of CONTENT, so an early edit leaves all
+    // later chunks identical — the delta-dedup/snapshot-storage
+    // primitive. Map-only rolling walk; chunk TEXT is in the output, so
+    // the oracle (an 8-term integer window polynomial mirrored per
+    // position) checks content reassembly, not just counts
+    "x_text_cdc_chunks" -> ((s: SparkSession, dir: String) => {
+      graft.ext.Cdc.chunks(Tables.documents(s, dir))
+    }),
+
+    // chunk-store dedup statistics over the CDC chunks: how many
+    // characters a content-addressed store saves by keeping each chunk
+    // once — one keyed aggregation on chunk content (hash-first at 100 TB,
+    // see Cdc's scaladoc)
+    "x_text_cdc_dedup" -> ((s: SparkSession, dir: String) => {
+      graft.ext.Cdc.dedupStats(graft.ext.Cdc.chunks(Tables.documents(s, dir)))
+    }),
+
     // PCA projection over the trained model: one codegen dot product per
     // component, mean-dot constant folded on the driver — map-only
     "x_embed_pca_project" -> ((s: SparkSession, dir: String) => {
@@ -2960,6 +3006,32 @@ object Extensions {
        |  CAST(sum(coalesce(per.f, 0)) AS BIGINT) AS n_fallback
        |FROM documents d LEFT JOIN per USING (doc_id)
        |GROUP BY 1""".stripMargin
+  }
+
+  /** Shared CTE prefix for the CDC entries: per-document cut positions
+    * (the 8-term window polynomial of Cdc.scala — base 33, code point mod
+    * 4096, divisor 61, cuts strictly inside the text) and the chunk
+    * bounds lists `cb(doc_id, text, st, en)`.
+    */
+  private val cdcChunksSql = {
+    val pows = Seq(42618442977L, 1291467969L, 39135393L, 1185921L,
+      35937L, 1089L, 33L, 1L) // 33^7 … 33^0
+    // the BIGINT cast is load-bearing: unicode(...) % 4096 is INT32 in
+    // DuckDB and the smaller power literals also fit INT32, so the
+    // product would overflow 32-bit where the engine's arithmetic is long
+    val terms = pows.zipWithIndex.map { case (p, j) =>
+      s"CAST(unicode(substr(text, CAST(q - ${7 - j} AS INT), 1)) % 4096 AS BIGINT) * $p"
+    }.mkString("\n      + ")
+    s"""WITH cdoc AS (SELECT doc_id, text, length(text) AS n FROM documents
+       |  WHERE text IS NOT NULL AND length(text) > 0),
+       |ck AS (SELECT doc_id, text, n,
+       |    list_filter(generate_series(8, n - 1), q ->
+       |      ($terms) % 61 = 0) AS cuts
+       |  FROM cdoc),
+       |cb AS (SELECT doc_id, text,
+       |    list_prepend(CAST(0 AS BIGINT), cuts) AS st,
+       |    list_append(cuts, CAST(n AS BIGINT)) AS en
+       |  FROM ck)""".stripMargin
   }
 
   /** Shared CTEs for the exact-substring family: stride-1 40-char windows
@@ -5135,6 +5207,36 @@ object Extensions {
         |  CAST(length(text) AS INT) AS payload_chars
         |FROM documents""".stripMargin,
 
+    // the JSONL roundtrip must hand back the original table verbatim
+    "x_jsonl_roundtrip" ->
+      "SELECT doc_id, source, lang, text FROM documents",
+
+    // CDC boundaries re-derived per position as the 8-term window
+    // polynomial (base 33, code point mod 4096, divisor 61 — Cdc.scala's
+    // rule verbatim; powers of 33 inlined as literals). generate_series
+    // caps: 4096 chunks/doc (the x_bpe_pairs hard-cap idiom — a longer
+    // doc would lose tail chunks in the oracle only and hash-mismatch
+    // loudly; fixture max is ~600 chars)
+    "x_text_cdc_chunks" -> (cdcChunksSql + """
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  CAST(en[i] - st[i] AS INT) AS chunk_len,
+        |  substr(text, CAST(st[i] + 1 AS INT), CAST(en[i] - st[i] AS INT)) AS chunk_text
+        |FROM cb, generate_series(1, 4096) t(i) WHERE i <= len(en)""".stripMargin),
+
+    "x_text_cdc_dedup" -> (cdcChunksSql + """,
+        |ch AS (SELECT substr(text, CAST(st[i] + 1 AS INT),
+        |         CAST(en[i] - st[i] AS INT)) AS chunk_text,
+        |       en[i] - st[i] AS chunk_len
+        |  FROM cb, generate_series(1, 4096) t(i) WHERE i <= len(en)),
+        |g AS (SELECT chunk_text, CAST(count(*) AS BIGINT) AS c,
+        |        CAST(max(chunk_len) AS BIGINT) AS l
+        |      FROM ch GROUP BY 1)
+        |SELECT CAST(sum(c) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(c * l) AS BIGINT) AS total_chars,
+        |  CAST(sum((c - 1) * l) AS BIGINT) AS dup_chars
+        |FROM g""".stripMargin),
+
     // end-to-end curation: the CC walk gives component labels (min id by
     // construction), canonical ⇔ unpaired or label == id, then the shared
     // quality battery gates captions
@@ -5365,6 +5467,7 @@ object Extensions {
   reg("probe_train", probeCache, probeFor)()
   reg("classifier_train", irlsCache, irlsFor)()
   reg("pack_shards_write", shardExportCache, shardExportFor)()
+  reg("jsonl_export", jsonlExportCache, jsonlExportFor)()
   reg("decontam_ledger", decontamLedgerCache, decontamLedgerFor)()
   reg("minhash_ledger", minhashLedgerCache, minhashLedgerFor)()
   reg("exact_dedup_ledger", exactLedgerCache, exactLedgerFor)()
