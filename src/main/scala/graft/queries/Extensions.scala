@@ -247,6 +247,31 @@ object Extensions {
         root
       })
 
+  /** CDC chunk-store ledger per corpus (graft.streaming.CdcLedgerStream):
+    * the corpus (source != src0) folds in as three waves with a
+    * compaction after the second (the steady-state layout) — the probe
+    * entry then pays the steady-state cost (batch chunked + one
+    * 8-byte-keyed join pair, corpus never re-chunked).
+    */
+  private val cdcLedgerCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def cdcLedgerFor(s: SparkSession, dir: String): String =
+    cdcLedgerCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("cdc_chunk_ledger") {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-cdc-ledger").toString + "/st"
+        val corpus = Tables.documents(s, dir).filter(col("source") =!= "src0")
+        graft.streaming.CdcLedgerStream.maintain(
+          corpus.filter(col("doc_id") % 3 === 1), 0L, root)
+        graft.streaming.CdcLedgerStream.maintain(
+          corpus.filter(col("doc_id") % 3 === 2), 1L, root)
+        graft.streaming.CdcLedgerStream.compact(s, root)
+        graft.streaming.CdcLedgerStream.maintain(
+          corpus.filter(col("doc_id") % 3 === 0), 2L, root)
+        root
+      })
+
   /** JSONL export per corpus (graft.io.Jsonl): the documents table
     * written ONCE as real one-object-per-line files; the roundtrip entry
     * re-ingests them schema-pinned.
@@ -2402,6 +2427,18 @@ object Extensions {
     // see Cdc's scaladoc)
     "x_text_cdc_dedup" -> ((s: SparkSession, dir: String) => {
       graft.ext.Cdc.dedupStats(graft.ext.Cdc.chunks(Tables.documents(s, dir)))
+    }),
+
+    // CDC chunk store, MAINTAINED form: per src0 document the chunk count,
+    // the chunks the store has never seen, and the bytes they add (the
+    // ingest's write amplification) — probed against the ledger the build
+    // folded (batch chunked + one 8-byte-keyed join pair; the corpus is
+    // never re-chunked). The oracle re-chunks everything and re-derives
+    // the novelty rule from the documents table alone, so maintained ==
+    // recompute is the checked contract
+    "x_text_cdc_ledger" -> ((s: SparkSession, dir: String) => {
+      graft.streaming.CdcLedgerStream.probe(s, cdcLedgerFor(s, dir),
+        Tables.documents(s, dir).filter(col("source") === "src0"))
     }),
 
     // PCA projection over the trained model: one codegen dot product per
@@ -5237,6 +5274,28 @@ object Extensions {
         |  CAST(sum((c - 1) * l) AS BIGINT) AS dup_chars
         |FROM g""".stripMargin),
 
+    // maintained chunk store == recompute: chunks of ALL docs, corpus
+    // chunk set = non-src0 contents, per src0 doc the occurrences whose
+    // content the corpus set lacks (LEFT JOIN on content — the probe's
+    // hash-then-verify collapses to exactly this on collision-free input,
+    // and collisions are re-verified by text)
+    "x_text_cdc_ledger" -> (cdcChunksSql + """,
+        |ch AS (SELECT doc_id, substr(text, CAST(st[i] + 1 AS INT),
+        |         CAST(en[i] - st[i] AS INT)) AS chunk_text,
+        |       en[i] - st[i] AS chunk_len
+        |  FROM cb, generate_series(1, 4096) t(i) WHERE i <= len(en)),
+        |corp AS (SELECT DISTINCT chunk_text FROM ch
+        |  JOIN documents d USING (doc_id) WHERE d.source <> 'src0'),
+        |b AS (SELECT ch.doc_id, ch.chunk_text, ch.chunk_len,
+        |        (corp.chunk_text IS NULL) AS novel
+        |  FROM ch JOIN documents d USING (doc_id)
+        |  LEFT JOIN corp USING (chunk_text)
+        |  WHERE d.source = 'src0')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) FILTER (WHERE novel) AS BIGINT) AS n_novel_chunks,
+        |  CAST(coalesce(sum(chunk_len) FILTER (WHERE novel), 0) AS BIGINT) AS novel_chars
+        |FROM b GROUP BY doc_id""".stripMargin),
+
     // end-to-end curation: the CC walk gives component labels (min id by
     // construction), canonical ⇔ unpaired or label == id, then the shared
     // quality battery gates captions
@@ -5468,6 +5527,7 @@ object Extensions {
   reg("classifier_train", irlsCache, irlsFor)()
   reg("pack_shards_write", shardExportCache, shardExportFor)()
   reg("jsonl_export", jsonlExportCache, jsonlExportFor)()
+  reg("cdc_chunk_ledger", cdcLedgerCache, cdcLedgerFor)()
   reg("decontam_ledger", decontamLedgerCache, decontamLedgerFor)()
   reg("minhash_ledger", minhashLedgerCache, minhashLedgerFor)()
   reg("exact_dedup_ledger", exactLedgerCache, exactLedgerFor)()

@@ -6,9 +6,10 @@ class CdcSpec extends SparkSpec {
   import spark.implicits._
 
   test("cutPoints: deterministic, strictly inside, window-complete only") {
-    val t = "the quick brown fox jumps over the lazy dog " * 4
+    val t = "pack my box with five dozen liquor jugs and then some more words here " * 4
     val cuts = Cdc.cutPoints(t)
     assert(cuts === Cdc.cutPoints(t)) // pure function
+    assert(cuts.nonEmpty, "fixture text must actually trigger the divisor rule")
     assert(cuts.forall(c => c >= Cdc.Window && c < t.length))
     assert(cuts === cuts.sorted && cuts.distinct === cuts)
     // short and empty texts have no cuts
@@ -17,7 +18,7 @@ class CdcSpec extends SparkSpec {
   }
 
   test("content-defined: an early edit leaves chunks after the edit window identical") {
-    val base = "x" + ("the quick brown fox jumps over the lazy dog " * 8)
+    val base = "x" + ("pack my box with five dozen liquor jugs and then some more words here " * 8)
     val edited = "yy" + base.substring(1) // early insertion, shifts offsets
     def chunkSet(t: String): Set[String] = {
       val bounds = (0 +: Cdc.cutPoints(t)) :+ t.length
@@ -32,7 +33,7 @@ class CdcSpec extends SparkSpec {
 
   test("chunks reassemble to the document; idx/len consistent; empty docs absent") {
     val docs = Seq(
-      (1L, "the quick brown fox jumps over the lazy dog " * 3),
+      (1L, "pack my box with five dozen liquor jugs and then some more words here " * 3),
       (2L, "short"),
       (3L, "")).toDF("doc_id", "text")
     val got = Cdc.chunks(docs).as[(Long, Int, Int, String)].collect()
@@ -40,21 +41,25 @@ class CdcSpec extends SparkSpec {
     assert(!got.contains(3L))
     assert(got(2L).map(_._4).mkString === "short")
     val d1 = got(1L)
-    assert(d1.map(_._4).mkString === "the quick brown fox jumps over the lazy dog " * 3)
+    assert(d1.map(_._4).mkString === "pack my box with five dozen liquor jugs and then some more words here " * 3)
     assert(d1.map(_._2).toSeq === (1 to d1.length))
     assert(d1.forall(c => c._3 === c._4.length))
   }
 
   test("dedupStats counts duplicate chunk storage exactly") {
-    // two identical docs: every chunk duplicated once
-    val t = "the quick brown fox jumps over the lazy dog " * 4
+    // two identical docs (and the periodic text repeats chunks even
+    // WITHIN one doc) — expectations derived from the chunk frame itself
+    val t = "pack my box with five dozen liquor jugs and then some more words here " * 4
     val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val ch = Cdc.chunks(docs).as[(Long, Int, Int, String)].collect()
     val r = Cdc.dedupStats(Cdc.chunks(docs)).head()
-    val nChunks = r.getLong(0); val nDistinct = r.getLong(1)
-    val total = r.getLong(2); val dup = r.getLong(3)
-    assert(nChunks === 2 * nDistinct)
-    assert(total === 2L * t.length)
-    assert(dup === t.length.toLong)
+    assert(r.getLong(0) === ch.length.toLong)
+    assert(r.getLong(1) === ch.map(_._4).distinct.length.toLong)
+    assert(r.getLong(2) === ch.map(_._3.toLong).sum)
+    assert(r.getLong(2) === 2L * t.length) // reassembly invariant
+    assert(r.getLong(3) === ch.map(_._3.toLong).sum
+      - ch.map(_._4).distinct.map(_.length.toLong).sum)
+    assert(r.getLong(3) >= t.length.toLong, "the doc-level duplicate alone dups every char once")
   }
 
   test("code points: astral chars count as one position (the oracle's unit)") {
