@@ -410,6 +410,63 @@ object Multimodal {
     }
   }
 
+  /** Quantized DCT-II basis for [[pHash60]]: `round(1024·cos(π(2x+1)u/16))`
+    * — computed ONCE here and exported verbatim into the oracle SQL as a
+    * VALUES literal (the trained-centroid discipline: the one
+    * transcendental — cos — never crosses engines; both sides multiply
+    * the SAME integers).
+    */
+  val DctQ: Array[Array[Long]] = Array.tabulate(8, 8) { (u, x) =>
+    math.round(1024.0 * math.cos(math.Pi * (2 * x + 1) * u / 16.0))
+  }
+
+  /** 60-bit pHash (DCT hash) of a decoded image — the frequency-domain
+    * member of the image signature family beside the gradient [[dHash60]]
+    * and brightness [[aHash60]]: a 2D integer DCT over the 8×8 block
+    * grid, then each of the 60 lowest non-DC coefficients (row-major
+    * indices 1..60) compared against their LOWER MEDIAN (the 30th
+    * smallest — deterministic for integers). Frequency thresholding
+    * survives blur/sharpen-class perturbations that flip local gradients.
+    * All arithmetic is integer (`|coef| ≤ 1024·255·64·1024 ≈ 1.7·10¹³`),
+    * so the hash is cross-engine oracle-checkable like its siblings; the
+    * two matrix multiplies are separable (C·G then ·Cᵀ), the shape the
+    * oracle mirrors.
+    */
+  def pHash60(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w >= 9 && h >= 8, s"pHash60 needs >= 9x8 pixels, got ${w}x$h")
+    val g = blockGrid(img) // 8 rows × 9 cols; columns 0..7 used
+    val t = Array.tabulate(8, 8) { (u, x) =>
+      var acc = 0L; var y = 0
+      while (y < 8) { acc += DctQ(u)(y) * g(y)(x); y += 1 }
+      acc
+    }
+    val f = Array.tabulate(8, 8) { (u, v) =>
+      var acc = 0L; var x = 0
+      while (x < 8) { acc += DctQ(v)(x) * t(u)(x); x += 1 }
+      acc
+    }
+    val sel = (1 to 60).map(ci => (ci, f(ci / 8)(ci % 8)))
+    val med = sel.map(_._2).sorted.apply(29) // lower median of 60
+    sel.foldLeft(0L) { case (hs, (ci, v)) =>
+      if (v > med) hs | (1L << (ci - 1)) else hs
+    }
+  }
+
+  /** DCT signatures over a media table: REAL PNG decode, then [[pHash60]]
+    * → `(media_id, phash)`.
+    */
+  def dctHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"media ${r.media_id}: payload is not a decodable image")
+        (r.media_id, pHash60(img))
+      }
+    }.toDF("media_id", "phash")
+  }
+
   /** Perceptual signatures over a media table: REAL PNG decode (ImageIO,
     * per-partition batches like [[extractFeatures]]), then both hashes →
     * `(media_id, dhash, ahash)`.

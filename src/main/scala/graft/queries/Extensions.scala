@@ -2220,6 +2220,17 @@ object Extensions {
         Multimodal.dedupMediaFromDocuments(s, Tables.documents(s, dir)))
     }),
 
+    // pHash (DCT hash): the frequency-domain third member of the image
+    // signature family — integer 2D DCT over the block grid (quantized
+    // basis, exported to the oracle as literals so cos never crosses
+    // engines), lower-median threshold over the 60 lowest non-DC
+    // coefficients; exactly invariant to uniform brightness shifts (the
+    // quantized basis rows still sum to zero — pinned in MultimodalSpec)
+    "x_mm_phash_sigs" -> ((s: SparkSession, dir: String) => {
+      Multimodal.dctHashes(
+        Multimodal.dedupMediaFromDocuments(s, Tables.documents(s, dir)))
+    }),
+
     // image near-dup PAIRS through the text SimHash's chunk-pigeonhole
     // banding (one keyed shuffle, exact for maxDist ≤ 3) — the oracle is
     // the all-pairs hamming scan, equal by pigeonhole exactness, so the
@@ -2822,7 +2833,10 @@ object Extensions {
     * dHash (horizontal gradient signs) + aHash (vs the 8×8 mean `//64`) —
     * every step integer, mirroring `Multimodal.dHash60`/`aHash60` exactly.
     */
-  private val mmHashCtes =
+  /** Pixel + block-grid prefix shared by the dHash/aHash CTEs and the
+    * pHash oracle (one fixture derivation, three signature families).
+    */
+  private val mmPxBlkCtes =
     s"""px AS MATERIALIZED (SELECT doc_id, x, y,
       |    CASE WHEN doc_id % 3 = 0 AND ((x = 0 AND y = 0) OR (x = 4 AND y = 4))
       |         THEN xor(rgb0, 7340032) ELSE rgb0 END AS rgb
@@ -2835,7 +2849,10 @@ object Extensions {
       |      CROSS JOIN (SELECT unnest(range(0, 16)) AS y) y))),
       |blk AS MATERIALIZED (SELECT doc_id, x // 2 AS gx, y // 2 AS gy,
       |    CAST(sum((((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)) // 3) // 4 AS BIGINT) AS bval
-      |  FROM px GROUP BY 1, 2, 3),
+      |  FROM px GROUP BY 1, 2, 3)""".stripMargin
+
+  private val mmHashCtes =
+    s"""$mmPxBlkCtes,
       |dh AS MATERIALIZED (SELECT b1.doc_id,
       |    CAST(sum(CASE WHEN b2.bval > b1.bval
       |         THEN (CAST(1 AS BIGINT) << (b1.gy * 8 + b1.gx)) ELSE 0 END) AS BIGINT) AS dhash
@@ -2853,6 +2870,41 @@ object Extensions {
       |  GROUP BY 1),
       |sigs AS MATERIALIZED (SELECT dh.doc_id AS media_id, dh.dhash, ah.ahash
       |  FROM dh JOIN ah USING (doc_id))""".stripMargin
+
+  /** pHash oracle: the shared pixel/block fixture, then the quantized-DCT
+    * basis as a VALUES literal (exported from Multimodal.DctQ — the one
+    * transcendental never crosses engines), two separable matrix
+    * multiplies, lower-median threshold over coefficients 1..60 —
+    * Multimodal.pHash60 verbatim.
+    */
+  private def mmPhashOracle: String = {
+    val dctVals = graft.ext.Multimodal.DctQ.zipWithIndex.flatMap {
+      case (row, u) => row.zipWithIndex.map {
+        case (c, x) => s"($u, $x, CAST($c AS BIGINT))"
+      }
+    }.mkString(",\n      ")
+    s"""WITH $mmPxBlkCtes,
+       |dctq AS (SELECT * FROM (VALUES
+       |      $dctVals) t(u, x, c)),
+       |tm AS MATERIALIZED (SELECT b.doc_id, cu.u, b.gx AS x,
+       |    CAST(sum(cu.c * b.bval) AS BIGINT) AS t
+       |  FROM blk b JOIN dctq cu ON cu.x = b.gy
+       |  WHERE b.gx < 8 GROUP BY 1, 2, 3),
+       |fm AS MATERIALIZED (SELECT tm.doc_id, tm.u, cv.u AS v,
+       |    CAST(sum(cv.c * tm.t) AS BIGINT) AS f
+       |  FROM tm JOIN dctq cv ON cv.x = tm.x
+       |  GROUP BY 1, 2, 3),
+       |fs AS (SELECT doc_id, u * 8 + v AS ci, f FROM fm
+       |  WHERE u * 8 + v BETWEEN 1 AND 60),
+       |md AS (SELECT doc_id, f AS med FROM (
+       |    SELECT doc_id, f, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY f, ci) AS rk FROM fs) WHERE rk = 30)
+       |SELECT fs.doc_id AS media_id,
+       |  CAST(sum(CASE WHEN fs.f > md.med
+       |       THEN (CAST(1 AS BIGINT) << (fs.ci - 1)) ELSE 0 END) AS BIGINT) AS phash
+       |FROM fs JOIN md USING (doc_id)
+       |GROUP BY 1""".stripMargin
+  }
 
   /** Shared CTE for the audio family: re-derives `Audio.synthSamples`'
     * PCM arithmetically — `s(k) = (seed·2654435761 + k·48271) % 65536 −
@@ -5080,6 +5132,8 @@ object Extensions {
     "x_mm_dhash_sigs" ->
       s"""WITH $mmHashCtes
          |SELECT media_id, dhash, ahash FROM sigs""".stripMargin,
+
+    "x_mm_phash_sigs" -> mmPhashOracle,
 
     // all-pairs hamming scan over the derived dHashes — equal to the Spark
     // side's chunk-pigeonhole banding by exactness for maxDist <= 3

@@ -136,6 +136,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(3000))
     assert(p.contains("cid"), p.take(3000))
+    // the semantic-decontamination transposition keeps the same bound
+    val pc = graft.ext.Similarity.semContamination(assigned, assigned, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!pc.contains("CartesianProduct") && !pc.contains("BroadcastNestedLoopJoin"),
+      pc.take(3000))
+    assert(pc.contains("cid"), pc.take(3000))
   }
 
   test("REGISTRY-WIDE: no unplanned nested-loop/cartesian join in any query") {
@@ -186,6 +192,10 @@ class PlanShapeSpec extends SparkSpec {
                              // nlist-bounded centroid cross; the probe
                              // join against the served index is keyed on
                              // cid
+      "x_decontam_semantic", // slices the same cached IVF assignment
+                             // (nlist-bounded centroid cross in lineage);
+                             // the eval-hit join is keyed on cid (pinned
+                             // below)
       "x_dedup_semantic_recall") // includes the exact all-pairs reference
                              // (the eval's ground truth is quadratic by
                              // spec, like the other *_recall entries)

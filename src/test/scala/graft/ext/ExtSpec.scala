@@ -849,6 +849,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dHash60(base) >= 0L && Multimodal.aHash60(base) >= 0L)
   }
 
+  test("pHash60: exact brightness-shift invariance (zero-sum DCT rows), sensitivity, sign") {
+    def img(f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val i = new java.awt.image.BufferedImage(18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 18) i.setRGB(x, y, f(x, y) & 0xffffff)
+      i
+    }
+    // the quantized basis keeps the exact zero row sums of the real DCT
+    // (the ± pairing survives rounding) — the invariance's precondition
+    assert(Multimodal.DctQ.drop(1).forall(_.sum === 0L))
+    assert(Multimodal.DctQ(0).forall(_ === 1024L))
+    // channels capped at 0xE0 so +16 never clips: every block mean shifts
+    // by exactly 16, every non-DC coefficient is bit-identical
+    def capped(x: Int, y: Int): Int = (x * 1000003 + y * 8191) & 0xE0E0E0
+    val base = img(capped)
+    val brighter = img((x, y) => capped(x, y) + 0x101010)
+    assert(Multimodal.pHash60(base) === Multimodal.pHash60(brighter))
+    // a structurally different image lands far away
+    val other = img((x, y) => (y * 999331 + x * 131) & 0xE0E0E0)
+    val d = java.lang.Long.bitCount(Multimodal.pHash60(base) ^ Multimodal.pHash60(other))
+    assert(d > 10, s"distinct images must differ widely, got hamming $d")
+    // 60-bit signed-positive convention; deterministic
+    assert(Multimodal.pHash60(base) >= 0L)
+    assert(Multimodal.pHash60(base) === Multimodal.pHash60(img(capped)))
+  }
+
   test("image near-dup: banded pairs == all-pairs hamming; dedup fixture has planted structure") {
     val docs = (0L until 40L).map(id => (id, s"t$id", 1L)).toDF("doc_id", "text", "n_chars")
     val media = Multimodal.dedupMediaFromDocuments(spark, docs)
