@@ -120,6 +120,24 @@ object TokenizerQueries {
     "x_wordpiece_tokenize" -> ((s: SparkSession, dir: String) => {
       WordPiece.tokenize(Tables.documents(s, dir), "doc_id", "text",
         wpFor(s, dir)._2, maxWordLen = WordPiece.MaxWordLen)
+    }),
+
+    // per-source FERTILITY + [UNK] drift under the frozen WordPiece vocab
+    // — the tokenizer-staleness monitor beside x_bpe_oov_drift: tokens
+    // per word (fertility) climbing for a source means its text is
+    // drifting away from the vocab's training distribution; the UNK
+    // column is the hard-failure tail (zero on the training corpus by
+    // construction — alphabet coverage — and unit-pinned nonzero under a
+    // foreign vocab). One tokenize pass + one keyed aggregation
+    "x_wordpiece_drift" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir)
+      WordPiece.tokenize(docs, "doc_id", "text",
+          wpFor(s, dir)._2, maxWordLen = WordPiece.MaxWordLen)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_words")).cast("long").as("n_words"),
+          sum(col("n_wp_tokens")).cast("long").as("n_tokens"),
+          sum(col("n_unk_words")).cast("long").as("n_unk_words"))
     })
   )
 
@@ -339,7 +357,46 @@ object TokenizerQueries {
     * over the candidates present in the vocab), or collapses to [UNK]
     * (nt := 1, pos jumps past the end — the HF whole-word rule).
     */
-  private def wpTokenizeOracle(rounds: Int): String = {
+  private def wpTokenizeOracle(rounds: Int): String =
+    s"""WITH ${wpTokCtes(rounds)},
+       |occ AS (SELECT doc_id, unnest(ws) AS word FROM dw),
+       |agg AS (SELECT o.doc_id, CAST(count(*) AS INT) AS n_words,
+       |    CAST(sum(wp.nt) AS INT) AS n_wp_tokens,
+       |    CAST(sum(wp.unk) AS INT) AS n_unk_words
+       |  FROM occ o JOIN wp USING (word) GROUP BY o.doc_id),
+       |fw AS (SELECT f.doc_id, wp.toks AS first_word_tokens
+       |  FROM (SELECT doc_id, ws[1] AS word FROM dw WHERE len(ws) >= 1) f
+       |  JOIN wp USING (word))
+       |SELECT d.doc_id,
+       |  coalesce(agg.n_words, 0) AS n_words,
+       |  coalesce(agg.n_wp_tokens, 0) AS n_wp_tokens,
+       |  coalesce(agg.n_unk_words, 0) AS n_unk_words,
+       |  coalesce(fw.first_word_tokens, '') AS first_word_tokens
+       |FROM documents d
+       |LEFT JOIN agg USING (doc_id) LEFT JOIN fw USING (doc_id)""".stripMargin
+
+  /** Per-source [UNK] totals under the same re-derived vocab — the
+    * bpeOovDriftOracle shape over the WordPiece machinery (zero-word
+    * docs contribute zeros through the LEFT JOIN).
+    */
+  private def wpOovDriftOracle(rounds: Int): String =
+    s"""WITH ${wpTokCtes(rounds)},
+       |occ AS (SELECT doc_id, unnest(ws) AS word FROM dw),
+       |per AS (SELECT o.doc_id, CAST(count(*) AS BIGINT) AS w,
+       |    CAST(sum(wp.nt) AS BIGINT) AS t, CAST(sum(wp.unk) AS BIGINT) AS u
+       |  FROM occ o JOIN wp USING (word) GROUP BY o.doc_id)
+       |SELECT d.source,
+       |  CAST(sum(coalesce(per.w, 0)) AS BIGINT) AS n_words,
+       |  CAST(sum(coalesce(per.t, 0)) AS BIGINT) AS n_tokens,
+       |  CAST(sum(coalesce(per.u, 0)) AS BIGINT) AS n_unk_words
+       |FROM documents d LEFT JOIN per USING (doc_id)
+       |GROUP BY 1""".stripMargin
+
+  /** Everything both tokenize-family oracles share: the merge rounds, the
+    * re-derived vocab, the document word lists, and the unrolled greedy
+    * walk ending in `wp(word, nt, toks, unk)`.
+    */
+  private def wpTokCtes(rounds: Int): String = {
     val steps = WordPiece.MaxWordLen
     val vocabUnion = (1 to rounds)
       .map(r => s"UNION SELECT sym_a || substr(sym_b, 3) AS sym FROM m$r")
@@ -369,7 +426,7 @@ object TokenizerQueries {
          |         WHEN m.bl IS NULL THEN 1 ELSE g.unk END AS unk
          |  FROM g${k - 1} g LEFT JOIN b$k m USING (word))""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${wpMergeCtes(rounds)},
+    s"""${wpMergeCtes(rounds)},
        |wpv AS MATERIALIZED (
        |  SELECT DISTINCT sym FROM (
        |    SELECT unnest(string_split(trim(s, $wpO || $wpC), $wpC || $wpO)) AS sym
@@ -381,22 +438,7 @@ object TokenizerQueries {
        |g0 AS (SELECT word, CAST(1 AS BIGINT) AS pos, 0 AS nt,
        |         CAST('' AS VARCHAR) AS toks, 0 AS unk FROM uw),
        |$stepCtes,
-       |wp AS (SELECT word, nt, toks, unk FROM g$steps),
-       |occ AS (SELECT doc_id, unnest(ws) AS word FROM dw),
-       |agg AS (SELECT o.doc_id, CAST(count(*) AS INT) AS n_words,
-       |    CAST(sum(wp.nt) AS INT) AS n_wp_tokens,
-       |    CAST(sum(wp.unk) AS INT) AS n_unk_words
-       |  FROM occ o JOIN wp USING (word) GROUP BY o.doc_id),
-       |fw AS (SELECT f.doc_id, wp.toks AS first_word_tokens
-       |  FROM (SELECT doc_id, ws[1] AS word FROM dw WHERE len(ws) >= 1) f
-       |  JOIN wp USING (word))
-       |SELECT d.doc_id,
-       |  coalesce(agg.n_words, 0) AS n_words,
-       |  coalesce(agg.n_wp_tokens, 0) AS n_wp_tokens,
-       |  coalesce(agg.n_unk_words, 0) AS n_unk_words,
-       |  coalesce(fw.first_word_tokens, '') AS first_word_tokens
-       |FROM documents d
-       |LEFT JOIN agg USING (doc_id) LEFT JOIN fw USING (doc_id)""".stripMargin
+       |wp AS (SELECT word, nt, toks, unk FROM g$steps)""".stripMargin
   }
 
   /** Seed oracle is static; train/tokenize need the frozen literals, so
@@ -407,7 +449,8 @@ object TokenizerQueries {
   def oracleSql: Map[String, String] = {
     val base = Map("x_unigram_seed" -> s"WITH $wordCtes\n$seedSelect",
       "x_wordpiece_merges" -> wpMergesOracle(WpMerges),
-      "x_wordpiece_tokenize" -> wpTokenizeOracle(WpMerges))
+      "x_wordpiece_tokenize" -> wpTokenizeOracle(WpMerges),
+      "x_wordpiece_drift" -> wpOovDriftOracle(WpMerges))
     unigramCache.toMap match {
       case one if one.size == 1 =>
         val m = one.head._2
