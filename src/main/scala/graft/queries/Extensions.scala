@@ -272,6 +272,31 @@ object Extensions {
         root
       })
 
+  /** Boilerplate span-df ledger per corpus
+    * (graft.streaming.BoilerLedgerStream): the FULL documents table folds
+    * in as three waves with a compaction after the second (the batch twin
+    * `x_text_boiler_coverage` counts df over ALL docs); the probe entry
+    * then pays only its own span explode + one hot-sliver join.
+    */
+  private val boilerLedgerCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def boilerLedgerFor(s: SparkSession, dir: String): String =
+    boilerLedgerCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("boiler_df_ledger") {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-boiler-ledger").toString + "/st"
+        val docs = Tables.documents(s, dir)
+        graft.streaming.BoilerLedgerStream.maintain(
+          docs.filter(col("doc_id") % 3 === 1), 0L, root, n = 3)
+        graft.streaming.BoilerLedgerStream.maintain(
+          docs.filter(col("doc_id") % 3 === 2), 1L, root, n = 3)
+        graft.streaming.BoilerLedgerStream.compact(s, root)
+        graft.streaming.BoilerLedgerStream.maintain(
+          docs.filter(col("doc_id") % 3 === 0), 2L, root, n = 3)
+        root
+      })
+
   /** JSONL export per corpus (graft.io.Jsonl): the documents table
     * written ONCE as real one-object-per-line files; the roundtrip entry
     * re-ingests them schema-pinned.
@@ -1654,6 +1679,19 @@ object Extensions {
     // and their ratio (exact-integer division — bit-identical cross-engine)
     "x_text_boiler_coverage" -> ((s: SparkSession, dir: String) => {
       graft.ext.Boilerplate.coverage(Tables.documents(s, dir), n = 3, minDf = 5L)
+    }),
+
+    // boilerplate coverage, MAINTAINED form: span document-frequency is
+    // doc-distinct and batches carry disjoint docs, so df is ADDITIVE —
+    // the build folds the corpus's per-batch span counts (SegmentStore,
+    // threshold applied at SERVE time), and the probe scores the src0
+    // slice against the summed hot sliver with the batch operator's join
+    // semantics. Oracle is x_text_boiler_coverage's + the slice predicate
+    // (maintained == recompute is the checked contract)
+    "x_text_boiler_ledger" -> ((s: SparkSession, dir: String) => {
+      graft.streaming.BoilerLedgerStream.probe(s, boilerLedgerFor(s, dir),
+        Tables.documents(s, dir).filter(col("source") === "src0"),
+        n = 3, minDf = 5L)
     }),
 
     // line-level boilerplate REMOVAL: the fixture text is single-line, so
@@ -4685,6 +4723,25 @@ object Extensions {
         |FROM l LEFT JOIN m USING(doc_id)
         |WHERE len(gl) >= 1""".stripMargin,
 
+    // the maintained-ledger probe: the coverage oracle with df still over
+    // the FULL corpus, output restricted to the probed slice
+    "x_text_boiler_ledger" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |l AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(ws) - 2),
+        |    i -> array_to_string(ws[i:i+2], ' '))) AS gl FROM w),
+        |e AS (SELECT doc_id, unnest(gl) AS gram FROM l),
+        |b AS (SELECT gram FROM e GROUP BY gram HAVING count(*) >= 5),
+        |m AS (SELECT doc_id, count(*) AS nb FROM e JOIN b USING(gram)
+        |      GROUP BY doc_id)
+        |SELECT l.doc_id,
+        |  CAST(len(gl) AS INT) AS n_spans,
+        |  CAST(coalesce(m.nb, 0) AS INT) AS n_boiler,
+        |  CAST(coalesce(m.nb, 0) AS DOUBLE) / len(gl) AS boiler_ratio
+        |FROM l LEFT JOIN m USING(doc_id)
+        |JOIN documents d ON d.doc_id = l.doc_id
+        |WHERE len(gl) >= 1 AND d.source = 'src0'""".stripMargin,
+
     "x_quality_gate_lang" ->
       """WITH s AS (SELECT doc_id, lang,
         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
@@ -5582,6 +5639,7 @@ object Extensions {
   reg("pack_shards_write", shardExportCache, shardExportFor)()
   reg("jsonl_export", jsonlExportCache, jsonlExportFor)()
   reg("cdc_chunk_ledger", cdcLedgerCache, cdcLedgerFor)()
+  reg("boiler_df_ledger", boilerLedgerCache, boilerLedgerFor)()
   reg("decontam_ledger", decontamLedgerCache, decontamLedgerFor)()
   reg("minhash_ledger", minhashLedgerCache, minhashLedgerFor)()
   reg("exact_dedup_ledger", exactLedgerCache, exactLedgerFor)()
