@@ -83,9 +83,17 @@ object Cdc {
         else {
           val cuts = cutPoints(text)
           val bounds = (0 +: cuts) :+ text.codePointCount(0, text.length)
+          // walk the bounds once, advancing the CHAR offset from the
+          // previous bound — offsetByCodePoints from 0 per bound would
+          // re-scan the prefix and make extraction O(len²/avgChunkLen)
+          // in code points for long documents (round-13 ADVICE)
+          var prevCp = 0
+          var prevOff = 0
           bounds.sliding(2).zipWithIndex.map { case (Seq(a, b), k) =>
-            val from = text.offsetByCodePoints(0, a)
-            val to = text.offsetByCodePoints(0, b)
+            val from = text.offsetByCodePoints(prevOff, a - prevCp)
+            val to = text.offsetByCodePoints(from, b - a)
+            prevCp = b
+            prevOff = to
             (id, k + 1, b - a, text.substring(from, to))
           }
         }

@@ -151,6 +151,72 @@ object WordPiece {
     merges.toSeq
   }
 
+  /** Batched training for REAL vocab sizes — [[Bpe.trainBatched]]'s
+    * round-compression ported to the likelihood score (round-13 verdict:
+    * [[train]] is one distributed round per merge, so a production
+    * 30k-merge vocabulary would be 30k Spark jobs). Per round, rank pairs
+    * by `cnt/(ca·cb)` (the same one-IEEE-divide sort key as [[train]]),
+    * then greedily take the top `batch` NON-CONFLICTING pairs — skipping
+    * any pair sharing a symbol with one already picked this round — and
+    * apply them IN RANK ORDER in one vocab map pass.
+    *
+    * Why the recorded `(cnt, ca, cb)` stay true at each pick's merge time:
+    * a merge only touches occurrences of its own two symbols, and
+    * non-conflicting picks share none — so neither a later pick's pair
+    * count nor its two symbol counts (the score's denominator — the
+    * WordPiece-specific part of the argument) can be changed by an
+    * earlier pick this round. A merge CAN create occurrences (its joined
+    * symbol may string-equal a later pick's component), which the fixed
+    * rank-order application resolves deterministically — the same trade
+    * as [[Bpe.trainBatched]]: pairs CREATED this round wait for the next
+    * round's count, so the merge LIST may order differently than
+    * strictly-sequential training. `batch = 1` is exactly [[train]]
+    * (pinned in WordPieceSpec).
+    */
+  def trainBatched(docs: DataFrame, textCol: String, numMerges: Int,
+                   batch: Int = 16): Seq[(String, String, Long, Long, Long)] = {
+    require(numMerges >= 1 && batch >= 1,
+      s"wordpiece trainBatched: numMerges=$numMerges batch=$batch must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab: Dataset[(Seq[String], Long)] =
+      symbolized(docs, textCol).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long, Long, Long)]
+    var done = false
+    while (merges.size < numMerges && !done) {
+      val m = math.min(batch, numMerges - merges.size)
+      val sc = symbolCounts(vocab)
+      // bounded collect: 4m candidate rows (model-state-sized); the greedy
+      // skip rate is < 2 symbols blocked per pick, as in Bpe.trainBatched
+      val cand = Bpe.pairCounts(vocab)
+        .join(sc.select(col("sym").as("sym_a"), col("c").as("ca")), Seq("sym_a"))
+        .join(sc.select(col("sym").as("sym_b"), col("c").as("cb")), Seq("sym_b"))
+        .orderBy((col("cnt").cast("double") / (col("ca") * col("cb")).cast("double")).desc,
+          col("sym_a"), col("sym_b"))
+        .select(col("sym_a"), col("sym_b"), col("cnt"), col("ca"), col("cb"))
+        .limit(4 * m).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val used = scala.collection.mutable.HashSet.empty[String]
+      val picked = cand.iterator.filter { case (a, b, _, _, _) =>
+        if (used(a) || used(b)) false
+        else { used += a; used += b; true }
+      }.take(m).toSeq
+      if (picked.isEmpty) done = true
+      else {
+        merges ++= picked
+        val prev = vocab
+        val ps = picked.map(p => (p._1, p._2))
+        vocab = vocab.map { case (syms, f) =>
+          (ps.foldLeft(syms) { case (s, (a, b)) => mergeWord(s, a, b) }, f)
+        }.localCheckpoint(true)
+        Components.freeCheckpoint(prev)
+      }
+    }
+    Components.freeCheckpoint(vocab)
+    merges.toSeq
+  }
+
   /** Serving vocabulary: every symbol of the UNMERGED corpus (the
     * alphabet — word-initial and `##`-marked forms count separately, as
     * in a real WordPiece vocab file) plus each merge's joined symbol.

@@ -67,12 +67,21 @@ object CdcLedgerStream {
     spark.read.parquet(dir).select(col("h"), col("t"))
 
   /** Per-document ingest report against the MAINTAINED store: total
-    * chunks, chunks whose content the store lacks, and the bytes
-    * (code points) those novel chunks add — the chunk-store write
-    * amplification of this batch. Probe cost: chunk the batch + one
-    * 8-byte-keyed anti/semi join pair against state (collision candidates
-    * re-verified by chunk text — the novelAgainstHashes shape). Documents
-    * with no chunks (empty text) are absent, as in the batch operator.
+    * chunks, chunks whose content the store lacks, and the characters
+    * (code points) of those novel OCCURRENCES. Novelty is PER-OCCURRENCE
+    * relative to the PRE-BATCH state (round-13 ADVICE): a chunk absent
+    * from the store counts once per appearance — repeated within a
+    * document or across documents of the same probe batch — because the
+    * report is per-document and each document's numbers must not depend
+    * on which OTHER batch members happen to share its chunks. The
+    * store-delta (bytes a dedup store would actually write for the batch:
+    * novel chunks deduped batch-wide, counted once) is the one-line
+    * follow-up `probe(...).agg(...)` over a batch-distinct variant —
+    * deliberately NOT what this per-document report returns. Probe cost:
+    * chunk the batch + one 8-byte-keyed anti/semi join pair against state
+    * (collision candidates re-verified by chunk text — the
+    * novelAgainstHashes shape). Documents with no chunks (empty text)
+    * are absent, as in the batch operator.
     */
   def probe(spark: SparkSession, root: String, batch: DataFrame,
             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -34,6 +34,19 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * The n-gram order is pinned via `_params` (n=2) — folding counts
   * produced under a different tokenization into the same store would
   * silently corrupt every later score.
+  *
+  * TWO-SUB-STORE TORN-COMMIT DEFENSE (round-13 verdict): unlike every
+  * other ledger, this state spans two segment directories per batch, and
+  * the two writes cannot be made one atomic commit on a filesystem — a
+  * crash between them leaves a bigram segment with no unigram twin
+  * (numerators without denominators), which a naive reader would consume
+  * silently. So every read path ([[serve]], and [[compact]] before it
+  * merges anything) runs [[checkParity]]: each sub-store's live batch ids
+  * must be COVERED by the other (present as a live batch, or at-or-below
+  * the other side's newest compact id — compaction is content-preserving,
+  * so a compacted id is covered by construction). A torn id fails loudly
+  * BY NAME until its batch is replayed; compaction refuses to fold a torn
+  * id into a compact segment where the per-batch evidence would be lost.
   */
 object LmLedgerStream {
 
@@ -56,27 +69,59 @@ object LmLedgerStream {
                idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
     SegmentStore.validateParams(spark, root, Params)
-    // pinned so the batch's upstream plan runs once across the emptiness
-    // gate and the writes (the PageRankLedgerStream.maintain lesson).
+    // BOTH the source batch and the unigram aggregate are pinned: the
+    // batch so the bigram write below re-reads cached rows instead of
+    // re-scanning the upstream source, the aggregate so the emptiness
+    // gate and the unigram write share one computed frame (the
+    // PageRankLedgerStream.maintain lesson, round-13 ADVICE).
     // The gate is the UNIGRAM side: a batch of one-word documents has no
     // bigrams but still owes its word counts to every later score's
     // denominator — the bigram segment is then simply empty.
-    val u = graft.ext.NgramLm.uniCounts(docs, textCol).persist()
+    val src = docs.persist()
+    val u = graft.ext.NgramLm.uniCounts(src, textCol).persist()
     try {
       if (!u.isEmpty) {
-        graft.ext.NgramLm.docBigrams(docs, idCol, textCol)
+        graft.ext.NgramLm.docBigrams(src, idCol, textCol)
           .groupBy(col("th2")).agg(sum(col("n")).as("c2"))
           .write.mode("overwrite").parquet(s"$root/bi/batch=$batchId")
         u.write.mode("overwrite").parquet(s"$root/uni/batch=$batchId")
         SegmentStore.pinParams(spark, root, Params)
       }
-    } finally { u.unpersist(); () }
+    } finally { u.unpersist(); src.unpersist(); () }
+  }
+
+  /** Live-set cross-parity: fails loudly (naming the torn batch ids) when
+    * either sub-store has a live `batch=<id>` the other does not cover —
+    * the observable signature of a crash between the bigram and unigram
+    * writes of one [[maintain]] call. An id is covered when it is live on
+    * the other side too, or at-or-below the other side's newest compact id
+    * (compaction merges exactly the ids it supersedes, so coverage through
+    * the compact id is content-exact). Replaying the named batch heals the
+    * store (idempotent overwrite of both directories).
+    */
+  private[streaming] def checkParity(spark: SparkSession, root: String): Unit = {
+    def view(sub: String): (Long, Set[Long]) = (
+      SegmentStore.committed(spark, s"$root/$sub", "compact=")
+        .map(_._1).sorted.lastOption.getOrElse(Long.MinValue),
+      SegmentStore.committed(spark, s"$root/$sub", "batch=").map(_._1).toSet)
+    val (biCompact, biIds) = view("bi")
+    val (uniCompact, uniIds) = view("uni")
+    val torn = biIds.filter(id => id > uniCompact && !uniIds(id)) ++
+      uniIds.filter(id => id > biCompact && !biIds(id))
+    require(torn.isEmpty,
+      s"lm count ledger at $root is TORN: batch ids ${torn.toSeq.sorted.mkString(",")} " +
+        "are committed in one of bi/uni but not covered by the other — a crash " +
+        "between the two segment writes; replay the named batch(es) to heal " +
+        "before serving (scoring from torn state would silently drop " +
+        "numerators or denominators)")
   }
 
   /** The corpus count tables summed across live segments: (bigram
-    * `(th2, c2)`, unigram `(th1, c1)`).
+    * `(th2, c2)`, unigram `(th1, c1)`). Fails loudly on a torn store
+    * ([[checkParity]]) instead of serving half-committed counts.
     */
   def serve(spark: SparkSession, root: String): (DataFrame, DataFrame) = {
+    checkParity(spark, root)
     val bi = SegmentStore.read(spark, s"$root/bi",
         spark.read.parquet(_).select(col("th2"), col("c2")),
         spark.createDataFrame(
@@ -92,9 +137,11 @@ object LmLedgerStream {
 
   /** Merge each sub-store's segments past its newest compact into one
     * pre-summed segment (counts re-aggregate by key — the additive-state
-    * compaction).
+    * compaction). Parity-checked FIRST: compacting a torn batch id would
+    * destroy the per-batch evidence that makes the tear detectable.
     */
   def compact(spark: SparkSession, root: String): Unit = {
+    checkParity(spark, root)
     SegmentStore.compact(spark, s"$root/bi",
       spark.read.parquet(_).select(col("th2"), col("c2")),
       (df, path) => df.groupBy(col("th2")).agg(sum(col("c2")).as("c2"))

@@ -35,6 +35,31 @@ class WordPieceSpec extends SparkSpec {
     assert(WordPiece.mergeWord(Seq("x", "##y"), "x", "##y") === Seq("xy"))
   }
 
+  test("trainBatched: batch=1 equals sequential train exactly") {
+    assert(WordPiece.trainBatched(corpus, "text", numMerges = 3, batch = 1)
+      === WordPiece.train(corpus, "text", numMerges = 3))
+  }
+
+  test("trainBatched: one round picks top non-conflicting pairs by SCORE") {
+    // round-1 candidates by (score desc, a, b): (x,##y)=1.0,
+    // (##b,##c)=0.1, (a,##b)=0.1 — (##b,##c) sorts before (a,##b) on the
+    // tie and then BLOCKS it (shared ##b), so round 1 picks only the two
+    // symbol-disjoint pairs; note the count-order would have put
+    // (a,##b)=10 first — the likelihood ranking is what's batched.
+    // Round 2 then merges the unblocked remainder: (a,##b) now cnt=8
+    // ('abc' holds [a,##bc]), score 8/(10·8) beating (a,##bc)=2/(10·2)
+    // on the sym_b tie-break
+    val b = WordPiece.trainBatched(corpus, "text", numMerges = 3, batch = 3)
+    assert(b === Seq(("x", "##y", 1L, 1L, 1L), ("##b", "##c", 2L, 10L, 2L),
+      ("a", "##b", 8L, 10L, 8L)))
+    val round1 = b.take(2).flatMap(p => Seq(p._1, p._2))
+    assert(round1.distinct.size === round1.size, "a round's picks are symbol-disjoint")
+    // the batched model still tokenizes: greedy max-munch takes the
+    // round-2 'ab' piece over 'a', then the alphabet's '##c'
+    val v = WordPiece.vocabulary(corpus, "text", b)
+    assert(WordPiece.encodeWord("abc", v.toSet) === Seq("ab", "##c"))
+  }
+
   test("vocabulary is alphabet plus merged pieces") {
     val m = WordPiece.train(corpus, "text", numMerges = 2)
     val v = WordPiece.vocabulary(corpus, "text", m).toSet

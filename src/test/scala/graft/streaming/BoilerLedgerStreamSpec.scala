@@ -71,6 +71,33 @@ class BoilerLedgerStreamSpec extends SparkSpec {
     assert(served.count() === served.select("t").distinct().count())
   }
 
+  test("two-phase serve: a planted 8-byte collision pair still cannot promote") {
+    // the xxhash64 prescreen MERGES colliding spans' counts, so two rare
+    // spans sharing one h could pass phase 1 together — phase 2's exact
+    // string-level re-sum must still reject both. Real xxhash64 collisions
+    // are not constructible here, so plant one directly in the state
+    // layout (serve reads committed segments; the fabricated rows are
+    // exactly what a collision would have persisted).
+    val root = java.nio.file.Files.createTempDirectory("boled-col").toString + "/st"
+    BoilerLedgerStream.maintain(corpus.toDF("doc_id", "text"), 0L, root, n = 3)
+    Seq((42L, "rare span one", 3L), (42L, "rare span two", 3L),
+      (7L, "hot span", 6L))
+      .toDF("h", "t", "df")
+      .write.mode("overwrite").parquet(s"$root/batch=1")
+    val hot = BoilerLedgerStream.hotSpans(spark, root, minDf = 5L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // colliding pair sums to 6 >= 5 at the hash level but neither string
+    // reaches 5 — both rejected; the honestly-hot planted span promotes
+    assert(!hot.contains("rare span one") && !hot.contains("rare span two"))
+    assert(hot("hot span") === 6L)
+    // and the phase-1 scan must not read the text column at all: the
+    // pruned read schema is the 16 B/row claim made in the scaladoc
+    val hotCols = BoilerLedgerStream.hotSpans(spark, root, minDf = 5L)
+      .queryExecution.executedPlan.toString
+    assert(hotCols.contains("ReadSchema: struct<h:bigint,df:bigint>"),
+      s"phase-1 scan must prune the text column:\n$hotCols")
+  }
+
   test("the n-gram order is pinned on first fold") {
     val root = java.nio.file.Files.createTempDirectory("boled-pin").toString + "/st"
     BoilerLedgerStream.maintain(corpus.toDF("doc_id", "text"), 0L, root, n = 3)

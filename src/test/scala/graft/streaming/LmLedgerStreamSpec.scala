@@ -63,4 +63,38 @@ class LmLedgerStreamSpec extends SparkSpec {
     LmLedgerStream.maintain(corpus.toDF("doc_id", "text"), 0L, root)
     assert(SegmentStore.readParams(spark, root) === Some(Map("n" -> 2L)))
   }
+
+  test("torn commit: bi committed without its uni twin fails loudly by id; replay heals") {
+    val root = java.nio.file.Files.createTempDirectory("lmled-torn").toString + "/st"
+    val docs = corpus.toDF("doc_id", "text")
+    LmLedgerStream.maintain(docs.filter($"doc_id" <= 2), 0L, root)
+    // simulate a crash between the bigram and unigram writes of batch 1:
+    // fold it, then delete the unigram segment (the second write)
+    LmLedgerStream.maintain(docs.filter($"doc_id" > 2), 1L, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$root/uni/batch=1"), true))
+    val probeSlice = docs.filter($"doc_id" % 2 === 0)
+    val err = intercept[IllegalArgumentException] {
+      LmLedgerStream.probe(spark, root, probeSlice).collect()
+    }
+    assert(err.getMessage.contains("TORN") && err.getMessage.contains("1"))
+    // compaction must refuse too — folding the torn id into a compact
+    // segment would destroy the evidence
+    val cerr = intercept[IllegalArgumentException] { LmLedgerStream.compact(spark, root) }
+    assert(cerr.getMessage.contains("TORN"))
+    // replaying the named batch heals the store (idempotent overwrite)
+    LmLedgerStream.maintain(docs.filter($"doc_id" > 2), 1L, root)
+    val got = scoresVia(LmLedgerStream.probe(spark, root, probeSlice))
+    val want = scoresVia(graft.ext.NgramLm.scoreDocs(docs).filter($"doc_id" % 2 === 0))
+    assert(got === want)
+    // healthy mid-compaction states are NOT torn: compact bi only (the
+    // compact-crash window between the two sub-store compactions)
+    SegmentStore.compact(spark, s"$root/bi",
+      spark.read.parquet(_).select($"th2", $"c2"),
+      (df, path) => df.groupBy($"th2")
+        .agg(org.apache.spark.sql.functions.sum($"c2").as("c2"))
+        .write.mode("overwrite").parquet(path)): Unit
+    assert(scoresVia(LmLedgerStream.probe(spark, root, probeSlice)) === want)
+  }
 }
