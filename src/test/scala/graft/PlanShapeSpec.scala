@@ -196,6 +196,12 @@ class PlanShapeSpec extends SparkSpec {
                              // (nlist-bounded centroid cross in lineage);
                              // the eval-hit join is keyed on cid (pinned
                              // below)
+      "x_dedup_semantic_auto",   // the autoNlist-served twins: identical
+      "x_decontam_semantic_auto", // shapes over the auto model's cached
+                             // assignment — the lineage cross join is
+                             // corpus × broadcast(centroids), bounded by
+                             // centroidCap; the pair/eval joins are keyed
+                             // on cid like their pinned siblings
       "x_dedup_semantic_recall") // includes the exact all-pairs reference
                              // (the eval's ground truth is quadratic by
                              // spec, like the other *_recall entries)
