@@ -452,8 +452,17 @@ object Audio {
     * `(media_a, media_b, hamming)`.
     */
   def audioNearDuplicates(media: Dataset[MediaRecord], maxDist: Int = 3): DataFrame =
+    audioNearDuplicatesFromSigs(fingerprints(media), maxDist)
+
+  /** [[audioNearDuplicates]] from an already-fingerprinted `(media_id,
+    * afp)` table — the decode-once serving boundary
+    * ([[Multimodal.imageNearDuplicatesFromSigs]]): a corpus is parsed and
+    * fingerprinted once at ingest; signature-level consumers read the
+    * fingerprint ledger instead of re-parsing every clip.
+    */
+  def audioNearDuplicatesFromSigs(sigs: DataFrame, maxDist: Int = 3): DataFrame =
     SimHash.nearDuplicatesFromSigs(
-      fingerprints(media).select(col("media_id"), col("afp").as("simhash")),
+      sigs.select(col("media_id"), col("afp").as("simhash")),
       maxDist, idCol = "media_id")
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))
 
@@ -469,6 +478,16 @@ object Audio {
   def audioDedupGroups(media: Dataset[MediaRecord], maxDist: Int = 3): DataFrame = {
     val sigs = fingerprints(media)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = audioDedupGroupsFromSigs(sigs, maxDist)
+    sigs.unpersist()
+    out
+  }
+
+  /** [[audioDedupGroups]] from an already-fingerprinted `(media_id, afp)`
+    * table — the decode-once boundary; caller owns the input's storage,
+    * the result is materialized + persisted before return.
+    */
+  def audioDedupGroupsFromSigs(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
     val grp = sigs.groupBy(col("afp"))
       .agg(min(col("media_id")).as("rep"), count(lit(1)).as("grp_n"))
     val repPairs = SimHash.nearDuplicatesFromSigs(
@@ -486,7 +505,6 @@ object Audio {
       .filter(col("grp_n") >= 2 || col("component").isNotNull)
       .select(col("media_id"), coalesce(col("component"), col("rep")).as("component"))
     out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
-    sigs.unpersist()
     out
   }
 }

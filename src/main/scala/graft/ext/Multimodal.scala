@@ -511,6 +511,22 @@ object Multimodal {
   def imageNearDuplicates(media: Dataset[MediaRecord], maxDist: Int = 3): DataFrame = {
     val sigs = perceptualHashes(media).select(col("media_id"), col("dhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = imageNearDuplicatesFromSigs(sigs, maxDist)
+    sigs.unpersist(blocking = false)
+    out
+  }
+
+  /** [[imageNearDuplicates]] from an ALREADY-HASHED signature table
+    * `(media_id, dhash)` — the DECODE-ONCE serving boundary (round-13
+    * verdict item 5): a deployment hashes its corpus once at ingest and
+    * every signature-level consumer (pair search, dedup groups, top-k)
+    * reads the signature ledger; re-decoding the corpus per consumer is
+    * not the serving path. The caller owns the input frame's storage
+    * (pass a cached/ledger frame; this function re-reads it several
+    * times); the RESULT is materialized and persisted before return, so
+    * nothing here pins caller state past the call.
+    */
+  def imageNearDuplicatesFromSigs(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
     val grp = sigs.groupBy(col("dhash")).agg(min(col("media_id")).as("rep"))
     // hamming-0 pairs: all ordered pairs within one signature group
     val same = sigs.select(col("dhash"), col("media_id").as("media_a"))
@@ -530,13 +546,12 @@ object Multimodal {
       .select(least(col("m_a"), col("m_b")).as("media_a"),
         greatest(col("m_a"), col("m_b")).as("media_b"),
         col("hamming").cast("int").as("hamming"))
-    // the imageDedupGroups persist-lifetime discipline: materialize the
-    // output, then release the signature frame (caller owns the result's
-    // storage; nothing corpus-sized stays pinned past this call)
+    // persist-lifetime discipline: materialize the output before
+    // returning (caller owns the result's storage; no lazy plan escapes
+    // that would re-read the signature input after the caller releases it)
     val out = same.unionByName(cross)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
-    sigs.unpersist(blocking = false)
     out
   }
 
@@ -561,6 +576,16 @@ object Multimodal {
   def imageDedupGroups(media: Dataset[MediaRecord], maxDist: Int = 3): DataFrame = {
     val sigs = perceptualHashes(media).select(col("media_id"), col("dhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = imageDedupGroupsFromSigs(sigs, maxDist)
+    sigs.unpersist()
+    out
+  }
+
+  /** [[imageDedupGroups]] from an already-hashed `(media_id, dhash)`
+    * table — the decode-once boundary, as [[imageNearDuplicatesFromSigs]]
+    * (caller owns the input's storage; result materialized + persisted).
+    */
+  def imageDedupGroupsFromSigs(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
     val grp = sigs.groupBy(col("dhash"))
       .agg(min(col("media_id")).as("rep"), count(lit(1)).as("grp_n"))
     val repPairs = SimHash.nearDuplicatesFromSigs(
@@ -574,7 +599,6 @@ object Multimodal {
       .filter(col("grp_n") >= 2 || col("component").isNotNull)
       .select(col("media_id"), coalesce(col("component"), col("rep")).as("component"))
     out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
-    sigs.unpersist()
     out
   }
 

@@ -2327,10 +2327,14 @@ object Extensions {
     // image near-dup PAIRS through the text SimHash's chunk-pigeonhole
     // banding (one keyed shuffle, exact for maxDist ≤ 3) — the oracle is
     // the all-pairs hamming scan, equal by pigeonhole exactness, so the
-    // shared banding machinery gets a second independent cross-engine pin
+    // shared banding machinery gets a second independent cross-engine pin.
+    // Served from the SIGNATURE LEDGER (round-14 decode-once boundary):
+    // the entry's contract is signature-level, so it reads the
+    // once-per-corpus mm_sig_ledger like x_mm_sim_topk — the decode cost
+    // stays measured by x_mm_image_decode / x_mm_dhash_sigs (live by
+    // design) and itemized in the mm_sig_ledger build
     "x_mm_dhash_pairs" -> ((s: SparkSession, dir: String) => {
-      Multimodal.imageNearDuplicates(
-        Multimodal.dedupMediaFromDocuments(s, Tables.documents(s, dir)), maxDist = 3)
+      Multimodal.imageNearDuplicatesFromSigs(mmSigsFor(s, dir), maxDist = 3)
     }),
 
     // image dedup GROUPS: connected components over the near-dup pairs —
@@ -2466,10 +2470,11 @@ object Extensions {
 
     // near-dup PAIRS through the shared chunk-pigeonhole banding (one
     // keyed shuffle, exact for maxDist ≤ 3) — oracle is the all-pairs
-    // hamming scan, equal by pigeonhole exactness
+    // hamming scan, equal by pigeonhole exactness. Served from the
+    // fingerprint ledger (round-14 decode-once boundary — the parse cost
+    // stays measured by x_mm_audio_decode / x_mm_audio_fp_sigs)
     "x_mm_audio_fp_pairs" -> ((s: SparkSession, dir: String) => {
-      Audio.audioNearDuplicates(
-        Audio.dedupWavFromDocuments(s, Tables.documents(s, dir)), maxDist = 3)
+      Audio.audioNearDuplicatesFromSigs(audioFpFor(s, dir), maxDist = 3)
     }),
 
     // audio dedup GROUPS: hash-first connected components over the
@@ -2748,6 +2753,24 @@ object Extensions {
     })
   )
 
+  /** Audio fingerprint SIGNATURE ledger per corpus — the audio twin of
+    * [[mmSigsFor]] (round-14 decode-once boundary): clips are parsed and
+    * fingerprinted once; every signature-level consumer (pair search,
+    * dedup groups) reads this. `x_mm_audio_fp_sigs` still fingerprints
+    * LIVE — its point is to measure and oracle the fingerprinting itself.
+    */
+  private val audioFpCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def audioFpFor(s: SparkSession, dir: String): DataFrame =
+    audioFpCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("audio_fp_ledger") {
+        val sigs = Audio.fingerprints(
+          Audio.dedupWavFromDocuments(s, Tables.documents(s, dir))).persist()
+        sigs.count() // materialize: probes must not pay the WAV parse
+        sigs
+      })
+
   /** Audio-dedup component ledger per corpus — built once like [[mmCcFor]]. */
   private val audioCcCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
@@ -2755,8 +2778,9 @@ object Extensions {
   private def audioCcFor(s: SparkSession, dir: String): DataFrame =
     audioCcCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
       graft.BuildTimes.timed("audio_dedup_ledger") {
-        Audio.audioDedupGroups(
-          Audio.dedupWavFromDocuments(s, Tables.documents(s, dir)), maxDist = 3)
+        // served from the fingerprint ledger: the parse happens once in
+        // audio_fp_ledger; this build pays banding + CC over signatures
+        Audio.audioDedupGroupsFromSigs(audioFpFor(s, dir), maxDist = 3)
       })
 
   /** Image-dedup component ledger per corpus — built once like [[ccFor]]
@@ -2789,9 +2813,11 @@ object Extensions {
       graft.BuildTimes.timed("mm_dedup_ledger") {
         // hash-first: CC over DISTINCT-hash representatives, labels
         // expanded back — never the quadratically-expanded pair graph
-        // (which OOM'd at sf1; see Multimodal.imageDedupGroups)
-        Multimodal.imageDedupGroups(
-          Multimodal.dedupMediaFromDocuments(s, Tables.documents(s, dir)), maxDist = 3)
+        // (which OOM'd at sf1; see Multimodal.imageDedupGroups). Reads
+        // the shared signature ledger (round-14 decode-once boundary):
+        // the corpus decodes ONCE in mm_sig_ledger; this build pays only
+        // the banding + CC over signatures
+        Multimodal.imageDedupGroupsFromSigs(mmSigsFor(s, dir), maxDist = 3)
       })
 
   import Util._
@@ -5749,6 +5775,7 @@ object Extensions {
   reg("bpe_bytes_train", bpeBytesCache, bpeBytesFor)()
   reg("cms_sketch", cmsCache, cmsFor)()
   reg("substr_dup_scan", substrOccCache, substrOccFor)(unpin)
+  reg("audio_fp_ledger", audioFpCache, audioFpFor)(unpin)
   reg("audio_dedup_ledger", audioCcCache, audioCcFor)(unpin)
   reg("mm_sig_ledger", mmSigCache, mmSigsFor)(unpin)
   reg("mm_dedup_ledger", mmCcCache, mmCcFor)(unpin)

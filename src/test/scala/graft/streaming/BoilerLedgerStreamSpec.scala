@@ -69,6 +69,12 @@ class BoilerLedgerStreamSpec extends SparkSpec {
     // compaction pre-sums: each (h, t) appears once in the compacted layout
     val served = BoilerLedgerStream.serve(spark, root)
     assert(served.count() === served.select("t").distinct().count())
+    // STEADY-STATE layout (round 14): a fresh wave folded PAST the compact
+    // segment serves together with it — its header df adds to the
+    // compacted sums
+    val extra = Seq((5L, "common header line zeta content nine ten"))
+    BoilerLedgerStream.maintain(extra.toDF("doc_id", "text"), 2L, root, n = 3)
+    assert(probed(root) === want(corpus ++ extra))
   }
 
   test("two-phase serve: a planted 8-byte collision pair still cannot promote") {

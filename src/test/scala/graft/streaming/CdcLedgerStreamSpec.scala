@@ -80,6 +80,14 @@ class CdcLedgerStreamSpec extends SparkSpec {
     // wave 1 repeats wave 0's doc-1 chunks; compaction stores them once
     assert(CdcLedgerStream.serve(spark, root).count() === n0)
     assert(probed(root) === before)
+    // STEADY-STATE layout (round 14): a fresh wave folded PAST the compact
+    // segment serves together with it — it carries batch doc 11's exact
+    // text, so 11's novel chunk/char counts must drop to zero
+    val extra = (20L, "completely fresh content with nothing shared at all " * 2)
+    CdcLedgerStream.maintain(Seq(extra).toDF("doc_id", "text"), 2L, root)
+    val after = probed(root)
+    assert(after === wantAgainst(corpus :+ extra))
+    assert(after(11L)._2 === 0L && after(11L)._3 === 0L)
   }
 
   test("chunking parameters are pinned on first fold") {

@@ -68,6 +68,13 @@ class ExactDedupLedgerStreamSpec extends SparkSpec {
     assert(ExactDedupLedgerStream.compact(spark, root) === Some(1L))
     assert(ExactDedupLedgerStream.serve(spark, root).count() === 3)
     assert(probed(root) === before)
+    // STEADY-STATE layout (round 14): a fresh wave folded PAST the compact
+    // segment serves together with it — the new wave carries batch doc
+    // 11's content, so the probe must stop calling 11 novel
+    ExactDedupLedgerStream.maintain(
+      Seq((20L, "epsilon zeta")).toDF("doc_id", "text"), 2L, root)
+    assert(probed(root) === want(corpus :+ ((20L, "epsilon zeta"))))
+    assert(!probed(root).contains(11L))
   }
 
   test("streamed document batches converge to the batch recompute") {

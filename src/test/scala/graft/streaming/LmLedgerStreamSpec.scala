@@ -37,6 +37,14 @@ class LmLedgerStreamSpec extends SparkSpec {
     LmLedgerStream.compact(spark, root)
     assert(scoresVia(LmLedgerStream.probe(spark, root, probeSlice)) === want)
     assert(SegmentStore.committed(spark, s"$root/bi", "compact=").nonEmpty)
+    // STEADY-STATE layout (round 14): a fresh wave folded PAST the compact
+    // serves together with it — the new doc's counts shift every
+    // denominator, so the probe must equal the recompute over corpus+extra
+    val extra = Seq((6L, "the cat sat"))
+    LmLedgerStream.maintain(extra.toDF("doc_id", "text"), 2L, root)
+    assert(scoresVia(LmLedgerStream.probe(spark, root, probeSlice)) ===
+      scoresVia(graft.ext.NgramLm.scoreDocs((corpus ++ extra).toDF("doc_id", "text"))
+        .filter($"doc_id" % 2 === 0 && $"doc_id" <= 5)))
   }
 
   test("replayed batch is a no-op; one-word batches still fold unigram counts") {

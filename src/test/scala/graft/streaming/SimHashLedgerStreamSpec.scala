@@ -53,6 +53,14 @@ class SimHashLedgerStreamSpec extends SparkSpec {
     assert(SimHashLedgerStream.compact(spark, root) === Some(1L))
     assert(probed(root) === before)
     assert(SegmentStore.live(spark, root).size === 1)
+    // STEADY-STATE layout (round 14): a fresh wave folded PAST the compact
+    // segment serves together with it — it carries batch doc 11's exact
+    // text, flipping 11 from novel to matched
+    val extra = (20L, "totally novel words nothing shared here at all")
+    SimHashLedgerStream.maintain(Seq(extra).toDF("doc_id", "text"), 2L, root)
+    assert(SegmentStore.live(spark, root).size === 2)
+    assert(probed(root) === want(corpus :+ extra))
+    assert(!probed(root).contains(11L))
   }
 
   test("streamed document batches converge to the batch recompute") {
