@@ -69,6 +69,20 @@ object Extensions {
         (model, assigned)
       })
 
+  /** Typo-augmented documents for the edit-distance entries: docs with
+    * `doc_id % 5 = 0` append a last-code-point-deleted variant of their
+    * first word (length ≥ 3) — a deterministic derivation BOTH engines
+    * compute (the x_text_pii augmentation discipline), because the
+    * fixture vocabulary has no natural distance-1 pairs to exercise the
+    * operator on.
+    */
+  private def editAugDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).withColumn("text", expr(
+      """CASE WHEN doc_id % 5 = 0 AND length(split(text, ' ')[0]) >= 3
+        |     THEN concat(text, ' ',
+        |       substring(split(text, ' ')[0], 1, length(split(text, ' ')[0]) - 1))
+        |     ELSE text END""".stripMargin))
+
   /** PQ is the same train-once shape as IVF (see [[ivfCache]]): codebooks
     * + the encoded 8-byte-per-vector code table are built once per
     * (session, corpus); registry entries measure the serving cost — an ADC
@@ -2129,6 +2143,31 @@ object Extensions {
         .select(col("tok"), col("df"), col("cum").cast("int").as("token_id"))
     }),
 
+    // edit-distance vocabulary pairs (SymSpell deletion-neighborhood —
+    // round 14): words within Levenshtein distance 1, candidates from ONE
+    // equi-join on hashed ≤1-deletion variants, every candidate verified
+    // with the exact code-point distance (output exact, never banded-
+    // approximate; the scheme is vocabulary-sized end to end — see
+    // ext.EditDist). The fixture vocabulary has no natural distance-1
+    // pairs, so docs with doc_id % 5 = 0 append a last-char-deleted typo
+    // of their first word — the same deterministic, SQL-mirrorable
+    // augmentation discipline as x_text_pii; the oracle re-derives the
+    // typos and checks ALL-PAIRS levenshtein over the vocabulary
+    "x_vocab_editdist_pairs" -> ((s: SparkSession, dir: String) => {
+      graft.ext.EditDist.nearPairs(
+        graft.ext.EditDist.vocab(editAugDocs(s, dir), "text"))
+    }),
+
+    // SymSpell's correction rule over the same augmented vocabulary:
+    // each word's canonical form = its highest-frequency ≤1-edit neighbor
+    // (itself included; ties to the smallest word) — the typo-collapse
+    // map a normalization pass applies corpus-wide. Pairs + two keyed
+    // joins + one argmax aggregation, all vocabulary-sized
+    "x_vocab_typo_canonical" -> ((s: SparkSession, dir: String) => {
+      graft.ext.EditDist.typoCanonical(
+        graft.ext.EditDist.vocab(editAugDocs(s, dir), "text"))
+    }),
+
     // composed training-data-prep pipeline: quality filter -> language
     // prediction -> per-language corpus stats (fully oracle-mirrored)
     "x_pipeline_dataprep" -> ((s: SparkSession, dir: String) => {
@@ -2920,6 +2959,21 @@ object Extensions {
     * silently diverge between the standalone entry and the hybrid's
     * keyword half.
     */
+  /** The editAugDocs augmentation + vocabulary CTEs in DuckDB SQL (the
+    * engine-side rule mirrored term for term; string_split is 1-indexed
+    * where Spark's split[] is 0-indexed).
+    */
+  private val editAugSql: String =
+    """WITH aug AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 AND length(string_split(text, ' ')[1]) >= 3
+      |         THEN text || ' ' || substr(string_split(text, ' ')[1], 1,
+      |                length(string_split(text, ' ')[1]) - 1)
+      |         ELSE text END AS t2
+      |  FROM documents),
+      |v AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(string_split(t2, ' ')) AS w FROM aug)
+      |  WHERE w <> '' GROUP BY 1)""".stripMargin
+
   private lazy val retrievalKwCtes: String =
     s"""toks AS (SELECT doc_id, unnest(list_distinct(list_transform(
        |    generate_series(1, len($sqlWords) - 2),
@@ -4301,6 +4355,32 @@ object Extensions {
          |SELECT tok, df,
          |  CAST(row_number() OVER (ORDER BY df DESC, tok) AS INT) AS token_id
          |FROM v""".stripMargin,
+
+    // the typo augmentation re-derived in SQL, then ALL-PAIRS levenshtein
+    // over the vocabulary — the exact truth the deletion-neighborhood
+    // join must reproduce (DuckDB levenshtein = unit-cost code-point
+    // Levenshtein, the EditDist.lev definition)
+    "x_vocab_editdist_pairs" ->
+      s"""$editAugSql
+         |SELECT a.word AS word_a, b.word AS word_b,
+         |  CAST(levenshtein(a.word, b.word) AS INT) AS dist
+         |FROM v a JOIN v b ON a.word < b.word
+         |WHERE levenshtein(a.word, b.word) <= 1""".stripMargin,
+
+    "x_vocab_typo_canonical" ->
+      s"""$editAugSql,
+         |pairs AS (SELECT a.word AS wa, b.word AS wb
+         |  FROM v a JOIN v b ON a.word < b.word
+         |  WHERE levenshtein(a.word, b.word) <= 1),
+         |nbrs AS (SELECT wa AS word, wb AS nbr FROM pairs
+         |  UNION ALL SELECT wb, wa FROM pairs
+         |  UNION ALL SELECT word, word FROM v)
+         |SELECT word, nbr AS canonical, CAST(cnt AS BIGINT) AS canonical_cnt
+         |FROM (SELECT n.word, n.nbr, v2.cnt,
+         |    row_number() OVER (PARTITION BY n.word
+         |      ORDER BY v2.cnt DESC, n.nbr) AS rk
+         |  FROM nbrs n JOIN v v2 ON v2.word = n.nbr)
+         |WHERE rk = 1""".stripMargin,
 
     "x_profile_columns" ->
       """SELECT 'o_orderkey' AS "column",
