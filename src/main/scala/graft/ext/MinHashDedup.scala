@@ -173,6 +173,49 @@ object MinHashDedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** MinHash ESTIMATOR CALIBRATION over the md5 twin (round 14): for every
+    * banded candidate pair, the sketch's Jaccard estimate — the fraction
+    * of the h signature components that agree (the unbiased MinHash
+    * estimator, Broder 1997) — next to the EXACT shingle Jaccard. This is
+    * the eval an operator runs before trusting sketch-thresholded dedup at
+    * a new h: the estimate's spread around the truth IS the false
+    * accept/reject rate of any threshold placed on it. Candidates (not all
+    * pairs) deliberately: the banded set is exactly the population a
+    * production threshold sees. est = matches/h is one exact small-int
+    * divide by a power of two — bit-identical cross-engine; the exact
+    * Jaccard is the [[exactPairsMd5]] expression. Same scale shape as
+    * [[nearDuplicatesMd5]]: one band-key shuffle, arrays join in for
+    * candidates only.
+    */
+  def estimateVsExactMd5(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text",
+                         h: Int = 16, bands: Int = 4, k: Int = 3): DataFrame = {
+    val r = h / bands
+    val sigs = signaturesMd5(docs, idCol, textCol, h, k)
+    sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs
+      .select(col(idCol),
+        explode(expr(s"""transform(sequence(0, ${bands - 1}),
+          b -> concat(b, ':', array_join(transform(slice(sigs, b * $r + 1, $r),
+            v -> cast(v as string)), ',')))""")).as("band_key"))
+    val candidates = banded.toDF("doc_a", "band_key")
+      .join(banded.toDF("doc_b", "band_key"), Seq("band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    candidates
+      .join(sigs.select(col(idCol).as("doc_a"),
+        col("shingles").as("sh_a"), col("sigs").as("sg_a")), "doc_a")
+      .join(sigs.select(col(idCol).as("doc_b"),
+        col("shingles").as("sh_b"), col("sigs").as("sg_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (expr("""aggregate(zip_with(sg_a, sg_b,
+             (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)""")
+          .cast("double") / lit(h.toDouble)).as("est"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
   /** The incremental md5-twin core, over two [[signaturesMd5]]-shaped
     * frames (`idCol`, shingles, sigs): batch ids near-duplicating NOTHING
     * in `corpusSigs` (any-band sub-signature collision, then exact shingle

@@ -1183,6 +1183,15 @@ object Extensions {
       MinHashDedup.nearDuplicatesMd5(Tables.documents(s, dir), minJaccard = 0.5)
     }),
 
+    // MinHash estimator calibration (round 14): per banded candidate
+    // pair, the sketch's Jaccard estimate (matching components / h) next
+    // to the exact shingle Jaccard — the spread around the diagonal IS
+    // the false-accept/reject rate of any threshold on the estimate. The
+    // oracle brute-forces candidates + both numbers per pair
+    "x_dedup_minhash_estimate" -> ((s: SparkSession, dir: String) => {
+      MinHashDedup.estimateVsExactMd5(Tables.documents(s, dir))
+    }),
+
     // typed Aggregator (UDAF surface): per-source corpus MinHash sketch via
     // element-wise-min merge — signatures are mergeable, so shard sketches
     // combine without re-reading documents (rows-only; exactness of the
@@ -4268,6 +4277,41 @@ object Extensions {
         |    OR a.sig[9:12] = b.sig[9:12] OR a.sig[13:16] = b.sig[13:16])
         |  AND CAST(len(list_intersect(sa.ws, sb.ws)) AS DOUBLE) /
         |    len(list_distinct(list_concat(sa.ws, sb.ws))) >= 0.5""".stripMargin,
+
+    // estimator calibration: banded candidates (any-band sub-signature
+    // equality, brute-forced here), per pair the component-match fraction
+    // and the exact Jaccard — est's divide-by-16 is exact binary on both
+    // engines, jaccard is the pairs entry's expression verbatim
+    "x_dedup_minhash_estimate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(lower(text), ' ')) - 2),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |         string_split(lower(text), ' ')[i+1] || ' ' ||
+        |         string_split(lower(text), ' ')[i+2]))) AS s
+        |  FROM documents WHERE text IS NOT NULL),
+        |hs AS (
+        |  SELECT doc_id, s,
+        |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h1,
+        |    CAST(concat('0x', substr(md5(s), 16, 15)) AS BIGINT) % 2147483647 AS h2
+        |  FROM sh),
+        |sigs AS (
+        |  SELECT doc_id, list(CAST(m AS BIGINT) ORDER BY i) AS sig
+        |  FROM (SELECT doc_id, i, min((h1 + i * h2) % 2147483647) AS m
+        |        FROM hs CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+        |        GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |sets AS (SELECT doc_id, list(DISTINCT s) AS ws FROM sh GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) AS DOUBLE)
+        |    / 16 AS est,
+        |  CAST(len(list_intersect(sa.ws, sb.ws)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(sa.ws, sb.ws))) AS jaccard
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |JOIN sets sa ON sa.doc_id = a.doc_id
+        |JOIN sets sb ON sb.doc_id = b.doc_id
+        |WHERE (a.sig[1:4] = b.sig[1:4] OR a.sig[5:8] = b.sig[5:8]
+        |    OR a.sig[9:12] = b.sig[9:12] OR a.sig[13:16] = b.sig[13:16])""".stripMargin,
 
     // incremental md5-twin fuzzy dedup: novel = batch (doc_id % 10 = 0)
     // docs whose any-band sub-signature collision with the corpus survives
