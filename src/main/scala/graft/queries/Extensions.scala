@@ -292,6 +292,32 @@ object Extensions {
         root
       })
 
+  /** Vocabulary-count ledger per corpus (graft.streaming
+    * .VocabLedgerStream) over the typo-AUGMENTED documents (editAugDocs —
+    * the x_vocab_* entries' corpus): three waves with a compaction after
+    * the second (the steady-state layout). The probe entry then pays only
+    * the vocabulary-sized canonicalization against served counts — the
+    * corpus is never re-tokenized.
+    */
+  private val vocabLedgerCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def vocabLedgerFor(s: SparkSession, dir: String): String =
+    vocabLedgerCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.BuildTimes.timed("vocab_ledger") {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-voc-ledger").toString + "/st"
+        val corpus = editAugDocs(s, dir)
+        graft.streaming.VocabLedgerStream.maintain(
+          corpus.filter(col("doc_id") % 3 === 1), 0L, root)
+        graft.streaming.VocabLedgerStream.maintain(
+          corpus.filter(col("doc_id") % 3 === 2), 1L, root)
+        graft.streaming.VocabLedgerStream.compact(s, root): Unit
+        graft.streaming.VocabLedgerStream.maintain(
+          corpus.filter(col("doc_id") % 3 === 0), 2L, root)
+        root
+      })
+
   /** CDC chunk-store ledger per corpus (graft.streaming.CdcLedgerStream):
     * the corpus (source != src0) folds in as three waves with a
     * compaction after the second (the steady-state layout) — the probe
@@ -2177,6 +2203,20 @@ object Extensions {
         graft.ext.EditDist.vocab(editAugDocs(s, dir), "text"))
     }),
 
+    // the typo-canonical map served from MAINTAINED vocabulary counts
+    // (the twelfth maintained structure — word counts are additive over
+    // disjoint-doc ingests, so the ledger folds per-batch aggregates and
+    // this entry pays only the vocabulary-sized canonicalization; the
+    // corpus is never re-tokenized). Must equal the batch recompute
+    // exactly — maintained == recompute, ONE shared oracle with
+    // x_vocab_typo_canonical. The argmax is decided by SUMMED counts, so
+    // serving it from per-wave snapshots would silently flip canonicals
+    // (the spec's wave-flip case) — which is why the counts are maintained
+    "x_vocab_typo_ledger" -> ((s: SparkSession, dir: String) => {
+      graft.streaming.VocabLedgerStream.probeTypoCanonical(
+        s, vocabLedgerFor(s, dir))
+    }),
+
     // composed training-data-prep pipeline: quality filter -> language
     // prediction -> per-language corpus stats (fully oracle-mirrored)
     "x_pipeline_dataprep" -> ((s: SparkSession, dir: String) => {
@@ -2982,6 +3022,25 @@ object Extensions {
       |v AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
       |  FROM (SELECT unnest(string_split(t2, ' ')) AS w FROM aug)
       |  WHERE w <> '' GROUP BY 1)""".stripMargin
+
+  /** The SymSpell canonicalization rule over the augmented vocabulary in
+    * SQL — shared verbatim by the batch entry and the ledger-served twin
+    * (maintained == recompute is the checked contract).
+    */
+  private val typoCanonicalSql: String =
+    s"""$editAugSql,
+       |pairs AS (SELECT a.word AS wa, b.word AS wb
+       |  FROM v a JOIN v b ON a.word < b.word
+       |  WHERE levenshtein(a.word, b.word) <= 1),
+       |nbrs AS (SELECT wa AS word, wb AS nbr FROM pairs
+       |  UNION ALL SELECT wb, wa FROM pairs
+       |  UNION ALL SELECT word, word FROM v)
+       |SELECT word, nbr AS canonical, CAST(cnt AS BIGINT) AS canonical_cnt
+       |FROM (SELECT n.word, n.nbr, v2.cnt,
+       |    row_number() OVER (PARTITION BY n.word
+       |      ORDER BY v2.cnt DESC, n.nbr) AS rk
+       |  FROM nbrs n JOIN v v2 ON v2.word = n.nbr)
+       |WHERE rk = 1""".stripMargin
 
   private lazy val retrievalKwCtes: String =
     s"""toks AS (SELECT doc_id, unnest(list_distinct(list_transform(
@@ -4411,20 +4470,11 @@ object Extensions {
          |FROM v a JOIN v b ON a.word < b.word
          |WHERE levenshtein(a.word, b.word) <= 1""".stripMargin,
 
-    "x_vocab_typo_canonical" ->
-      s"""$editAugSql,
-         |pairs AS (SELECT a.word AS wa, b.word AS wb
-         |  FROM v a JOIN v b ON a.word < b.word
-         |  WHERE levenshtein(a.word, b.word) <= 1),
-         |nbrs AS (SELECT wa AS word, wb AS nbr FROM pairs
-         |  UNION ALL SELECT wb, wa FROM pairs
-         |  UNION ALL SELECT word, word FROM v)
-         |SELECT word, nbr AS canonical, CAST(cnt AS BIGINT) AS canonical_cnt
-         |FROM (SELECT n.word, n.nbr, v2.cnt,
-         |    row_number() OVER (PARTITION BY n.word
-         |      ORDER BY v2.cnt DESC, n.nbr) AS rk
-         |  FROM nbrs n JOIN v v2 ON v2.word = n.nbr)
-         |WHERE rk = 1""".stripMargin,
+    "x_vocab_typo_canonical" -> typoCanonicalSql,
+
+    // maintained == recompute: the ledger-served map must equal the batch
+    // operator bit for bit, so ONE oracle pins both entries
+    "x_vocab_typo_ledger" -> typoCanonicalSql,
 
     "x_profile_columns" ->
       """SELECT 'o_orderkey' AS "column",
@@ -5871,6 +5921,7 @@ object Extensions {
   reg("pack_shards_write", shardExportCache, shardExportFor)()
   reg("jsonl_export", jsonlExportCache, jsonlExportFor)()
   reg("cdc_chunk_ledger", cdcLedgerCache, cdcLedgerFor)()
+  reg("vocab_ledger", vocabLedgerCache, vocabLedgerFor)()
   reg("boiler_df_ledger", boilerLedgerCache, boilerLedgerFor)()
   reg("decontam_ledger", decontamLedgerCache, decontamLedgerFor)()
   reg("minhash_ledger", minhashLedgerCache, minhashLedgerFor)()
