@@ -67,6 +67,18 @@ object BoilerLedgerStream {
     } finally { counts.unpersist(); () }
   }
 
+  /** Wire a streaming document source to this ledger (foreachBatch —
+    * checkpointed batch ids make crash replays hit [[maintain]]'s
+    * idempotent overwrite; the n pin rejects a stream attached with a
+    * different n-gram order).
+    */
+  def attach(docs: DataFrame, root: String, checkpoint: String,
+             idCol: String = "doc_id", textCol: String = "text",
+             n: Int = 3): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((df: DataFrame, id: Long) => maintain(df, id, root, idCol, textCol, n))
+
   /** Corpus-wide span df summed across live segments (unthresholded). */
   def serve(spark: SparkSession, root: String): DataFrame =
     SegmentStore.read(spark, root, readSegment(spark, _),

@@ -52,6 +52,16 @@ object CdcLedgerStream {
     } finally { content.unpersist(); () }
   }
 
+  /** Wire a streaming document source to this chunk store (foreachBatch —
+    * checkpointed batch ids make crash replays hit [[maintain]]'s
+    * idempotent overwrite).
+    */
+  def attach(docs: DataFrame, root: String, checkpoint: String,
+             idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((df: DataFrame, id: Long) => maintain(df, id, root, idCol, textCol))
+
   /** The chunk-content table `(h, t)` across the committed live segments. */
   def serve(spark: SparkSession, root: String): DataFrame =
     SegmentStore.read(spark, root, readSegment(spark, _),

@@ -90,6 +90,17 @@ object LmLedgerStream {
     } finally { u.unpersist(); src.unpersist(); () }
   }
 
+  /** Wire a streaming document source to this count ledger (foreachBatch —
+    * checkpointed batch ids make crash replays hit [[maintain]]'s
+    * idempotent overwrite, which is also what heals a torn bi/uni commit:
+    * the stream's restart re-delivers the un-checkpointed batch).
+    */
+  def attach(docs: DataFrame, root: String, checkpoint: String,
+             idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((df: DataFrame, id: Long) => maintain(df, id, root, idCol, textCol))
+
   /** Live-set cross-parity: fails loudly (naming the torn batch ids) when
     * either sub-store has a live `batch=<id>` the other does not cover —
     * the observable signature of a crash between the bigram and unigram

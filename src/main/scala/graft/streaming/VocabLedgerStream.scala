@@ -67,6 +67,16 @@ object VocabLedgerStream {
   private def readSegment(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir).select(col("word"), col("cnt"))
 
+  /** Wire a streaming document source to this ledger (foreachBatch —
+    * batch ids come from the stream's checkpoint, so replays after a
+    * crash hit [[maintain]]'s idempotent overwrite).
+    */
+  def attach(docs: DataFrame, root: String, checkpoint: String,
+             textCol: String = "text"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((df: DataFrame, id: Long) => maintain(df, id, root, textCol))
+
   /** The SymSpell canonicalization map over the MAINTAINED vocabulary —
     * [[graft.ext.EditDist.typoCanonical]] verbatim, the corpus never
     * re-tokenized: the whole probe is vocabulary-sized (deletion-variant

@@ -104,6 +104,23 @@ class BoilerLedgerStreamSpec extends SparkSpec {
       s"phase-1 scan must prune the text column:\n$hotCols")
   }
 
+  test("streamed document batches converge to the batch recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("boled-st").toString + "/st"
+    val ckpt = java.nio.file.Files.createTempDirectory("boled-ck").toString
+    val input = MemoryStream[(Long, String)]
+    val q = BoilerLedgerStream.attach(
+      input.toDF().toDF("doc_id", "text"), root, ckpt).start()
+    try {
+      input.addData(corpus)
+      q.processAllAvailable()
+      input.addData(batch) // the probe's recompute twin folds the batch too
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(probed(root) === want(corpus))
+  }
+
   test("the n-gram order is pinned on first fold") {
     val root = java.nio.file.Files.createTempDirectory("boled-pin").toString + "/st"
     BoilerLedgerStream.maintain(corpus.toDF("doc_id", "text"), 0L, root, n = 3)

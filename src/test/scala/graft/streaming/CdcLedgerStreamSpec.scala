@@ -90,6 +90,23 @@ class CdcLedgerStreamSpec extends SparkSpec {
     assert(after(11L)._2 === 0L && after(11L)._3 === 0L)
   }
 
+  test("streamed document batches converge to the batch recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("cdcled-st").toString + "/st"
+    val ckpt = java.nio.file.Files.createTempDirectory("cdcled-ck").toString
+    val input = MemoryStream[(Long, String)]
+    val q = CdcLedgerStream.attach(
+      input.toDF().toDF("doc_id", "text"), root, ckpt).start()
+    try {
+      input.addData(corpus.take(2))
+      q.processAllAvailable()
+      input.addData(corpus.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(probed(root) === wantAgainst(corpus))
+  }
+
   test("chunking parameters are pinned on first fold") {
     val root = java.nio.file.Files.createTempDirectory("cdcled-pin").toString + "/st"
     CdcLedgerStream.maintain(corpus.toDF("doc_id", "text"), 0L, root)

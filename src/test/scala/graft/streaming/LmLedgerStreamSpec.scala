@@ -72,6 +72,26 @@ class LmLedgerStreamSpec extends SparkSpec {
     assert(SegmentStore.readParams(spark, root) === Some(Map("n" -> 2L)))
   }
 
+  test("streamed document batches converge to the batch recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("lmled-st").toString + "/st"
+    val ckpt = java.nio.file.Files.createTempDirectory("lmled-ck").toString
+    val input = MemoryStream[(Long, String)]
+    val q = LmLedgerStream.attach(
+      input.toDF().toDF("doc_id", "text"), root, ckpt).start()
+    try {
+      input.addData(corpus.take(2))
+      q.processAllAvailable()
+      input.addData(corpus.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val probeSlice = corpus.toDF("doc_id", "text").filter($"doc_id" % 2 === 0)
+    assert(scoresVia(LmLedgerStream.probe(spark, root, probeSlice)) ===
+      scoresVia(graft.ext.NgramLm.scoreDocs(corpus.toDF("doc_id", "text"))
+        .filter($"doc_id" % 2 === 0)))
+  }
+
   test("torn commit: bi committed without its uni twin fails loudly by id; replay heals") {
     val root = java.nio.file.Files.createTempDirectory("lmled-torn").toString + "/st"
     val docs = corpus.toDF("doc_id", "text")

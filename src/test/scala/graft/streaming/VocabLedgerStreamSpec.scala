@@ -63,6 +63,23 @@ class VocabLedgerStreamSpec extends SparkSpec {
     assert(after("zebrb") === (("zebra", 3L)), "fresh wave's typo canonicalizes")
   }
 
+  test("streamed document batches converge to the batch recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("vocled-st").toString + "/st"
+    val ckpt = java.nio.file.Files.createTempDirectory("vocled-ck").toString
+    val input = MemoryStream[(Long, String)]
+    val q = VocabLedgerStream.attach(
+      input.toDF().toDF("doc_id", "text"), root, ckpt).start()
+    try {
+      input.addData(wave0)
+      q.processAllAvailable()
+      input.addData(wave1)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(probed(root) === want(wave0 ++ wave1))
+  }
+
   test("empty batches are no-ops") {
     val root = java.nio.file.Files.createTempDirectory("vocled-e").toString + "/st"
     VocabLedgerStream.maintain(Seq((1L, "")).toDF("doc_id", "text"), 0L, root)
