@@ -125,9 +125,14 @@ object EditDist {
     */
   def typoCanonical(vocabDf: DataFrame): DataFrame = {
     val pairs = nearPairs(vocabDf).select(col("word_a"), col("word_b"))
-    // neighbor relation, symmetric closure + self
-    val nbrs = pairs.select(col("word_a").as("word"), col("word_b").as("nbr"))
-      .unionByName(pairs.select(col("word_b").as("word"), col("word_a").as("nbr")))
+    // neighbor relation, symmetric closure + self. The closure EXPLODES
+    // each pair into both directions instead of unioning two references
+    // to the pairs plan — referencing it twice would run the per-candidate
+    // exact-Levenshtein verify (the scheme's hottest step) twice per action
+    val nbrs = pairs.select(explode(array(
+        struct(col("word_a").as("word"), col("word_b").as("nbr")),
+        struct(col("word_b").as("word"), col("word_a").as("nbr")))).as("e"))
+      .select(col("e.word").as("word"), col("e.nbr").as("nbr"))
       .unionByName(vocabDf.select(col("word"), col("word").as("nbr")))
     nbrs
       .join(vocabDf.select(col("word").as("nbr"), col("cnt").as("nbr_cnt")), Seq("nbr"))

@@ -147,23 +147,34 @@ object MinHashDedup {
     * all pairs, then exact Jaccard), so banding + verify are pinned
     * cross-engine end to end.
     */
-  def nearDuplicatesMd5(docs: DataFrame, minJaccard: Double = 0.5,
-                        idCol: String = "doc_id", textCol: String = "text",
-                        h: Int = 16, bands: Int = 4, k: Int = 3): DataFrame = {
+  /** Banded candidate pairs `(doc_a, doc_b)` over a [[signaturesMd5]]
+    * frame — the ONE place the band-key encoding and candidate rule live,
+    * shared by the pair search and the estimator calibration so both see
+    * the identical candidate population (a divergence here would make the
+    * calibration measure a different threshold population than the dedup
+    * it calibrates).
+    */
+  private def bandedCandidatesMd5(sigs: DataFrame, idCol: String,
+                                  h: Int, bands: Int): DataFrame = {
     val r = h / bands
-    val sigs = signaturesMd5(docs, idCol, textCol, h, k)
-    sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs
       .select(col(idCol),
         explode(expr(s"""transform(sequence(0, ${bands - 1}),
           b -> concat(b, ':', array_join(transform(slice(sigs, b * $r + 1, $r),
             v -> cast(v as string)), ',')))""")).as("band_key"))
-    val candidates = banded.toDF("doc_a", "band_key")
+    banded.toDF("doc_a", "band_key")
       .join(banded.toDF("doc_b", "band_key"), Seq("band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
-    candidates
+  }
+
+  def nearDuplicatesMd5(docs: DataFrame, minJaccard: Double = 0.5,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        h: Int = 16, bands: Int = 4, k: Int = 3): DataFrame = {
+    val sigs = signaturesMd5(docs, idCol, textCol, h, k)
+    sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bandedCandidatesMd5(sigs, idCol, h, bands)
       .join(sigs.select(col(idCol).as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sigs.select(col(idCol).as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .withColumn("jaccard",
@@ -184,26 +195,21 @@ object MinHashDedup {
     * production threshold sees. est = matches/h is one exact small-int
     * divide by a power of two — bit-identical cross-engine; the exact
     * Jaccard is the [[exactPairsMd5]] expression. Same scale shape as
-    * [[nearDuplicatesMd5]]: one band-key shuffle, arrays join in for
-    * candidates only.
+    * [[nearDuplicatesMd5]] (the SAME [[bandedCandidatesMd5]] population):
+    * one band-key shuffle, arrays join in for candidates only.
+    *
+    * Persistence contract (the [[exactPairsMd5]] rule): the signature
+    * frame is persisted only for the duration of this call — the result
+    * comes back PERSISTED (MEMORY_AND_DISK, candidate-pair-sized) and
+    * counted, signature storage already released; the CALLER OWNS the
+    * result's storage (`.unpersist()` when done).
     */
   def estimateVsExactMd5(docs: DataFrame, idCol: String = "doc_id",
                          textCol: String = "text",
                          h: Int = 16, bands: Int = 4, k: Int = 3): DataFrame = {
-    val r = h / bands
     val sigs = signaturesMd5(docs, idCol, textCol, h, k)
     sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sigs
-      .select(col(idCol),
-        explode(expr(s"""transform(sequence(0, ${bands - 1}),
-          b -> concat(b, ':', array_join(transform(slice(sigs, b * $r + 1, $r),
-            v -> cast(v as string)), ',')))""")).as("band_key"))
-    val candidates = banded.toDF("doc_a", "band_key")
-      .join(banded.toDF("doc_b", "band_key"), Seq("band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
-    candidates
+    val out = bandedCandidatesMd5(sigs, idCol, h, bands)
       .join(sigs.select(col(idCol).as("doc_a"),
         col("shingles").as("sh_a"), col("sigs").as("sg_a")), "doc_a")
       .join(sigs.select(col(idCol).as("doc_b"),
@@ -214,6 +220,10 @@ object MinHashDedup {
           .cast("double") / lit(h.toDouble)).as("est"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sigs.unpersist(blocking = false)
+    out
   }
 
   /** The incremental md5-twin core, over two [[signaturesMd5]]-shaped
