@@ -44,6 +44,27 @@ object EditDist {
     }.distinct
   }
 
+  /** The ≤`k`-deletion neighborhood of `w` INCLUDING `w` itself —
+    * distinct strings reachable by at most k single-code-point deletions
+    * (≤ Σ_{j≤k} C(len, j) strings; at the bounded word lengths here, a
+    * few dozen). The symmetric-delete soundness argument generalizes from
+    * k = 1: an optimal ≤k-edit script with i inserts, d deletes, s
+    * substitutions (i+d+s ≤ k) leaves a common subsequence reachable from
+    * `a` by deleting its d+s edited positions and from `b` by deleting
+    * its i+s — both within ≤k deletions, so the neighborhoods intersect.
+    */
+  private[ext] def deletionsUpTo(w: String, k: Int): Seq[String] = {
+    var frontier = Set(w)
+    val seen = scala.collection.mutable.LinkedHashSet(w)
+    var round = 0
+    while (round < k) {
+      frontier = frontier.flatMap(s => if (s.isEmpty) Seq.empty else deletions1(s))
+      frontier.foreach(seen += _)
+      round += 1
+    }
+    seen.toSeq
+  }
+
   private def toCps(w: String): Array[Int] = {
     val out = new scala.collection.mutable.ArrayBuffer[Int](w.length)
     var i = 0
@@ -89,17 +110,24 @@ object EditDist {
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
 
-  /** Vocabulary pairs at Levenshtein distance EXACTLY 1 (distinct words
-    * within distance ≤ 1), `word_a < word_b` — candidates from the
-    * deletion-neighborhood equi-join (keys hashed to 8 bytes; the word
-    * itself is a key too, catching pure insert/delete neighbors), then
-    * exact-distance verified. Output `(word_a, word_b, dist)`.
+  /** Vocabulary pairs at Levenshtein distance ≤ `maxDist` (distinct
+    * words), `word_a < word_b` — candidates from the deletion-
+    * neighborhood equi-join (keys hashed to 8 bytes; the word itself is a
+    * key too, catching pure insert/delete neighbors), then exact-distance
+    * verified. Output `(word_a, word_b, dist)`. `maxDist = 2` is
+    * production SymSpell's standard radius; neighborhood size — and so
+    * candidate volume — grows ~C(len, maxDist), which is why the radius
+    * is a knob and not unbounded.
     */
-  def nearPairs(vocabDf: DataFrame): DataFrame = {
+  def nearPairs(vocabDf: DataFrame, maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 3,
+      s"editdist nearPairs: maxDist in [1, 3], got $maxDist (the deletion " +
+        "neighborhood is C(len, k)-sized — larger radii want a different scheme)")
     val spark = vocabDf.sparkSession
     import spark.implicits._
+    val k = maxDist
     val keys = vocabDf.select(col("word")).as[String]
-      .flatMap(w => (w +: deletions1(w)).distinct.map(v => (v, w)))
+      .flatMap(w => deletionsUpTo(w, k).map(v => (v, w)))
       .toDF("variant", "word")
       .select(xxhash64(col("variant")).as("vk"), col("word"))
     val cand = keys.select(col("vk"), col("word").as("word_a"))
@@ -110,7 +138,7 @@ object EditDist {
     cand.as[(String, String)]
       .map { case (a, b) => (a, b, lev(a, b)) }
       .toDF("word_a", "word_b", "dist")
-      .filter(col("dist") <= 1)
+      .filter(col("dist") <= k)
   }
 
   /** SymSpell's correction rule as a canonicalization map: every word's

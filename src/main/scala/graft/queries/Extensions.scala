@@ -2193,6 +2193,16 @@ object Extensions {
         graft.ext.EditDist.vocab(editAugDocs(s, dir), "text"))
     }),
 
+    // the same scheme at production SymSpell's standard radius (k = 2 —
+    // ≤2-deletion neighborhoods, exact verify): catches substituted-plus-
+    // deleted variants and transpositions (lev 2) that the radius-1 form
+    // can't; the fixture vocabulary has 69 natural distance-2 pairs, so
+    // the radius is genuinely exercised beyond the planted typos
+    "x_vocab_editdist2_pairs" -> ((s: SparkSession, dir: String) => {
+      graft.ext.EditDist.nearPairs(
+        graft.ext.EditDist.vocab(editAugDocs(s, dir), "text"), maxDist = 2)
+    }),
+
     // SymSpell's correction rule over the same augmented vocabulary:
     // each word's canonical form = its highest-frequency ≤1-edit neighbor
     // (itself included; ties to the smallest word) — the typo-collapse
@@ -4469,6 +4479,13 @@ object Extensions {
          |  CAST(levenshtein(a.word, b.word) AS INT) AS dist
          |FROM v a JOIN v b ON a.word < b.word
          |WHERE levenshtein(a.word, b.word) <= 1""".stripMargin,
+
+    "x_vocab_editdist2_pairs" ->
+      s"""$editAugSql
+         |SELECT a.word AS word_a, b.word AS word_b,
+         |  CAST(levenshtein(a.word, b.word) AS INT) AS dist
+         |FROM v a JOIN v b ON a.word < b.word
+         |WHERE levenshtein(a.word, b.word) <= 2""".stripMargin,
 
     "x_vocab_typo_canonical" -> typoCanonicalSql,
 

@@ -51,6 +51,32 @@ class EditDistSpec extends SparkSpec {
       && got.contains(("at", "cat", 1)))
   }
 
+  test("deletionsUpTo: includes the word, all 1- and 2-deletions, distinct") {
+    assert(EditDist.deletionsUpTo("abc", 1).toSet === Set("abc", "bc", "ac", "ab"))
+    assert(EditDist.deletionsUpTo("abc", 2).toSet ===
+      Set("abc", "bc", "ac", "ab", "a", "b", "c"))
+    assert(EditDist.deletionsUpTo("a", 2).toSet === Set("a", ""))
+    assert(EditDist.deletionsUpTo("", 2) === Seq(""))
+  }
+
+  test("nearPairs maxDist=2 == brute-force lev<=2 (transpositions now included)") {
+    val words = Seq("cat", "cut", "cats", "at", "ab", "ba", "dog", "dogs",
+      "dig", "zebra", "form", "from", "abcd", "badc")
+    val vocab = words.map((_, 1L)).toDF("word", "cnt")
+    val got = EditDist.nearPairs(vocab, maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val want = (for {
+      a <- words; b <- words if a < b
+      d = EditDist.lev(a, b) if d <= 2
+    } yield (a, b, d)).toSet
+    assert(got === want)
+    // radius 2 catches the lev-2 pairs radius 1 rejects
+    assert(got.contains(("ab", "ba", 2)) && got.contains(("form", "from", 2)))
+    // and lev-3 shared-deletion candidates are still verified away
+    assert(EditDist.lev("abcd", "badc") === 3)
+    assert(!got.exists(p => Set(p._1, p._2) == Set("abcd", "badc")))
+  }
+
   test("typoCanonical: highest-frequency neighbor wins, ties to smallest word") {
     val vocab = Seq(("the", 100L), ("thw", 2L), ("thee", 3L),
       ("dog", 10L), ("dig", 10L), ("zebra", 1L)).toDF("word", "cnt")
