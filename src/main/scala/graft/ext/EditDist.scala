@@ -17,19 +17,52 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: everything is VOCABULARY-sized, never corpus-sized — the
   * corpus collapses to (word, freq) first (one aggregation), each word
-  * emits ≤ len+1 deletion variants (words are bounded, ~16 code points),
-  * candidates come from ONE equi-join keyed on the 8-byte variant hash,
-  * and the exact-distance verify runs per candidate pair. An all-pairs
-  * vocabulary scan is |V|² (10¹⁰ pairs at a 100k vocab); this is
-  * Σ(len+1)·bucket — linear in the vocabulary for natural-language key
-  * distributions. The same skeleton as the MinHash/SimHash banding
-  * families, on the string-edit metric.
+  * emits a bounded deletion neighborhood (see [[MaxWordLen]]), candidates
+  * come from ONE equi-join keyed on the 8-byte variant hash, and the
+  * exact-distance verify runs per candidate pair INSIDE codegen (the
+  * built-in threshold-form `levenshtein`, equivalence with the code-point
+  * definition pinned in EditDistSpec). An all-pairs vocabulary scan is
+  * |V|² (10¹⁰ pairs at a 100k vocab); this is Σ neighborhood·bucket —
+  * linear in the vocabulary for natural-language key distributions. The
+  * same skeleton as the MinHash/SimHash banding families, on the
+  * string-edit metric.
   *
   * Words are CODE-POINT sequences (the [[Bpe]]/[[Cdc]] contract — DuckDB
-  * `levenshtein`/`substr` count code points where naive JVM code would
-  * count UTF-16 units).
+  * `levenshtein`/`substr`/`length` count code points where naive JVM code
+  * would count UTF-16 units; Spark's `length` and `levenshtein` also
+  * count code points, so the whole operator family agrees symbol for
+  * symbol — EditDistSpec pins the astral-plane cases).
+  *
+  * Storage contract (the MinHashDedup sigs discipline, round-14 ADVICE):
+  * [[nearPairs]] and [[typoCanonical]] persist their inputs (the caller's
+  * `vocabDf` plan included) for the duration of the call, MATERIALIZE the
+  * result (persist + count), and release every intermediate before
+  * returning — nothing vocabulary-shaped is computed twice, and nothing
+  * but the (pair-sized / vocabulary-sized) result stays pinned. The
+  * CALLER owns the returned frame's storage: `.unpersist()` when done.
+  * Callers passing an already-persisted `vocabDf` should know the call
+  * unpersists that exact plan on return.
   */
 object EditDist {
+
+  /** Max word length (CODE POINTS) admitted to neighborhood generation —
+    * the length guard at the data boundary (round-14 ADVICE): the
+    * deletion neighborhood is C(len, k)-sized, so one pathological long
+    * token (a URL or base64 blob — routine in the web corpora this
+    * operator targets) at maxDist 2–3 would emit millions of long variant
+    * strings into the candidate join. Words longer than this are excluded
+    * from PAIRING entirely (no variants, no pair rows; [[typoCanonical]]
+    * still maps them — to themselves, as isolated nodes), a contract the
+    * DuckDB oracles mirror with the same length filter. 32 cps covers
+    * every natural-language vocabulary (the longest common English
+    * dictionary words are ~28); what it excludes is exactly the
+    * id/url/blob tail whose "typos" are not spelling variants. Skip-and-
+    * document rather than the fail-loudly [[WordPiece.MaxWordLen]]
+    * convention because long tokens are DATA here (one bad web page must
+    * not halt a corpus-wide normalization), not a training-parameter
+    * misuse.
+    */
+  val MaxWordLen = 32
 
   /** All single-code-point deletions of `w` (length in code points ≥ 1),
     * deduplicated ("aa" has one distinct deletion, not two).
@@ -46,12 +79,13 @@ object EditDist {
 
   /** The ≤`k`-deletion neighborhood of `w` INCLUDING `w` itself —
     * distinct strings reachable by at most k single-code-point deletions
-    * (≤ Σ_{j≤k} C(len, j) strings; at the bounded word lengths here, a
-    * few dozen). The symmetric-delete soundness argument generalizes from
-    * k = 1: an optimal ≤k-edit script with i inserts, d deletes, s
-    * substitutions (i+d+s ≤ k) leaves a common subsequence reachable from
-    * `a` by deleting its d+s edited positions and from `b` by deleting
-    * its i+s — both within ≤k deletions, so the neighborhoods intersect.
+    * (≤ Σ_{j≤k} C(len, j) strings; at [[MaxWordLen]]-bounded word lengths,
+    * a few hundred worst-case). The symmetric-delete soundness argument
+    * generalizes from k = 1: an optimal ≤k-edit script with i inserts, d
+    * deletes, s substitutions (i+d+s ≤ k) leaves a common subsequence
+    * reachable from `a` by deleting its d+s edited positions and from `b`
+    * by deleting its i+s — both within ≤k deletions, so the neighborhoods
+    * intersect.
     */
   private[ext] def deletionsUpTo(w: String, k: Int): Seq[String] = {
     var frontier = Set(w)
@@ -78,7 +112,11 @@ object EditDist {
 
   /** Exact Levenshtein distance over CODE POINTS, unit costs — the same
     * definition DuckDB's `levenshtein` computes, so the verify step and
-    * the oracle agree symbol for symbol.
+    * the oracle agree symbol for symbol. Kept as the REFERENCE
+    * implementation (spec brute-force sides, equivalence pin for the
+    * built-in): the distributed verify uses Spark's codegen `levenshtein`
+    * (threshold form), whose equality with this definition — astral
+    * substitutions cost 1, not 2 — EditDistSpec asserts.
     */
   private[ext] def lev(a: String, b: String): Int = {
     val (x, y) = (toCps(a), toCps(b))
@@ -110,49 +148,93 @@ object EditDist {
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
 
-  /** Vocabulary pairs at Levenshtein distance ≤ `maxDist` (distinct
-    * words), `word_a < word_b` — candidates from the deletion-
-    * neighborhood equi-join (keys hashed to 8 bytes; the word itself is a
-    * key too, catching pure insert/delete neighbors), then exact-distance
-    * verified. Output `(word_a, word_b, dist)`. `maxDist = 2` is
-    * production SymSpell's standard radius; neighborhood size — and so
-    * candidate volume — grows ~C(len, maxDist), which is why the radius
-    * is a knob and not unbounded.
+  /** The candidate-generation + verify core over an already-CACHED
+    * one-column `word` frame of pairing-eligible words (length ≤
+    * [[MaxWordLen]]): deletion-neighborhood equi-join on the 8-byte
+    * variant hash, then the exact distance via the built-in threshold-form
+    * `levenshtein` — returns -1 above `k`, the exact distance otherwise,
+    * and runs inside whole-stage codegen (the previous Dataset `.map`
+    * verify was the one non-codegen hop in the operator; round-14 verdict
+    * item 1). The keys frame is persisted by the CALLER's lifetime scope —
+    * this core references it on both join sides.
     */
-  def nearPairs(vocabDf: DataFrame, maxDist: Int = 1): DataFrame = {
-    require(maxDist >= 1 && maxDist <= 3,
-      s"editdist nearPairs: maxDist in [1, 3], got $maxDist (the deletion " +
-        "neighborhood is C(len, k)-sized — larger radii want a different scheme)")
-    val spark = vocabDf.sparkSession
-    import spark.implicits._
-    val k = maxDist
-    val keys = vocabDf.select(col("word")).as[String]
-      .flatMap(w => deletionsUpTo(w, k).map(v => (v, w)))
-      .toDF("variant", "word")
-      .select(xxhash64(col("variant")).as("vk"), col("word"))
+  private def nearPairsOn(keys: DataFrame, k: Int): DataFrame = {
     val cand = keys.select(col("vk"), col("word").as("word_a"))
       .join(keys.select(col("vk"), col("word").as("word_b")), Seq("vk"))
       .filter(col("word_a") < col("word_b"))
       .select(col("word_a"), col("word_b"))
       .dropDuplicates("word_a", "word_b")
-    cand.as[(String, String)]
-      .map { case (a, b) => (a, b, lev(a, b)) }
-      .toDF("word_a", "word_b", "dist")
-      .filter(col("dist") <= k)
+    cand
+      .withColumn("dist", levenshtein(col("word_a"), col("word_b"), k))
+      .filter(col("dist") =!= -1)
+  }
+
+  /** The hashed deletion-neighborhood key frame `(vk, word)` for the
+    * pairing-eligible vocabulary (the word itself is a key too, catching
+    * pure insert/delete neighbors).
+    */
+  private def neighborhoodKeys(vocabDf: DataFrame, k: Int): DataFrame = {
+    val spark = vocabDf.sparkSession
+    import spark.implicits._
+    vocabDf.select(col("word"))
+      .filter(length(col("word")) <= MaxWordLen)
+      .as[String]
+      .flatMap(w => deletionsUpTo(w, k).map(v => (v, w)))
+      .toDF("variant", "word")
+      .select(xxhash64(col("variant")).as("vk"), col("word"))
+  }
+
+  /** Vocabulary pairs at Levenshtein distance ≤ `maxDist` (distinct
+    * words ≤ [[MaxWordLen]] code points), `word_a < word_b` — candidates
+    * from the deletion-neighborhood equi-join, then exact-distance
+    * verified in codegen. Output `(word_a, word_b, dist)`, MATERIALIZED
+    * and persisted (caller owns the storage). `maxDist = 2` is production
+    * SymSpell's standard radius; neighborhood size — and so candidate
+    * volume — grows ~C(len, maxDist), which is why the radius is a knob
+    * and not unbounded.
+    */
+  def nearPairs(vocabDf: DataFrame, maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 3,
+      s"editdist nearPairs: maxDist in [1, 3], got $maxDist (the deletion " +
+        "neighborhood is C(len, k)-sized — larger radii want a different scheme)")
+    // the keys frame feeds BOTH sides of the candidate self-join, and the
+    // two sides project different aliases so ReuseExchange cannot be
+    // relied on to dedupe them — without the persist the corpus-fed vocab
+    // aggregation AND the C(len,k) variant flatMap execute per reference
+    // (round-14 ADVICE)
+    val keys = neighborhoodKeys(vocabDf, maxDist)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = nearPairsOn(keys, maxDist)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    keys.unpersist(blocking = false)
+    out
   }
 
   /** SymSpell's correction rule as a canonicalization map: every word's
     * canonical form is the highest-frequency word within edit distance
-    * ≤ 1 of it (itself included), ties to the lexicographically smallest
-    * — `(word, canonical, canonical_cnt)`. Words with no more-frequent
-    * neighbor map to themselves, so the map is total over the vocabulary
-    * and applying it collapses typo variants onto their dominant
-    * spelling (the text-normalization step of a web-corpus pipeline).
-    * Cost: [[nearPairs]] + two vocabulary-keyed joins + one argmax
-    * aggregation — still vocabulary-sized end to end.
+    * ≤ `maxDist` of it (itself included), ties to the lexicographically
+    * smallest — `(word, canonical, canonical_cnt)`. Words with no
+    * more-frequent neighbor — including every word past [[MaxWordLen]],
+    * which never pairs — map to themselves, so the map is total over the
+    * vocabulary and applying it collapses typo variants onto their
+    * dominant spelling (the text-normalization step of a web-corpus
+    * pipeline). `maxDist = 2` is production SymSpell's correction radius:
+    * it folds substituted-plus-deleted variants and transpositions that
+    * radius 1 leaves separate (a k=1/k=2 canonical flip is pinned in the
+    * spec). Cost: the [[nearPairs]] core + two vocabulary-keyed joins +
+    * one argmax aggregation — still vocabulary-sized end to end. Result
+    * materialized + persisted; caller owns the storage.
     */
-  def typoCanonical(vocabDf: DataFrame): DataFrame = {
-    val pairs = nearPairs(vocabDf).select(col("word_a"), col("word_b"))
+  def typoCanonical(vocabDf: DataFrame, maxDist: Int = 1): DataFrame = {
+    // vocabDf is referenced three times (neighborhood keys, the self
+    // union, the count join) and is typically a corpus aggregation —
+    // persist it for the call (NOTE: the caller's plan is unpersisted on
+    // return; see the object scaladoc)
+    val v = vocabDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keys = neighborhoodKeys(v, maxDist)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = nearPairsOn(keys, maxDist).select(col("word_a"), col("word_b"))
     // neighbor relation, symmetric closure + self. The closure EXPLODES
     // each pair into both directions instead of unioning two references
     // to the pairs plan — referencing it twice would run the per-candidate
@@ -161,13 +243,18 @@ object EditDist {
         struct(col("word_a").as("word"), col("word_b").as("nbr")),
         struct(col("word_b").as("word"), col("word_a").as("nbr")))).as("e"))
       .select(col("e.word").as("word"), col("e.nbr").as("nbr"))
-      .unionByName(vocabDf.select(col("word"), col("word").as("nbr")))
-    nbrs
-      .join(vocabDf.select(col("word").as("nbr"), col("cnt").as("nbr_cnt")), Seq("nbr"))
+      .unionByName(v.select(col("word"), col("word").as("nbr")))
+    val out = nbrs
+      .join(v.select(col("word").as("nbr"), col("cnt").as("nbr_cnt")), Seq("nbr"))
       // argmax by (cnt desc, word asc): min of (-cnt, word) — one hash agg
       .groupBy(col("word"))
       .agg(min(struct((-col("nbr_cnt")).as("neg"), col("nbr").as("w"))).as("best"))
       .select(col("word"), col("best.w").as("canonical"),
         (-col("best.neg")).as("canonical_cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    keys.unpersist(blocking = false)
+    v.unpersist(blocking = false)
+    out
   }
 }

@@ -147,8 +147,14 @@ object SimHash {
     // the sig frame feeds both join sides — persist halves the signature
     // compute (16 B/row; lifetime-scoped, same reasoning as MinHashDedup).
     // Matters for the md5 twin whose per-doc sig is an O(64·T) lambda; the
-    // native kernel is cheap either way.
-    val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // native kernel is cheap either way. An ALREADY-CACHED input is left
+    // alone (round-14 ADVICE): persisting it again would only warn, and
+    // the caller owns that storage — this function must not be the one
+    // that later evicts it.
+    val sigs =
+      if (sigs0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sigs0
     val chunked = sigs.select(col(idCol), col("simhash"),
       explode(expr("""transform(sequence(0, 3),
         c -> struct(c AS chunk_id, (shiftright(simhash, c * 16) & 65535) AS chunk_val))""")).as("ch"))

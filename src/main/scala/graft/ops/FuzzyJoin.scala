@@ -40,10 +40,14 @@ object FuzzyJoin {
     val l = left.withColumn("__blk", blockL)
     val r = right.withColumn("__blk", blockR)
     l.join(r, Seq("__blk"))
-      // length prefilter before the O(len²) DP — free pruning in-block
+      // length prefilter before the DP — free pruning in-block
       .filter(abs(length(col(leftCol)) - length(col(rightCol))) <= maxDist)
-      .withColumn("dist", levenshtein(col(leftCol), col(rightCol)))
-      .filter(col("dist") <= maxDist)
+      // threshold form: the banded O(k·len) DP that abandons a pair the
+      // moment its band exceeds maxDist (returns -1), instead of the full
+      // O(len²) table — the distance returned for surviving pairs is the
+      // exact one, so the output contract is unchanged
+      .withColumn("dist", levenshtein(col(leftCol), col(rightCol), maxDist))
+      .filter(col("dist") =!= -1)
       .drop("__blk")
   }
 }

@@ -76,6 +76,25 @@ object Extensions {
     * fixture vocabulary has no natural distance-1 pairs to exercise the
     * operator on.
     */
+  /** Per-(session, corpus, entry) OWNERSHIP SLOT for library calls whose
+    * results (or internally-persisted inputs) come back under the
+    * caller-owns-storage contract (`estimateVsExactMd5`, the `*FromSigs`
+    * entry points, the EditDist family): each registry invocation parks
+    * the new frame here and the PREVIOUS one is released, so warm bench
+    * repetitions hold at most ONE persisted frame per entry instead of
+    * leaking one per rep (round-14 ADVICE — MEMORY_AND_DISK is evictable
+    * but the cache-entry growth was unbounded across reps). The final
+    * frame rides until session end, like every owned cache here.
+    */
+  private val ownedSlots =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+
+  private def owned(s: SparkSession, dir: String, name: String)(df: DataFrame): DataFrame = {
+    ownedSlots.put((s.sparkContext.applicationId, dir, name), df)
+      .foreach(prev => if (prev ne df) prev.unpersist(blocking = false))
+    df
+  }
+
   private def editAugDocs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).withColumn("text", expr(
       """CASE WHEN doc_id % 5 = 0 AND length(split(text, ' ')[0]) >= 3
@@ -1168,8 +1187,12 @@ object Extensions {
     }),
 
     "x_simhash_md5_pairs" -> ((s: SparkSession, dir: String) => {
+      // the fresh sig frame is persisted INSIDE nearDuplicatesFromSigs
+      // (it feeds both join sides) and released by the ownership slot on
+      // the next invocation — not one leaked 16 B/row cache entry per rep
       SimHash.nearDuplicatesFromSigs(
-        SimHash.signaturesMd5(Tables.documents(s, dir)), maxDist = 3)
+        owned(s, dir, "x_simhash_md5_pairs")(
+          SimHash.signaturesMd5(Tables.documents(s, dir))), maxDist = 3)
     }),
 
     // md5-twin incremental hamming dedup, BATCH form: both sides sketched
@@ -1215,7 +1238,8 @@ object Extensions {
     // the false-accept/reject rate of any threshold on the estimate. The
     // oracle brute-forces candidates + both numbers per pair
     "x_dedup_minhash_estimate" -> ((s: SparkSession, dir: String) => {
-      MinHashDedup.estimateVsExactMd5(Tables.documents(s, dir))
+      owned(s, dir, "x_dedup_minhash_estimate")(
+        MinHashDedup.estimateVsExactMd5(Tables.documents(s, dir)))
     }),
 
     // typed Aggregator (UDAF surface): per-source corpus MinHash sketch via
@@ -2189,8 +2213,8 @@ object Extensions {
     // augmentation discipline as x_text_pii; the oracle re-derives the
     // typos and checks ALL-PAIRS levenshtein over the vocabulary
     "x_vocab_editdist_pairs" -> ((s: SparkSession, dir: String) => {
-      graft.ext.EditDist.nearPairs(
-        graft.ext.EditDist.vocab(editAugDocs(s, dir), "text"))
+      owned(s, dir, "x_vocab_editdist_pairs")(graft.ext.EditDist.nearPairs(
+        graft.ext.EditDist.vocab(editAugDocs(s, dir), "text")))
     }),
 
     // the same scheme at production SymSpell's standard radius (k = 2 —
@@ -2199,8 +2223,8 @@ object Extensions {
     // can't; the fixture vocabulary has 69 natural distance-2 pairs, so
     // the radius is genuinely exercised beyond the planted typos
     "x_vocab_editdist2_pairs" -> ((s: SparkSession, dir: String) => {
-      graft.ext.EditDist.nearPairs(
-        graft.ext.EditDist.vocab(editAugDocs(s, dir), "text"), maxDist = 2)
+      owned(s, dir, "x_vocab_editdist2_pairs")(graft.ext.EditDist.nearPairs(
+        graft.ext.EditDist.vocab(editAugDocs(s, dir), "text"), maxDist = 2))
     }),
 
     // SymSpell's correction rule over the same augmented vocabulary:
@@ -2209,8 +2233,20 @@ object Extensions {
     // map a normalization pass applies corpus-wide. Pairs + two keyed
     // joins + one argmax aggregation, all vocabulary-sized
     "x_vocab_typo_canonical" -> ((s: SparkSession, dir: String) => {
-      graft.ext.EditDist.typoCanonical(
-        graft.ext.EditDist.vocab(editAugDocs(s, dir), "text"))
+      owned(s, dir, "x_vocab_typo_canonical")(graft.ext.EditDist.typoCanonical(
+        graft.ext.EditDist.vocab(editAugDocs(s, dir), "text")))
+    }),
+
+    // SymSpell's correction rule at its PRODUCTION radius (k = 2): the
+    // canonical form is the highest-frequency word within edit distance
+    // ≤ 2 — folds the substituted-plus-deleted variants and
+    // transpositions the k = 1 map leaves separate (a canonical that
+    // flips between the radii is pinned in EditDistSpec). Same argmax
+    // semantics, same vocabulary-sized cost shape with the C(len, 2)
+    // neighborhood factor
+    "x_vocab_typo_canonical2" -> ((s: SparkSession, dir: String) => {
+      owned(s, dir, "x_vocab_typo_canonical2")(graft.ext.EditDist.typoCanonical(
+        graft.ext.EditDist.vocab(editAugDocs(s, dir), "text"), maxDist = 2))
     }),
 
     // the typo-canonical map served from MAINTAINED vocabulary counts
@@ -2223,8 +2259,20 @@ object Extensions {
     // serving it from per-wave snapshots would silently flip canonicals
     // (the spec's wave-flip case) — which is why the counts are maintained
     "x_vocab_typo_ledger" -> ((s: SparkSession, dir: String) => {
-      graft.streaming.VocabLedgerStream.probeTypoCanonical(
-        s, vocabLedgerFor(s, dir))
+      owned(s, dir, "x_vocab_typo_ledger")(
+        graft.streaming.VocabLedgerStream.probeTypoCanonical(
+          s, vocabLedgerFor(s, dir)))
+    }),
+
+    // the k = 2 correction map served from the SAME maintained vocabulary
+    // counts — maintained == recompute at the production radius too (ONE
+    // oracle shared with x_vocab_typo_canonical2); the radius is a
+    // serve-time knob over the ledger, not ledger state, so one count
+    // store serves every correction radius
+    "x_vocab_typo_ledger2" -> ((s: SparkSession, dir: String) => {
+      owned(s, dir, "x_vocab_typo_ledger2")(
+        graft.streaming.VocabLedgerStream.probeTypoCanonical(
+          s, vocabLedgerFor(s, dir), maxDist = 2))
     }),
 
     // composed training-data-prep pipeline: quality filter -> language
@@ -2432,7 +2480,8 @@ object Extensions {
     // stays measured by x_mm_image_decode / x_mm_dhash_sigs (live by
     // design) and itemized in the mm_sig_ledger build
     "x_mm_dhash_pairs" -> ((s: SparkSession, dir: String) => {
-      Multimodal.imageNearDuplicatesFromSigs(mmSigsFor(s, dir), maxDist = 3)
+      owned(s, dir, "x_mm_dhash_pairs")(
+        Multimodal.imageNearDuplicatesFromSigs(mmSigsFor(s, dir), maxDist = 3))
     }),
 
     // image dedup GROUPS: connected components over the near-dup pairs —
@@ -3034,14 +3083,18 @@ object Extensions {
       |  WHERE w <> '' GROUP BY 1)""".stripMargin
 
   /** The SymSpell canonicalization rule over the augmented vocabulary in
-    * SQL — shared verbatim by the batch entry and the ledger-served twin
-    * (maintained == recompute is the checked contract).
+    * SQL at radius `k` — shared verbatim by each batch entry and its
+    * ledger-served twin (maintained == recompute is the checked
+    * contract). The `length <= 32` filter mirrors `EditDist.MaxWordLen`:
+    * long tokens never pair (both engines count CODE POINTS in `length`),
+    * so they reach the result only through the self-union.
     */
-  private val typoCanonicalSql: String =
+  private def typoCanonicalSqlAt(k: Int): String =
     s"""$editAugSql,
        |pairs AS (SELECT a.word AS wa, b.word AS wb
        |  FROM v a JOIN v b ON a.word < b.word
-       |  WHERE levenshtein(a.word, b.word) <= 1),
+       |  WHERE length(a.word) <= 32 AND length(b.word) <= 32
+       |    AND levenshtein(a.word, b.word) <= $k),
        |nbrs AS (SELECT wa AS word, wb AS nbr FROM pairs
        |  UNION ALL SELECT wb, wa FROM pairs
        |  UNION ALL SELECT word, word FROM v)
@@ -3051,6 +3104,9 @@ object Extensions {
        |      ORDER BY v2.cnt DESC, n.nbr) AS rk
        |  FROM nbrs n JOIN v v2 ON v2.word = n.nbr)
        |WHERE rk = 1""".stripMargin
+
+  private val typoCanonicalSql: String = typoCanonicalSqlAt(1)
+  private val typoCanonical2Sql: String = typoCanonicalSqlAt(2)
 
   private lazy val retrievalKwCtes: String =
     s"""toks AS (SELECT doc_id, unnest(list_distinct(list_transform(
@@ -4478,20 +4534,25 @@ object Extensions {
          |SELECT a.word AS word_a, b.word AS word_b,
          |  CAST(levenshtein(a.word, b.word) AS INT) AS dist
          |FROM v a JOIN v b ON a.word < b.word
-         |WHERE levenshtein(a.word, b.word) <= 1""".stripMargin,
+         |WHERE length(a.word) <= 32 AND length(b.word) <= 32
+         |  AND levenshtein(a.word, b.word) <= 1""".stripMargin,
 
     "x_vocab_editdist2_pairs" ->
       s"""$editAugSql
          |SELECT a.word AS word_a, b.word AS word_b,
          |  CAST(levenshtein(a.word, b.word) AS INT) AS dist
          |FROM v a JOIN v b ON a.word < b.word
-         |WHERE levenshtein(a.word, b.word) <= 2""".stripMargin,
+         |WHERE length(a.word) <= 32 AND length(b.word) <= 32
+         |  AND levenshtein(a.word, b.word) <= 2""".stripMargin,
 
     "x_vocab_typo_canonical" -> typoCanonicalSql,
+    "x_vocab_typo_canonical2" -> typoCanonical2Sql,
 
     // maintained == recompute: the ledger-served map must equal the batch
-    // operator bit for bit, so ONE oracle pins both entries
+    // operator bit for bit, so ONE oracle pins both entries — at each
+    // correction radius
     "x_vocab_typo_ledger" -> typoCanonicalSql,
+    "x_vocab_typo_ledger2" -> typoCanonical2Sql,
 
     "x_profile_columns" ->
       """SELECT 'o_orderkey' AS "column",

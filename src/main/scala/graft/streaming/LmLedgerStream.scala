@@ -64,6 +64,13 @@ object LmLedgerStream {
     * unigram totals into `root/uni/batch=<id>`. Empty batches are a
     * no-op. Validate-before-commit / pin-after-commit ordering (the
     * SegmentStore round-13 rule).
+    *
+    * Storage note (round-14 ADVICE): `docs` — the CALLER's frame — is
+    * persisted for the duration of this call and unpersisted on return.
+    * A caller that passes an already-cached frame will find its own cache
+    * entry released afterwards; foreachBatch micro-batches (the intended
+    * caller, see [[attach]]) are fresh per invocation, so the shared-plan
+    * case does not arise on the streaming path.
     */
   def maintain(docs: DataFrame, batchId: Long, root: String,
                idCol: String = "doc_id", textCol: String = "text"): Unit = {

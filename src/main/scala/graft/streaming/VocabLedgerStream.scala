@@ -78,10 +78,14 @@ object VocabLedgerStream {
       .foreachBatch((df: DataFrame, id: Long) => maintain(df, id, root, textCol))
 
   /** The SymSpell canonicalization map over the MAINTAINED vocabulary —
-    * [[graft.ext.EditDist.typoCanonical]] verbatim, the corpus never
-    * re-tokenized: the whole probe is vocabulary-sized (deletion-variant
-    * join + argmax over served counts).
+    * [[graft.ext.EditDist.typoCanonical]] verbatim at the caller's
+    * correction radius (`maxDist = 2` is production SymSpell's), the
+    * corpus never re-tokenized: the whole probe is vocabulary-sized
+    * (deletion-variant join + argmax over served counts). The result
+    * comes back materialized + persisted (the EditDist storage contract —
+    * caller owns it).
     */
-  def probeTypoCanonical(spark: SparkSession, root: String): DataFrame =
-    graft.ext.EditDist.typoCanonical(serve(spark, root))
+  def probeTypoCanonical(spark: SparkSession, root: String,
+                         maxDist: Int = 1): DataFrame =
+    graft.ext.EditDist.typoCanonical(serve(spark, root), maxDist)
 }

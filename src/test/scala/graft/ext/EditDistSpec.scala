@@ -77,6 +77,78 @@ class EditDistSpec extends SparkSpec {
     assert(!got.exists(p => Set(p._1, p._2) == Set("abcd", "badc")))
   }
 
+  test("built-in levenshtein == EditDist.lev (code points, astral incl.); threshold form returns -1 above k") {
+    // the equivalence that justifies running the candidate verify on
+    // Spark's codegen `levenshtein` (threshold form) instead of a Dataset
+    // map over EditDist.lev — round-14 verdict item 4. The astral pairs
+    // are the divergence risk: a UTF-16-unit implementation would count 2
+    // for one astral substitution.
+    val cases = Seq(
+      ("a𝕏c", "a𝕐c"), ("a𝕏c", "abc"), ("", "a𝕏c"), ("𝕏", "𝕏"),
+      ("x𝕏", "𝕏x"), ("kitten", "sitting"), ("ab", "ba"), ("café", "cafe"),
+      ("", ""), ("abc", "abcd"))
+    val rows = cases.toDF("a", "b").select(col("a"), col("b"),
+      levenshtein(col("a"), col("b")).as("l"),
+      levenshtein(col("a"), col("b"), 1).as("lt1"),
+      levenshtein(col("a"), col("b"), 2).as("lt2")).collect()
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val want = EditDist.lev(a, b)
+      assert(r.getInt(2) === want, s"full form ($a, $b)")
+      assert(r.getInt(3) === (if (want <= 1) want else -1), s"threshold-1 ($a, $b)")
+      assert(r.getInt(4) === (if (want <= 2) want else -1), s"threshold-2 ($a, $b)")
+    }
+  }
+
+  test("MaxWordLen: over-long tokens never pair (either side) but stay in the canonical map") {
+    val blob = "x" * (EditDist.MaxWordLen + 8)  // the URL/base64 class
+    val blobTypo = blob.dropRight(1)            // lev 1 from blob, still > cap
+    val edge = "y" * EditDist.MaxWordLen        // exactly at the cap: eligible
+    val edgeTypo = edge.dropRight(1)            // 31 cps, lev 1 from edge
+    val vocab = Seq((blob, 50L), (blobTypo, 1L), (edge, 50L), (edgeTypo, 1L),
+      ("cat", 5L), ("cut", 1L)).toDF("word", "cnt")
+    val pairs = EditDist.nearPairs(vocab)
+    val got = pairs.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set((edgeTypo, edge), ("cat", "cut")),
+      "the blob pair is guarded out; the at-cap pair survives")
+    pairs.unpersist()
+    val canon = EditDist.typoCanonical(vocab)
+    val m = canon.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m(blob) === blob && m(blobTypo) === blobTypo,
+      "over-long words map to themselves (isolated nodes)")
+    assert(m(edgeTypo) === edge)
+    assert(m.keySet === vocab.collect().map(_.getString(0)).toSet,
+      "the map stays total over the vocabulary, long tail included")
+    canon.unpersist()
+  }
+
+  test("typoCanonical maxDist=2 == brute-force; a canonical can flip between k=1 and k=2") {
+    // "thw" at k=1 reaches only "the" (lev 1); at k=2 it also reaches the
+    // MORE frequent "they" (substitute w->e, insert y) — the correction
+    // radius changes the answer, which is why it is a knob and not a
+    // constant
+    val vocab = Seq(("the", 100L), ("they", 200L), ("thw", 2L),
+      ("dog", 10L), ("dig", 10L), ("zebra", 1L)).toDF("word", "cnt")
+    val words = Seq("the", "they", "thw", "dog", "dig", "zebra")
+    val cnts = Map("the" -> 100L, "they" -> 200L, "thw" -> 2L,
+      "dog" -> 10L, "dig" -> 10L, "zebra" -> 1L)
+    def brute(k: Int): Map[String, (String, Long)] =
+      words.map { w =>
+        val best = words.filter(o => EditDist.lev(w, o) <= k)
+          .minBy(o => (-cnts(o), o))
+        w -> ((best, cnts(best)))
+      }.toMap
+    Seq(1, 2).foreach { k =>
+      val out = EditDist.typoCanonical(vocab, maxDist = k)
+      val got = out.collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(got === brute(k), s"radius $k")
+      out.unpersist()
+    }
+    assert(brute(1)("thw") === (("the", 100L)))
+    assert(brute(2)("thw") === (("they", 200L)), "the flip the radius buys")
+  }
+
   test("typoCanonical: highest-frequency neighbor wins, ties to smallest word") {
     val vocab = Seq(("the", 100L), ("thw", 2L), ("thee", 3L),
       ("dog", 10L), ("dig", 10L), ("zebra", 1L)).toDF("word", "cnt")
