@@ -17,11 +17,18 @@ object Explain {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    df.explain("formatted")
+    SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    // the frame is RE-CONSTRUCTED inside each timed rep (the Bench.once
+    // protocol): entries that materialize eagerly (the caller-owns-storage
+    // family — EditDist, estimateVsExactMd5) do their work at
+    // construction time, so timing only the noop write of a pre-built
+    // frame would measure a cache read. Planning/codegen lands in every
+    // rep; run 1 additionally pays first-touch JIT, so it stays the
+    // "cold" number.
     val times = (1 to reps).map { i =>
       val t0 = System.nanoTime()
-      df.write.mode("overwrite").format("noop").save()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
       val t = (System.nanoTime() - t0) / 1e9
       println(f"[explain] $name run$i: $t%.3f s")
       t

@@ -192,6 +192,17 @@ object Breadth {
     // CC adds over pairwise matching — and each entity cluster collapsed
     // to a canonical record (min-node member, min_by). Every stage is
     // keyed; the oracle recomputes the closure with a recursive CTE.
+    // CC VARIANT CHOICE (round-15 measurement, tools/ErCcProbe): the
+    // match graph is diameter ≤ 2 by construction (dirty twin ↔ clean ↔
+    // other dirty twin), so label propagation converges in ~3 rounds of
+    // one join + one agg each and beats the large/small-star scheme's
+    // two-aggs-plus-join rounds on this shape — measured 1.39 vs 1.74 s
+    // at sf0.1 (30k edges) and 8.56 vs 13.58 s at sf1 (3M edges; the
+    // scaled fixture replicates names so components widen to ~30 nodes),
+    // identical closures both scales. Star remains the right variant for
+    // DEEP graphs (long chains — its rounds are O(log d), label-prop's
+    // O(d)); ER match graphs are shallow by construction, so label-prop
+    // is the shipped choice.
     "x_entity_resolution" -> ((s: SparkSession, dir: String) => {
       val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
       def dirtied(off: Long, rep: String, mod: Int, suf: String) =

@@ -80,18 +80,32 @@ object Extensions {
     * results (or internally-persisted inputs) come back under the
     * caller-owns-storage contract (`estimateVsExactMd5`, the `*FromSigs`
     * entry points, the EditDist family): each registry invocation parks
-    * the new frame here and the PREVIOUS one is released, so warm bench
-    * repetitions hold at most ONE persisted frame per entry instead of
-    * leaking one per rep (round-14 ADVICE — MEMORY_AND_DISK is evictable
-    * but the cache-entry growth was unbounded across reps). The final
-    * frame rides until session end, like every owned cache here.
+    * the new frame here, and the PREVIOUS one is released IF its plan
+    * genuinely differs, so warm bench repetitions hold at most ONE
+    * persisted frame per entry (round-14 ADVICE).
+    *
+    * The `sameResult` guard is load-bearing (round-15 measurement):
+    * Spark's CacheManager dedupes `persist` by CANONICALIZED plan, so
+    * closure-free repetitions (the estimator, the md5 sig frames — pure
+    * SQL expressions) never accumulated entries in the first place — all
+    * reps SHARE one cache entry, and unconditionally unpersisting the
+    * "previous" frame evicts the entry the new frame is about to serve
+    * from (measured: the estimator entry went 0.5 s → 40 s warm, paying
+    * three uncached signature sweeps per rep). Only plans that really
+    * differ across calls — Dataset-closure lineages like the EditDist
+    * flatMap, whose capturing lambdas never canonicalize equal — ever
+    * accumulate, and for exactly those the guard lets the release fire.
     */
   private val ownedSlots =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
 
   private def owned(s: SparkSession, dir: String, name: String)(df: DataFrame): DataFrame = {
     ownedSlots.put((s.sparkContext.applicationId, dir, name), df)
-      .foreach(prev => if (prev ne df) prev.unpersist(blocking = false))
+      .foreach { prev =>
+        if ((prev ne df) &&
+            !prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
+          prev.unpersist(blocking = false)
+      }
     df
   }
 
