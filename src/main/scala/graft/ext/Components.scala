@@ -63,20 +63,26 @@ object Components {
     var converged = false
     while (!converged && iter < maxIter) {
       // neighbor labels flow along edges; a node's new label is the min of
-      // its own and everything that arrived
+      // its own and everything that arrived. The self branch is TAGGED so
+      // the aggregation emits the node's previous label alongside the new
+      // one (each node has exactly one self row) — the convergence check
+      // below then reads the checkpointed rows directly instead of paying
+      // a node-table-wide join back to the previous round (round 15: one
+      // shuffle per round removed; fixpoint and iterates are unchanged —
+      // the min is over the identical multiset).
       val next = sym.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
-        .select(col("src").as("node"), col("label"))
-        .union(labels)
+        .select(col("src").as("node"), col("label"), lit(false).as("self"))
+        .union(labels.withColumn("self", lit(true)))
         .groupBy(col("node"))
-        .agg(min(col("label")).as("label"))
+        .agg(min(col("label")).as("label"),
+          max(when(col("self"), col("label"))).as("old"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") < col("old")).count()
+      val changed = next.filter(col("label") < col("old")).count()
       // drop the superseded round's checkpoint blocks NOW — waiting for the
       // ContextCleaner would pin up to maxIter copies of the label table in
       // executor storage
       freeCheckpoint(labels)
-      labels = next
+      labels = next.select(col("node"), col("label"))
       converged = changed == 0
       iter += 1
     }

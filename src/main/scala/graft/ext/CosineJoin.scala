@@ -59,14 +59,24 @@ object CosineJoin {
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
+    // the weighted corpus feeds FOUR consumers (nsq, the prefix window,
+    // and both sides of the verify join) and its lineage — n-gram explode
+    // + two keyed aggregations — is the corpus-sized part of this plan;
+    // persist it, [[JaccardDedup]]'s measured discipline (round 15: the
+    // unpersisted form re-ran the explode chain per consumer and made this
+    // the bench's single largest build)
     val w = tf.join(dfreq, Seq("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nsq = w.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("nsq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // suffix Σtf² per doc in global rarity order — an exact integer window
     // sum, partitioned per document (bounded by one doc's token count)
     val win = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("tok"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val cut = math.max(threshold - 1e-6, 0.0)
+    // both sides of the candidate self-join read this — persisted for the
+    // same reason as `w` (the window sort is per-doc but corpus-wide)
     val prefix = w
       .withColumn("sufsq", sum(col("tf") * col("tf")).over(win))
       .join(nsq, Seq("doc_id"))
@@ -76,6 +86,7 @@ object CosineJoin {
       // carried into candidate generation for the positional bound below
       .select(col("tok"), col("doc_id"),
         (col("sufsq").cast("double") / col("nsq").cast("double")).as("ssq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ppjoin positional upper bound (the cosine form of the bound the
     // jaccard sibling carries): for any shared token, cos(x,y) ≤
     // s_x(i)·s_y(j) (Cauchy–Schwarz on the suffixes from the shared token

@@ -74,7 +74,25 @@ object Irls {
     * at 1e-6 (queries/Util scheme). `yCol` must evaluate to 0/1.
     */
   def momentCells(labeled: DataFrame, w: Array[Double], b: Double,
-                  yCol: Column, vecCol: String = "embedding"): DataFrame = {
+                  yCol: Column, vecCol: String = "embedding"): DataFrame =
+    // fixed-point execution of the decimal cell sum (the oracle mirrors
+    // the decimal form; bit-identical under the certificate —
+    // FixedPointAgg's contract, pinned in IrlsSpec)
+    FixedPointAgg.cellsRound6(momentCellRows(labeled, w, b, yCol, vecCol))
+
+  /** The definitional exact-decimal form of [[momentCells]]'s aggregation
+    * (the oracle's spelling) — the correctness pin for the fixed-point
+    * execution, asserted bitwise-equal in IrlsSpec.
+    */
+  private[ext] def momentCellsViaDecimal(labeled: DataFrame, w: Array[Double], b: Double,
+                                         yCol: Column, vecCol: String = "embedding"): DataFrame =
+    momentCellRows(labeled, w, b, yCol, vecCol)
+      .groupBy(col("i"), col("j"))
+      .agg(round(sum(col("p").cast("decimal(28,10)")), 6).cast("double").as("v"))
+
+  /** Shared cell-row generator for both aggregation forms. */
+  private def momentCellRows(labeled: DataFrame, w: Array[Double], b: Double,
+                             yCol: Column, vecCol: String): DataFrame = {
     val base = labeled.select(
       expr(s"concat(cast($vecCol as array<double>), array(cast(1.0 as double)))").as("z"),
       etaCol(vecCol, w, b).as("eta"), yCol.cast("double").as("y"))
@@ -93,8 +111,6 @@ object Irls {
         size(col("z")).as("n"))
       .select(col("i").cast("int").as("i"), col("n").cast("int").as("j"), col("p"))
     hess.unionByName(grad)
-      .groupBy(col("i"), col("j"))
-      .agg(round(sum(col("p").cast("decimal(28,10)")), 6).cast("double").as("v"))
   }
 
   /** Deterministic symmetric solve (Gaussian elimination, max-|pivot|

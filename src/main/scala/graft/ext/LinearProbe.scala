@@ -69,9 +69,40 @@ object LinearProbe {
     * with `i ≤ j`, `v = Σ z_i·z_j` (exact decimal sum, rounded at 1e-6 —
     * the engine-portable aggregate). Indices: 0..d-1 = embedding dims,
     * d = bias, d+1 = label.
+    *
+    * Execution (round 15): the DEFINITIONAL form is
+    * [[momentsViaDecimal]] — `round(sum(cast(p as decimal(28,10))), 6)`,
+    * what the DuckDB oracle mirrors — but Spark's decimal aggregation was
+    * ~80% of the entry (per-row string-based BigDecimal cast + 16-byte
+    * buffer writes + BigDecimal adds; MomentsProbe decomposition). The
+    * shipped plan sums the SAME scale-10 digits as plain longs
+    * ([[graft.functions.FixedPoint.unscaled10]] — identical per-row
+    * rounding by construction) and re-applies the half-up-at-6 + cast in
+    * integer arithmetic; decimal addition is exact integer addition of
+    * unscaled values, so the result is bit-identical WHENEVER the long
+    * sum cannot overflow — and each cell carries that certificate
+    * (`n · max|u| < 9.0e18`, a sound |Σu| bound with margin under 2^63)
+    * and raises rather than emit a wrapped sum. Equality with the decimal
+    * form is pinned in LinearProbeSpec; the oracle entry hash-pins it
+    * cross-engine at every gate scale.
     */
   def moments(corpus: DataFrame, vecCol: String = "embedding",
               labelCol: String = "label"): DataFrame =
+    FixedPointAgg.cellsRound6(momentRows(corpus, vecCol, labelCol))
+
+  /** The definitional exact-decimal form of [[moments]] (what the oracle
+    * SQL mirrors verbatim); kept as the correctness pin and the fallback
+    * for magnitudes beyond the fixed-point certificate.
+    */
+  def momentsViaDecimal(corpus: DataFrame, vecCol: String = "embedding",
+                        labelCol: String = "label"): DataFrame =
+    momentRows(corpus, vecCol, labelCol)
+      .groupBy("i", "j")
+      .agg(round(sum(col("p").cast("decimal(28,10)")), 6).cast("double").as("v"))
+
+  /** Shared generator: one row per upper-triangle product per input row. */
+  private def momentRows(corpus: DataFrame, vecCol: String,
+                         labelCol: String): DataFrame =
     corpus
       .select(expr(s"""concat(cast($vecCol as array<double>),
         array(cast(1.0 as double)), array(cast($labelCol as double)))""").as("z"))
@@ -82,8 +113,6 @@ object LinearProbe {
       .select(col("t.i").as("i"),
         posexplode(expr("transform(t.tail, zj -> t.zi * zj)")).as(Seq("dj", "p")))
       .select(col("i"), (col("i") + col("dj")).cast("int").as("j"), col("p"))
-      .groupBy("i", "j")
-      .agg(round(sum(col("p").cast("decimal(28,10)")), 6).cast("double").as("v"))
 
   /** Production fast path for the moment matrix: a typed `Aggregator`
     * accumulating the flattened upper triangle in ONE local buffer per

@@ -59,13 +59,19 @@ object MinHashDedup {
     */
   def signaturesMd5(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", h: Int = 16, k: Int = 3): DataFrame =
+    // definitional SQL form (what the DuckDB oracle mirrors verbatim):
+    //   hs   = transform(shingles, s -> struct(
+    //            cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint) % 2147483647 AS h1,
+    //            cast(conv(substr(md5(s), 16, 15), 16, 10) as bigint) % 2147483647 AS h2))
+    //   sigs = transform(sequence(0, h-1),
+    //            i -> array_min(transform(hs, p -> (p.h1 + i*p.h2) % 2147483647)))
+    // executed through the native one-pass kernel (graft.functions.Md5Twin,
+    // value-identical — pinned in Md5TwinKernelSpec): the hex-string round
+    // trip (md5 → hex → substr → conv) plus the per-row struct array and
+    // per-seed array_min allocations measured ~2× the whole signature scan
     shingleSetsMd5(docs, idCol, textCol, k)
-      .withColumn("hs", expr("""transform(shingles, s -> struct(
-          cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint) % 2147483647 AS h1,
-          cast(conv(substr(md5(s), 16, 15), 16, 10) as bigint) % 2147483647 AS h2))"""))
       .select(col(idCol), col("shingles"),
-        expr(s"""transform(sequence(0, ${h - 1}),
-          i -> array_min(transform(hs, p -> (p.h1 + i * p.h2) % 2147483647)))""").as("sigs"))
+        graft.functions.GraftFunctions.md5_minhash_sigs(col("shingles"), h).as("sigs"))
 
   /** The md5 twin's shingle universe on its own: `(idCol, shingles)` with
     * shingles the distinct lowercase word k-gram STRINGS; docs with NULL

@@ -27,6 +27,127 @@ import org.apache.spark.sql.functions._
   *    engine can mirror it (`x_mm_features`) — it exercises the batch
   *    plumbing, not a codec claim.
   */
+/** Shared fast paths for the image family's per-task work (guide-§"per-task
+  * work" class — the distributed shapes around them are unchanged):
+  *
+  *  - `ImageIO.setUseCache(false)`: the default stream wrappers spool
+  *    every encode/decode through a TEMP FILE (FileCache streams); for the
+  *    small images this family processes, file create/delete dominated the
+  *    codec. Memory-cached streams change no bytes.
+  *  - one PNG `ImageReader`/`ImageWriter` per thread: `ImageIO.read/write`
+  *    re-scan the service registry and sniff the format per call; the
+  *    cached instance is the SAME codec class, so pixels and bytes are
+  *    identical (non-PNG payloads fall back to `ImageIO.read`).
+  *  - `rgb(img)`: one packed-int pixel array per image instead of a
+  *    per-pixel `getRGB` virtual dispatch; guarded fast paths for the two
+  *    layouts this family actually sees (decoded PNGs = TYPE_3BYTE_BGR,
+  *    synthesized frames = TYPE_INT_RGB), bulk `getRGB` otherwise. Values
+  *    are the 24-bit rgb `getRGB` returns (consumers mask channels, so the
+  *    constant FF alpha byte is irrelevant and not added).
+  *
+  * All consumers' outputs are bit-identical (pinned by the family's
+  * existing oracle entries, which re-derive pixels arithmetically).
+  */
+private[ext] object Img {
+  javax.imageio.ImageIO.setUseCache(false)
+
+  private val pngReader = new ThreadLocal[javax.imageio.ImageReader] {
+    override def initialValue(): javax.imageio.ImageReader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+  }
+  private val pngWriter = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter =
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+  }
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && b(0) == 0x89.toByte && b(1) == 'P'.toByte &&
+      b(2) == 'N'.toByte && b(3) == 'G'.toByte
+
+  /** Decode an image payload (null if undecodable, like `ImageIO.read`). */
+  def read(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    if (isPng(bytes)) {
+      val r = pngReader.get()
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        r.setInput(in, true, true)
+        r.read(0)
+      } finally {
+        r.reset() // clears the input; the reader instance stays reusable
+        in.close()
+      }
+    } else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+
+  /** PNG-encode (same PNGImageWriter + default params `ImageIO.write`
+    * resolves to — byte-identical output).
+    */
+  def writePng(img: java.awt.image.RenderedImage): Array[Byte] = {
+    val w = pngWriter.get()
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      w.setOutput(out)
+      w.write(img)
+      out.flush()
+    } finally {
+      w.setOutput(null)
+      out.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Packed `0xRRGGBB` pixels, row-major — one array per image. */
+  def rgb(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val n = w * h
+    img.getType match {
+      case java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+          if img.getRaster.getDataBuffer.isInstanceOf[java.awt.image.DataBufferByte] &&
+            img.getRaster.getDataBuffer.getSize == 3 * n =>
+        val data = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
+        val out = new Array[Int](n)
+        var i = 0
+        var p = 0
+        while (i < n) {
+          out(i) = ((data(p + 2) & 0xff) << 16) | ((data(p + 1) & 0xff) << 8) |
+            (data(p) & 0xff)
+          i += 1
+          p += 3
+        }
+        out
+      case java.awt.image.BufferedImage.TYPE_INT_RGB
+          if img.getRaster.getDataBuffer.isInstanceOf[java.awt.image.DataBufferInt] &&
+            img.getRaster.getDataBuffer.getSize == n =>
+        val data = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferInt].getData
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) { out(i) = data(i) & 0xffffff; i += 1 }
+        out
+      case _ =>
+        val out = img.getRGB(0, 0, w, h, null, 0, w)
+        var i = 0
+        while (i < n) { out(i) = out(i) & 0xffffff; i += 1 }
+        out
+    }
+  }
+
+  /** A fresh TYPE_INT_RGB image plus its backing int buffer (row-major,
+    * stride = width) for direct synthesis — value-identical to per-pixel
+    * `setRGB` (which stores `rgb & 0xffffff` for this type).
+    */
+  def newRgb(w: Int, h: Int): (java.awt.image.BufferedImage, Array[Int]) = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
+    (img, data)
+  }
+}
+
 object Multimodal {
 
   /** One media record as carried through the pipeline. */
@@ -68,19 +189,16 @@ object Multimodal {
     * per-partition batches.
     */
   def imageDecode(r: MediaRecord): MediaFeatures = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+    val img = Img.read(r.payload)
     require(img != null, s"media ${r.media_id}: payload is not a decodable image")
     val (w, h) = (img.getWidth, img.getHeight)
+    val px = Img.rgb(img)
     var (sr, sg, sb) = (0L, 0L, 0L)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        sr += (rgb >>> 16) & 0xff; sg += (rgb >>> 8) & 0xff; sb += rgb & 0xff
-        x += 1
-      }
-      y += 1
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      sr += (rgb >>> 16) & 0xff; sg += (rgb >>> 8) & 0xff; sb += rgb & 0xff
+      i += 1
     }
     val n = (w.toLong * h).toFloat
     MediaFeatures(r.media_id, r.payload.length.toLong, r.media_type, w, h,
@@ -158,7 +276,7 @@ object Multimodal {
     * PNG; images already within bounds pass through untouched.
     */
   def resizeImage(r: MediaRecord, maxDim: Int): MediaRecord = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+    val img = Img.read(r.payload)
     require(img != null, s"media ${r.media_id}: payload is not a decodable image")
     val (w, h) = (img.getWidth, img.getHeight)
     val m = math.max(w, h)
@@ -172,9 +290,7 @@ object Multimodal {
         java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
       g.drawImage(img, 0, 0, tw, th, null)
       g.dispose()
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(out, "png", bos)
-      MediaRecord(r.media_id, bos.toByteArray, r.media_type)
+      MediaRecord(r.media_id, Img.writePng(out), r.media_type)
     }
   }
 
@@ -222,7 +338,7 @@ object Multimodal {
       unpackFrames(r.payload).iterator
         .filter { case (i, _) => i % stride == 0 }
         .map { case (i, png) =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          val img = Img.read(png)
           require(img != null, s"media ${r.media_id} frame $i: not a decodable image")
           FrameFeatures(r.media_id, i, img.getWidth, img.getHeight)
         }
@@ -247,20 +363,17 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>
       val means = unpackFrames(r.payload).map { case (i, png) =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        val img = Img.read(png)
         require(img != null, s"media ${r.media_id} frame $i: not a decodable image")
-        var sum = 0L; var n = 0L
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val rgb = img.getRGB(x, y)
-            sum += (((rgb >>> 16) & 0xff) + ((rgb >>> 8) & 0xff) + (rgb & 0xff)) / 3
-            x += 1; n += 1
-          }
-          y += 1
+        val px = Img.rgb(img)
+        var sum = 0L
+        var p = 0
+        while (p < px.length) {
+          val rgb = px(p)
+          sum += (((rgb >>> 16) & 0xff) + ((rgb >>> 8) & 0xff) + (rgb & 0xff)) / 3
+          p += 1
         }
-        (i, sum / n)
+        (i, sum / px.length)
       }
       means.iterator.map { case (i, m) =>
         val boundary =
@@ -281,17 +394,14 @@ object Multimodal {
       it.map { id =>
         val n = (id % 5).toInt + 1
         val frames = (0 until n).map { i =>
-          val img = new java.awt.image.BufferedImage(
-            i + 1, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val (img, px) = Img.newRgb(i + 1, 2)
           var x = 0
           while (x <= i) {
-            img.setRGB(x, 0, ((id * 31 + x) & 0xffffff).toInt)
-            img.setRGB(x, 1, ((id * 131 + x) & 0xffffff).toInt)
+            px(x) = ((id * 31 + x) & 0xffffff).toInt
+            px(i + 1 + x) = ((id * 131 + x) & 0xffffff).toInt
             x += 1
           }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          bos.toByteArray
+          Img.writePng(img)
         }
         MediaRecord(id, packFrames(frames), "video/x-frames")
       }
@@ -311,22 +421,19 @@ object Multimodal {
       it.map { case (id, nChars) =>
         val w = (nChars % 64).toInt + 1
         val h = (id % 48).toInt + 1
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val (img, px) = Img.newRgb(w, h)
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
             // deterministic pseudo-pixels; PNG is lossless so decode
             // recovers them exactly
-            img.setRGB(x, y, ((id * 2654435761L + x * 131 + y * 31) & 0xffffff).toInt)
+            px(y * w + x) = ((id * 2654435761L + x * 131 + y * 31) & 0xffffff).toInt
             x += 1
           }
           y += 1
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        MediaRecord(id, bos.toByteArray, "image/png")
+        MediaRecord(id, Img.writePng(img), "image/png")
       }
     }
   }
@@ -391,6 +498,7 @@ object Multimodal {
   /** The shared 9×8 integer block grid both hashes sample. */
   private def blockGrid(img: java.awt.image.BufferedImage): Array[Array[Long]] = {
     val (w, h) = (img.getWidth, img.getHeight)
+    val px = Img.rgb(img)
     Array.tabulate(8, 9) { (gy, gx) =>
       val (x0, x1) = (gx * w / 9, (gx + 1) * w / 9)
       val (y0, y1) = (gy * h / 8, (gy + 1) * h / 8)
@@ -398,9 +506,10 @@ object Multimodal {
       var n = 0L
       var y = y0
       while (y < y1) {
+        val row = y * w
         var x = x0
         while (x < x1) {
-          val rgb = img.getRGB(x, y)
+          val rgb = px(row + x)
           sum += (((rgb >>> 16) & 0xff) + ((rgb >>> 8) & 0xff) + (rgb & 0xff)) / 3
           x += 1; n += 1
         }
@@ -460,7 +569,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        val img = Img.read(r.payload)
         require(img != null, s"media ${r.media_id}: payload is not a decodable image")
         (r.media_id, pHash60(img))
       }
@@ -475,7 +584,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        val img = Img.read(r.payload)
         require(img != null, s"media ${r.media_id}: payload is not a decodable image")
         (r.media_id, dHash60(img), aHash60(img))
       }
@@ -649,8 +758,7 @@ object Multimodal {
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
       it.map { id =>
         val seed = id % m
-        val img = new java.awt.image.BufferedImage(
-          18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val (img, px) = Img.newRgb(18, 16)
         var y = 0
         while (y < 16) {
           var x = 0
@@ -662,14 +770,12 @@ object Multimodal {
             // near-dup of its class under the maxDist=3 contract
             if (id % 3 == 0 && ((x == 0 && y == 0) || (x == 4 && y == 4)))
               rgb ^= 0x700000
-            img.setRGB(x, y, rgb)
+            px(y * 18 + x) = rgb
             x += 1
           }
           y += 1
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        MediaRecord(id, bos.toByteArray, "image/png")
+        MediaRecord(id, Img.writePng(img), "image/png")
       }
     }
   }

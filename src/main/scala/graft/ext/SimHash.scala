@@ -38,14 +38,19 @@ object SimHash {
     */
   def signaturesMd5(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame =
+    // definitional SQL form (what the DuckDB oracle mirrors verbatim):
+    //   hs = transform(split(text, ' '),
+    //          t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))
+    //   aggregate(sequence(0, 59), 0L, (acc, b) ->
+    //     acc + IF(2 * size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) > size(hs),
+    //              shiftleft(1L, b), 0L))
+    // executed through the native one-pass kernel (graft.functions.Md5Twin,
+    // value-identical — pinned in Md5TwinKernelSpec): the SQL form builds
+    // 60 filter arrays per row on top of the hex-string md5 round trip
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol),
-        expr(s"transform(split($textCol, ' '), t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))").as("hs"))
-      .select(col(idCol), expr("""
-        aggregate(sequence(0, 59), cast(0 as bigint), (acc, b) ->
-          acc + IF(2 * size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) > size(hs),
-                   shiftleft(cast(1 as bigint), b), cast(0 as bigint)))
-        """).as("simhash"))
+        graft.functions.GraftFunctions
+          .md5_simhash60(split(col(textCol), " ")).as("simhash"))
 
   /** Pairs with hamming(simhash_a, simhash_b) ≤ maxDist (≤ 3 for exactness
     * of the 4-chunk pigeonhole; larger maxDist turns this into a recall<1

@@ -25,6 +25,18 @@ object GraftFunctions {
   def simhash64(tokens: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokens)))
 
+  /** md5-twin MinHash signature (value-identical to the definitional SQL)
+    * — [[Md5MinHashSigs]].
+    */
+  def md5_minhash_sigs(shingles: Column, numHashes: Int): Column =
+    GraftColumnBridge.column(Md5MinHashSigs(GraftColumnBridge.expression(shingles), numHashes))
+
+  /** md5-twin 60-bit SimHash (value-identical to the definitional SQL)
+    * — [[Md5SimHash60]].
+    */
+  def md5_simhash60(tokens: Column): Column =
+    GraftColumnBridge.column(Md5SimHash60(GraftColumnBridge.expression(tokens)))
+
   /** Allocation-free dot product of two double arrays — [[DotProduct]]. */
   def dot_product(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(
@@ -58,6 +70,10 @@ object GraftFunctions {
   /** Unicode canonical composition (NFC) — [[NfcNormalize]]. */
   def nfc_normalize(text: Column): Column =
     GraftColumnBridge.column(NfcNormalize(GraftColumnBridge.expression(text)))
+
+  /** Scale-10 fixed-point digits of a double, as a long — [[Unscaled10]]. */
+  def unscaled10(d: Column): Column =
+    GraftColumnBridge.column(Unscaled10(GraftColumnBridge.expression(d)))
 
   private val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("pandas_title", "str - pandas-exact title case", (es: Seq[Expression]) => PandasTitle(es.head))

@@ -103,6 +103,125 @@ object Sketches {
   }
 }
 
+/** The md5-surrogate hash pair of the ORACLE-TWIN sketch family
+  * ([[graft.ext.MinHashDedup.signaturesMd5]] /
+  * [[graft.ext.SimHash.signaturesMd5]]), computed natively. The twins'
+  * DEFINITIONAL form is SQL so DuckDB can mirror it verbatim:
+  *
+  *   h1 = cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)
+  *   h2 = cast(conv(substr(md5(s), 16, 15), 16, 10) as bigint)
+  *
+  * i.e. the first/second 15 hex nibbles of the digest as 60-bit unsigned
+  * ints. Round through the hex STRING, though, and Spark pays md5 → hex
+  * encode → substr → conv (a per-char base-16 parse) → decimal-string →
+  * bigint, per shingle, plus a struct array per row — measured ~2× the
+  * whole signature entry at sf0.1. Nibbles 0–14 of the digest are exactly
+  * `(first 8 bytes as big-endian u64) >>> 4` and nibbles 15–29 are
+  * `(byte7 & 0xF) << 56 | bytes 8..14`, so these kernels read the digest
+  * bytes directly — VALUE-IDENTICAL to the SQL form (pinned in
+  * Md5TwinKernelSpec on the corpus fixture + unicode/astral edge cases),
+  * with one MessageDigest per thread and zero intermediate arrays.
+  * All consumers keep their DuckDB oracles unchanged.
+  */
+object Md5Twin {
+  private val P = 2147483647L // 2^31 − 1, the twins' cross-engine modulus
+
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** md5 digest of the string's UTF-8 bytes (what SQL `md5(s)` hashes). */
+  private def digest(s: UTF8String): Array[Byte] = {
+    val m = mdLocal.get()
+    m.reset()
+    m.digest(s.getBytes)
+  }
+
+  /** Hex nibbles 0–14 of the digest as a 60-bit int (= substr(hex,1,15)). */
+  def h1raw(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v >>> 4
+  }
+
+  /** Hex nibbles 15–29 of the digest as a 60-bit int (= substr(hex,16,15)). */
+  def h2raw(d: Array[Byte]): Long = {
+    var v = d(7) & 0xFL
+    var i = 8
+    while (i < 15) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v
+  }
+
+  /** The md5-twin MinHash signature in one pass:
+    * `sig_i = min_s (h1(s) % P + i·(h2(s) % P)) % P`, i ∈ [0, numHashes) —
+    * identical values to the SQL
+    * `transform(sequence(0,h−1), i -> array_min(transform(hs, p -> (p.h1 + i*p.h2) % P)))`
+    * over `hs = transform(shingles, s -> struct(h1, h2))`, without the
+    * per-seed array or the per-shingle struct. Null elements are skipped
+    * (array_min semantics); an empty/all-null input yields all-null
+    * positions exactly like `array_min` of an empty transform.
+    */
+  def md5MinhashSigs(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val n = shingles.numElements()
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var any = false
+    var j = 0
+    while (j < n) {
+      if (!shingles.isNullAt(j)) {
+        any = true
+        val d = digest(shingles.getUTF8String(j))
+        val a = h1raw(d) % P
+        val b = h2raw(d) % P
+        var i = 0
+        var v = a
+        while (i < numHashes) {
+          val m = v % P
+          if (m < mins(i)) mins(i) = m
+          v += b
+          i += 1
+        }
+      }
+      j += 1
+    }
+    if (!any) new GenericArrayData(new Array[Any](numHashes))
+    else new GenericArrayData(mins)
+  }
+
+  /** The md5-twin 60-bit SimHash in one pass: bit b of the result is set
+    * iff `2·|{t : bit b of h1(t) set}| > |tokens|` — identical values to
+    * the SQL `aggregate(sequence(0,59), 0L, (acc,b) -> acc + IF(2*size(filter(hs, …)) > size(hs), 1<<b, 0))`
+    * over `hs = transform(tokens, t -> h1(t))`, without 60 filter arrays
+    * per row. Null elements contribute to the size but never to a bit
+    * count (filter-drops-null semantics).
+    */
+  def md5Simhash60(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val counts = new Array[Int](60)
+    var j = 0
+    while (j < n) {
+      if (!tokens.isNullAt(j)) {
+        val h = h1raw(digest(tokens.getUTF8String(j)))
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (2L * counts(b) > n) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+}
+
 /** `shingle_hashes(tokens, k)` — sorted distinct k-shingle hashes. */
 case class ShingleHashes(child: Expression, k: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -128,6 +247,38 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.minHashSignature($c, $numHashes)")
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** `md5_minhash_sigs(shingles, h)` — the md5-twin MinHash signature
+  * ([[Md5Twin.md5MinhashSigs]]); value-identical to the definitional SQL.
+  */
+case class Md5MinHashSigs(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "md5_minhash_sigs"
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Twin.md5MinhashSigs(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Twin.md5MinhashSigs($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): Md5MinHashSigs =
+    copy(child = newChild)
+}
+
+/** `md5_simhash60(tokens)` — the md5-twin 60-bit SimHash
+  * ([[Md5Twin.md5Simhash60]]); value-identical to the definitional SQL.
+  */
+case class Md5SimHash60(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_simhash60"
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Twin.md5Simhash60(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Twin.md5Simhash60($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5SimHash60 =
     copy(child = newChild)
 }
 

@@ -47,6 +47,21 @@ class IrlsSpec extends SparkSpec {
     }
   }
 
+  test("momentCells (fixed-point) == the decimal form bit-for-bit") {
+    val docs = separable(120)
+    val w = Array(0.3, -0.7)
+    val b = -0.05
+    val fixp = Irls.momentCells(docs, w, b, col("label").cast("double"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val dec = Irls.momentCellsViaDecimal(docs, w, b, col("label").cast("double"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(fixp.keySet === dec.keySet)
+    dec.foreach { case (k, v) =>
+      assert(java.lang.Double.doubleToLongBits(fixp(k)) ===
+        java.lang.Double.doubleToLongBits(v), s"$k: fixp=${fixp(k)} dec=$v")
+    }
+  }
+
   test("gate evaluation: separable fixture reaches accuracy 1.0 at threshold 0.5") {
     val docs = separable()
     val m = Irls.train(docs, (col("label") === 1).cast("double"),

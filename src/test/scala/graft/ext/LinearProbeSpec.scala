@@ -52,6 +52,30 @@ class LinearProbeSpec extends SparkSpec {
     assert(maxErr < 0.01, s"maxErr=$maxErr")
   }
 
+  test("moments (fixed-point) == momentsViaDecimal bit-for-bit (incl. rounding ties)") {
+    // the sf0.001 corpus plus adversarial magnitudes: values whose products
+    // sit on half-up rounding boundaries at scale 10 and 6, negatives, and
+    // a zero row — every cell must agree EXACTLY (same double bits)
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val adversarial = Seq(
+      (100000L, Seq(0.00001f, 1.23456789f), 0.0000000123),
+      (100001L, Seq(-0.00001f, -1.0f), -0.5),
+      (100002L, Seq(0.0f, 0.0f), 0.0),
+      (100003L, Seq(123.456f, -0.000789f), 2.5e-7)
+    ).toDF("vec_id", "embedding", "label")
+    Seq(emb, adversarial).foreach { docs =>
+      val fixp = LinearProbe.moments(docs).collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      val dec = LinearProbe.momentsViaDecimal(docs).collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      assert(fixp.keySet === dec.keySet)
+      dec.foreach { case (k, v) =>
+        assert(java.lang.Double.doubleToLongBits(fixp(k)) ===
+          java.lang.Double.doubleToLongBits(v), s"$k: fixp=${fixp(k)} dec=$v")
+      }
+    }
+  }
+
   test("momentsFast (partial-agg buffer) agrees with the exact decimal twin") {
     val docs = fixture()
     val exact = LinearProbe.moments(docs).collect()
